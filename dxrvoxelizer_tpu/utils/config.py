@@ -1,0 +1,101 @@
+"""Configuration + CLI surface matching the reference app.
+
+Compile-time constants in the reference: GRID_SIZE 64 (Content/Voxelizer.cpp:8),
+NUM_SAMPLES 128 / NUM_LIGHT_SAMPLES 32 / ABSORPTION 1.0 / ZERO_THRESHOLD 0.01
+(Content/Shaders/PSRayCast.hlsl:7-11), THRESHOLD 0.12 (DXRVoxelizer.hlsl:5),
+CLEAR_COLOR 0.0,0.2,0.4 (Content/SharedConst.h:8), 1280x720 (Main.cpp:17),
+default mesh Assets/bunny.obj + posScale (0,0,0,1) (DXRVoxelizer.cpp:36-37).
+
+Runtime CLI in the reference: ``-warp | -uma | -mesh <file> [x y z scale]``
+with ``-``/``/`` prefixes, case-insensitive (DXRVoxelizer.cpp:363-408). We map
+``-warp`` to the CPU backend (the reference's software-rasterizer fallback
+analog) and accept both prefix styles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class VoxelizerConfig:
+    grid_size: int = 64
+    width: int = 1280
+    height: int = 720
+    mesh: str = "bunny.obj"
+    pos_scale: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    num_samples: int = 128
+    num_light_samples: int = 32
+    absorption: float = 1.0
+    zero_threshold: float = 0.01
+    inside_threshold: float = 0.12
+    clear_color: tuple[float, float, float] = (0.0, 0.2, 0.4)
+    light_pt: tuple[float, float, float] = (-10.0, 45.0, -75.0)  # Voxelizer.cpp:93
+    # inside-test mode: "parity" (axis-parity fill; watertight, the TPU-native
+    # default per BASELINE.json) or "raystab" (the reference's radial
+    # back-face rule, for reference-parity validation).
+    inside_mode: str = "parity"
+    backend: str = "default"  # "default" | "cpu" (the -warp analog)
+
+    def replace(self, **kw) -> "VoxelizerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def parse_args(argv: list[str]) -> VoxelizerConfig:
+    """Parse reference-style CLI flags plus TPU-build extensions."""
+    cfg = VoxelizerConfig()
+    kw: dict = {}
+
+    def is_flag(a: str, name: str) -> bool:
+        return len(a) > 1 and a[0] in "-/" and a[1:].lower() == name
+
+    def has_value(i: int) -> bool:
+        if i + 1 >= len(argv):
+            return False
+        nxt = argv[i + 1]
+        if nxt.startswith("/"):
+            return False
+        # a leading '-' only counts as a value if numeric (DXRVoxelizer.cpp:387-391)
+        if nxt.startswith("-") and not (len(nxt) > 1 and (nxt[1].isdigit() or nxt[1] == ".")):
+            return False
+        return True
+
+    i = 1 if argv and argv[0].endswith(".py") else 0
+    n = len(argv)
+    while i < n:
+        a = argv[i]
+        if is_flag(a, "warp") or is_flag(a, "cpu"):
+            kw["backend"] = "cpu"
+        elif is_flag(a, "uma"):
+            pass  # adapter preference: meaningless on TPU; accepted for parity
+        elif is_flag(a, "mesh"):
+            if has_value(i):
+                i += 1
+                kw["mesh"] = argv[i]
+            ps = list(cfg.pos_scale)
+            for j in range(4):
+                if has_value(i):
+                    i += 1
+                    ps[j] = float(argv[i])
+                else:
+                    break
+            kw["pos_scale"] = tuple(ps)
+        elif is_flag(a, "grid"):
+            if has_value(i):
+                i += 1
+                kw["grid_size"] = int(argv[i])
+        elif is_flag(a, "width"):
+            if has_value(i):
+                i += 1
+                kw["width"] = int(argv[i])
+        elif is_flag(a, "height"):
+            if has_value(i):
+                i += 1
+                kw["height"] = int(argv[i])
+        elif is_flag(a, "inside"):
+            if has_value(i):
+                i += 1
+                kw["inside_mode"] = argv[i]
+        i += 1
+    return cfg.replace(**kw)
