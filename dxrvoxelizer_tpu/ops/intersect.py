@@ -1,0 +1,100 @@
+"""Batched ray-triangle intersection primitives (jax.numpy).
+
+The TPU replacement for DXR's fixed-function ``TraceRay`` BVH traversal
+(reference: DXRVoxelizer.hlsl:80): a no-culling Moller-Trumbore test over
+triangle chunks with a running closest-hit reduction. Everything is static
+shapes + ``lax.scan`` so XLA tiles the arithmetic onto the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPS_DET = 1e-10
+T_MAX = 1e4  # ray.TMax (DXRVoxelizer.hlsl:77)
+
+
+def triangle_soup(verts: jnp.ndarray, tris: jnp.ndarray):
+    """Gather (v0, e1, e2) triangle soup from indexed buffers."""
+    v0 = verts[tris[:, 0]]
+    v1 = verts[tris[:, 1]]
+    v2 = verts[tris[:, 2]]
+    return v0, v1 - v0, v2 - v0
+
+
+def _closest_hit_chunk(origins, dirs, v0, e1, e2, tri_offset):
+    """Closest hit of rays [R,3] against one triangle chunk [Tc,3].
+
+    Returns (t, u, v, idx) per ray, with idx global (tri_offset added) and
+    t = +inf on miss. No backface culling; t >= 0 (TMin = 0, TMax = 1e4,
+    DXRVoxelizer.hlsl:76-77).
+    """
+    # [R, 1, 3] x [1, Tc, 3]
+    d = dirs[:, None, :]
+    o = origins[:, None, :]
+    p = jnp.cross(d, e2[None, :, :])
+    det = jnp.sum(e1[None, :, :] * p, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > EPS_DET, 1.0 / det, 0.0)
+    tvec = o - v0[None, :, :]
+    u = jnp.sum(tvec * p, axis=-1) * inv_det
+    q = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.sum(d * q, axis=-1) * inv_det
+    t = jnp.sum(e2[None, :, :] * q, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > EPS_DET)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= 0.0)
+        & (t <= T_MAX)
+    )
+    t = jnp.where(hit, t, jnp.inf)
+    # closest hit in the chunk; ties resolved to the lowest triangle index
+    best = jnp.argmin(t, axis=1)
+    r = jnp.arange(t.shape[0])
+    return t[r, best], u[r, best], v[r, best], best + tri_offset
+
+
+def closest_hit(origins, dirs, v0, e1, e2, tri_chunk: int = 2048):
+    """Closest hit over the whole soup, scanning triangle chunks.
+
+    Returns (t, u, v, tri_idx); t = +inf where the ray misses everything.
+    """
+    num_tris = v0.shape[0]
+    pad = (-num_tris) % tri_chunk
+    if pad:
+        # degenerate padding triangles never hit (det == 0)
+        z = jnp.zeros((pad, 3), dtype=v0.dtype)
+        v0 = jnp.concatenate([v0, z])
+        e1 = jnp.concatenate([e1, z])
+        e2 = jnp.concatenate([e2, z])
+    n_chunks = v0.shape[0] // tri_chunk
+    v0c = v0.reshape(n_chunks, tri_chunk, 3)
+    e1c = e1.reshape(n_chunks, tri_chunk, 3)
+    e2c = e2.reshape(n_chunks, tri_chunk, 3)
+
+    r = origins.shape[0]
+    init = (
+        jnp.full((r,), jnp.inf, dtype=origins.dtype),
+        jnp.zeros((r,), dtype=origins.dtype),
+        jnp.zeros((r,), dtype=origins.dtype),
+        jnp.zeros((r,), dtype=jnp.int32),
+    )
+
+    def body(carry, chunk):
+        bt, bu, bv, bi = carry
+        cv0, ce1, ce2, off = chunk
+        t, u, v, i = _closest_hit_chunk(origins, dirs, cv0, ce1, ce2, off)
+        # strictly-closer wins; equal t keeps the earlier (lower-index) hit
+        take = t < bt
+        return (
+            jnp.where(take, t, bt),
+            jnp.where(take, u, bu),
+            jnp.where(take, v, bv),
+            jnp.where(take, i.astype(jnp.int32), bi),
+        ), None
+
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * tri_chunk
+    (bt, bu, bv, bi), _ = jax.lax.scan(body, init, (v0c, e1c, e2c, offsets))
+    return bt, bu, bv, bi

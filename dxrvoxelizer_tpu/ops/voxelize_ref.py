@@ -1,0 +1,132 @@
+"""Trusted reference (oracle) voxelizers in plain jax.numpy.
+
+Two inside/outside rules, mirroring SURVEY.md section 7:
+
+- :func:`voxelize_raystab_ref` — the reference's exact algorithm: one radial
+  ray per voxel from the voxel center outward, closest hit, voxel is inside
+  iff the interpolated (normalized) surface normal faces away:
+  ``dot(n, dir) > 0.12`` (DXRVoxelizer.hlsl:44-53, 132-140). Also returns the
+  normal grid the reference writes (``float4(Normal, 1.0)``,
+  DXRVoxelizer.hlsl:83-84).
+- :func:`voxelize_parity_ref` — axis-aligned column rays with
+  intersection-parity counting (watertight; the TPU-native default). This
+  oracle *counts* crossings per voxel; the production Pallas kernel folds
+  XOR masks — two independent reductions over identical per-triangle tests,
+  the "dual path" analog of the reference's Core/EZ A/B (SURVEY.md section 4).
+
+These are the correctness anchors: slow, obvious, and used to generate golden
+grids for every other implementation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dxrvoxelizer_tpu.ops import intersect
+from dxrvoxelizer_tpu.ops.geom import column_crossing, parity_tri_setup
+from dxrvoxelizer_tpu.ops.packing import voxel_centers_norm
+
+INSIDE_THRESHOLD = 0.12  # DXRVoxelizer.hlsl:5
+
+
+@partial(jax.jit, static_argnames=("n", "ray_chunk", "tri_chunk"))
+def voxelize_raystab_ref(
+    verts_norm: jnp.ndarray,
+    normals: jnp.ndarray,
+    tris: jnp.ndarray,
+    n: int = 64,
+    threshold: float = INSIDE_THRESHOLD,
+    ray_chunk: int = 4096,
+    tri_chunk: int = 2048,
+):
+    """Reference-rule solid voxelization.
+
+    Returns ``(occupancy[n,n,n] bool, rgba[n,n,n,4] float32)`` where rgba is
+    the un-quantized ``float4(Normal, 1.0)`` write (zeros where outside).
+    """
+    cx, cy, cz = (jnp.asarray(t) for t in voxel_centers_norm(n))
+    px = cx[:, None, None]
+    py = cy[None, :, None]
+    pz = cz[None, None, :]
+    pos = jnp.stack(jnp.broadcast_arrays(px, py, pz), axis=-1).reshape(-1, 3)
+
+    # generateRay (DXRVoxelizer.hlsl:44-53): origin = voxel center,
+    # direction = normalize(center) — radially outward from the grid origin.
+    length = jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    dirs = pos / jnp.maximum(length, 1e-20)
+
+    v0, e1, e2 = intersect.triangle_soup(verts_norm, tris)
+    n0 = normals[tris[:, 0]]
+    n1 = normals[tris[:, 1]]
+    n2 = normals[tris[:, 2]]
+
+    def process(chunk):
+        o, d = chunk
+        t, u, v, idx = intersect.closest_hit(o, d, v0, e1, e2, tri_chunk=tri_chunk)
+        hit = jnp.isfinite(t)
+        # barycentric normal interpolation (DXRVoxelizer.hlsl:110-116)
+        nrm = (
+            n0[idx]
+            + u[:, None] * (n1[idx] - n0[idx])
+            + v[:, None] * (n2[idx] - n0[idx])
+        )
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+        inside = hit & (jnp.sum(nrm * d, axis=-1) > threshold)
+        rgba = jnp.where(
+            inside[:, None],
+            jnp.concatenate([nrm, jnp.ones_like(t)[:, None]], axis=-1),
+            0.0,
+        )
+        return inside, rgba
+
+    num_rays = pos.shape[0]
+    assert num_rays % ray_chunk == 0
+    chunks = (pos.reshape(-1, ray_chunk, 3), dirs.reshape(-1, ray_chunk, 3))
+    inside, rgba = jax.lax.map(process, chunks)
+    return (
+        inside.reshape(n, n, n),
+        rgba.reshape(n, n, n, 4),
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "tri_chunk"))
+def voxelize_parity_ref(
+    verts_norm: jnp.ndarray,
+    tris: jnp.ndarray,
+    n: int = 64,
+    tri_chunk: int = 1024,
+):
+    """Axis-parity solid voxelization oracle -> occupancy [n,n,n] bool.
+
+    Counts, per voxel column, the crossings strictly above each voxel center
+    and takes the parity. Independent reduction from the production kernel's
+    XOR fold (see ops/voxelize_pallas.py) over the shared per-triangle setup.
+    """
+    pt = parity_tri_setup(verts_norm, tris, n)
+    num_tris = tris.shape[0]
+    pad = (-num_tris) % tri_chunk
+    if pad:
+        pt = jax.tree.map(lambda x: jnp.pad(x, (0, pad)), pt)
+    n_chunks = pt.valid.shape[0] // tri_chunk
+    pt_chunks = jax.tree.map(lambda x: x.reshape(n_chunks, tri_chunk), pt)
+
+    # column centers in index space are the integers 0..n-1
+    gx = jnp.arange(n, dtype=jnp.float32)[:, None, None]  # [n,1,1]
+    gy = jnp.arange(n, dtype=jnp.float32)[None, :, None]  # [1,n,1]
+
+    def body(counts, ptc):
+        covered, m = column_crossing(ptc, gx, gy)  # [n,n,Tc]
+        m = jnp.clip(m, 0, n)
+
+        def k_body(k, cnts):
+            contrib = (covered & (k < m)).sum(axis=-1, dtype=jnp.int32)
+            return cnts.at[:, :, k].add(contrib)
+
+        return jax.lax.fori_loop(0, n, k_body, counts), None
+
+    counts0 = jnp.zeros((n, n, n), dtype=jnp.int32)
+    counts, _ = jax.lax.scan(body, counts0, pt_chunks)
+    return (counts & 1).astype(bool)

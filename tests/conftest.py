@@ -7,12 +7,22 @@ section 4 "multi-chip without a real cluster").
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache across test processes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# the environment's TPU-tunnel plugin force-selects its own platform from
+# sitecustomize at interpreter start; override after import so tests run on
+# the local CPU backend with the 8 virtual devices
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
