@@ -6,11 +6,12 @@ axis-aligned ray per voxel column, interior fill by intersection parity,
 computed as an **XOR fold of prefix bitmasks**:
 
 - the voxel grid is split into 32x32-column tiles; each kernel program owns
-  one tile's columns laid out as an (8, 128) vector register tile;
-- for every triangle, the shared setup (ops/geom.py) gives edge functions,
-  a top-left boundary rule and an affine depth z(x, y); a covered column gets
-  cutoff ``m = ceil(z)`` and the crossing flips voxels k < m — a prefix mask
-  over the column's z-bits, packed 32/word;
+  one tile's 1024 columns as 8 lane-strips of 128;
+- triangles stream through the VPU eight at a time on the sublane axis: for
+  every (8 tris x 128 columns) block the shared setup (ops/geom.py) gives
+  edge functions, a top-left boundary rule and an affine depth z(x, y); a
+  covered column gets cutoff ``m = ceil(z)`` and the crossing flips voxels
+  k < m — a prefix mask over the column's z-bits, packed 32/word;
 - XOR of all masks = crossing parity per voxel. XOR is associative and
   commutative, so triangles stream in any order with no atomics — races are
   impossible by construction (the TPU answer to the reference's UAV writes).
@@ -32,17 +33,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dxrvoxelizer_tpu.ops.geom import ParityTris, parity_tri_setup
 
-TILE = 32  # columns per tile side; tile = 32x32 columns = (8,128) lanes
+TILE = 32  # columns per tile side; tile = 32x32 columns = 8 strips x 128 lanes
 NCOEF = 16  # packed ParityTris coefficients per triangle
-SUB_TRIS = 64  # triangles processed per vectorized inner step
+SUB = 8  # triangles per vectorized block (sublane axis)
+
+# coefficient rows in the packed [T, NCOEF] matrix
+_EX0, _EY0, _EO0, _TL0 = 0, 1, 2, 3
+_EX1, _EY1, _EO1, _TL1 = 4, 5, 6, 7
+_EX2, _EY2, _EO2, _TL2 = 8, 9, 10, 11
+_ZX, _ZY, _ZO, _VALID = 12, 13, 14, 15
 
 
 def pack_coeffs(pt: ParityTris) -> jnp.ndarray:
-    """Stack the 16 per-triangle coefficients into a [NCOEF, T] f32 matrix.
-
-    Order: ex0,ey0,eo0,tl0, ex1,ey1,eo1,tl1, ex2,ey2,eo2,tl2, zx,zy,zo,valid.
-    (The bbox fields are for binning only; the kernel does not need them.)
-    """
+    """Stack the 16 per-triangle coefficients into a [T, NCOEF] f32 matrix."""
     return jnp.stack(
         [
             pt.ex0, pt.ey0, pt.eo0, pt.tl0,
@@ -50,23 +53,15 @@ def pack_coeffs(pt: ParityTris) -> jnp.ndarray:
             pt.ex2, pt.ey2, pt.eo2, pt.tl2,
             pt.zx, pt.zy, pt.zo, pt.valid,
         ],
-        axis=0,
+        axis=1,
     ).astype(jnp.float32)
-
-
-def _xor_fold(x: jnp.ndarray) -> jnp.ndarray:
-    """XOR-reduce over the leading axis by halving (leading dim power of 2)."""
-    while x.shape[0] > 1:
-        half = x.shape[0] // 2
-        x = jax.lax.bitwise_xor(x[:half], x[half : 2 * half])
-    return x[0]
 
 
 def _parity_kernel(coef_ref, out_ref, *, n: int, nty: int, k_chunk: int):
     """One (tile, tri-chunk) grid step.
 
-    coef_ref: [NCOEF, k_chunk] f32 (this tile's chunk of triangles)
-    out_ref:  [W, 8, 128] int32 accumulator (revisited across chunks)
+    coef_ref: [1, k_chunk, NCOEF] f32 (this tile's chunk of triangles)
+    out_ref:  [1, W, 8, 128] int32 accumulator (revisited across chunks)
     """
     tile_id = pl.program_id(0)
     chunk_id = pl.program_id(1)
@@ -79,47 +74,70 @@ def _parity_kernel(coef_ref, out_ref, *, n: int, nty: int, k_chunk: int):
     tx = tile_id // nty
     ty = tile_id - tx * nty
 
-    # lane layout: flat local column l in [0, 1024), sub = l // 128,
-    # lane = l % 128; column x_local = l // TILE, y_local = l % TILE
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    l = sub * 128 + lane
-    px = (tx * TILE + l // TILE).astype(jnp.float32)
-    py = (ty * TILE + l % TILE).astype(jnp.float32)
+    # strip s covers flat local columns l = s*128 + lane;
+    # column x_local = l // TILE, y_local = l % TILE
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    def step(s, acc):
-        c = coef_ref[:, pl.ds(s * SUB_TRIS, SUB_TRIS)]  # [NCOEF, SUB]
+    def strip_coords(s):
+        l = s * 128 + lane
+        px = (tx * TILE + l // TILE).astype(jnp.float32)  # (1,128)
+        py = (ty * TILE + l % TILE).astype(jnp.float32)
+        return px, py
 
-        def bc(row):
-            return c[row, :][:, None, None]  # [SUB,1,1]
+    coords = [strip_coords(s) for s in range(8)]
 
-        e0 = bc(0) * px + bc(1) * py + bc(2)
-        e1 = bc(4) * px + bc(5) * py + bc(6)
-        e2 = bc(8) * px + bc(9) * py + bc(10)
-        in0 = (e0 > 0) | ((e0 == 0) & (bc(3) > 0))
-        in1 = (e1 > 0) | ((e1 == 0) & (bc(7) > 0))
-        in2 = (e2 > 0) | ((e2 == 0) & (bc(11) > 0))
-        covered = in0 & in1 & in2 & (bc(15) > 0)
+    def step(g, acc):
+        c = coef_ref[0, pl.ds(g * SUB, SUB), :]  # (SUB, NCOEF)
 
-        z = bc(12) * px + bc(13) * py + bc(14)
-        m = jnp.clip(jnp.ceil(z), 0.0, float(n)).astype(jnp.int32)  # [SUB,8,128]
-        cov_mask = jnp.where(covered, jnp.int32(-1), jnp.int32(0))
+        def col(row):
+            return c[:, row : row + 1]  # (SUB, 1)
 
-        new = []
+        ex0, ey0, eo0, tl0 = col(_EX0), col(_EY0), col(_EO0), col(_TL0)
+        ex1, ey1, eo1, tl1 = col(_EX1), col(_EY1), col(_EO1), col(_TL1)
+        ex2, ey2, eo2, tl2 = col(_EX2), col(_EY2), col(_EO2), col(_TL2)
+        zx, zy, zo, valid = col(_ZX), col(_ZY), col(_ZO), col(_VALID)
+
+        # per-strip coverage mask + cutoff (shared across words)
+        cov_masks, cutoffs = [], []
+        for s in range(8):
+            px, py = coords[s]  # (1,128)
+            e0 = ex0 * px + ey0 * py + eo0  # (SUB,128)
+            e1 = ex1 * px + ey1 * py + eo1
+            e2 = ex2 * px + ey2 * py + eo2
+            in0 = (e0 > 0) | ((e0 == 0) & (tl0 > 0))
+            in1 = (e1 > 0) | ((e1 == 0) & (tl1 > 0))
+            in2 = (e2 > 0) | ((e2 == 0) & (tl2 > 0))
+            covered = in0 & in1 & in2 & (valid > 0)
+            cov_masks.append(jnp.where(covered, jnp.int32(-1), jnp.int32(0)))
+            z = zx * px + zy * py + zo
+            cutoffs.append(jnp.clip(jnp.ceil(z), 0.0, float(n)).astype(jnp.int32))
+
+        new_acc = []
         for w in range(w_words):
-            cbits = jnp.clip(m - 32 * w, 0, 32)
-            word = jnp.where(
-                cbits >= 32,
-                jnp.int32(-1),
-                (jnp.int32(1) << cbits) - jnp.int32(1),
-            )
-            new.append(_xor_fold(word & cov_mask))
-        return acc ^ jnp.stack(new, axis=0)  # [W,8,128]
+            strips = []
+            for s in range(8):
+                cbits = jnp.clip(cutoffs[s] - 32 * w, 0, 32)
+                word = jnp.where(
+                    cbits >= 32,
+                    jnp.int32(-1),
+                    (jnp.int32(1) << cbits) - jnp.int32(1),
+                )
+                word = word & cov_masks[s]  # (SUB,128)
+                # XOR-fold the SUB axis: 8 -> 4 -> 2 -> 1
+                f4 = word[0:4] ^ word[4:8]
+                f2 = f4[0:2] ^ f4[2:4]
+                strips.append(f2[0:1] ^ f2[1:2])  # (1,128)
+            new_acc.append(acc[w] ^ jnp.concatenate(strips, axis=0))  # (8,128)
+        return tuple(new_acc)
 
     acc = jax.lax.fori_loop(
-        0, k_chunk // SUB_TRIS, step, jnp.zeros((w_words, 8, 128), jnp.int32)
+        0,
+        k_chunk // SUB,
+        step,
+        tuple(jnp.zeros((8, 128), jnp.int32) for _ in range(w_words)),
     )
-    out_ref[...] ^= acc
+    for w in range(w_words):
+        out_ref[0, w] ^= acc[w]
 
 
 def _tilewords_to_grid(out: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -137,13 +155,18 @@ def voxelize_parity_tiles(
 ) -> jnp.ndarray:
     """Run the parity kernel over pre-binned tiles.
 
-    ``coef_tiles``: [n_tiles, NCOEF, K] with K a multiple of ``k_chunk``
+    ``coef_tiles``: [n_tiles, K, NCOEF] with K a multiple of ``k_chunk``
     (pad with zero coefficients -> valid=0). Returns packed words [N, N, W].
     """
-    n_tiles, ncoef, k = coef_tiles.shape
-    assert ncoef == NCOEF and k % k_chunk == 0 and k_chunk % SUB_TRIS == 0
+    n_tiles, k, ncoef = coef_tiles.shape
+    assert ncoef == NCOEF, f"coef_tiles last dim must be {NCOEF}, got {ncoef}"
+    assert k % k_chunk == 0 and k_chunk % SUB == 0, (
+        f"triangle capacity {k} must be a multiple of k_chunk={k_chunk} "
+        f"(itself a multiple of {SUB})"
+    )
     nty = n // TILE
-    assert n % TILE == 0 and n_tiles == (n // TILE) * nty
+    assert n % TILE == 0, f"grid size must be a multiple of {TILE}, got {n}"
+    assert n_tiles == (n // TILE) * nty
     w_words = n // 32
 
     out = pl.pallas_call(
@@ -151,8 +174,8 @@ def voxelize_parity_tiles(
         grid=(n_tiles, k // k_chunk),
         in_specs=[
             pl.BlockSpec(
-                (1, NCOEF, k_chunk),
-                lambda t, c: (t, 0, c),
+                (1, k_chunk, NCOEF),
+                lambda t, c: (t, c, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
@@ -177,12 +200,15 @@ def voxelize_parity_bruteforce(
     Correct at any size; the binned path (ops/binning.py) is the fast path
     for large grids/meshes. Returns packed occupancy words [N, N, N//32].
     """
+    assert n % TILE == 0, f"grid size must be a multiple of {TILE}, got {n}"
+    if tris.shape[0] == 0:
+        return jnp.zeros((n, n, n // 32), dtype=jnp.int32)
     pt = parity_tri_setup(verts_norm, tris, n)
-    coef = pack_coeffs(pt)  # [NCOEF, T]
-    t = coef.shape[1]
+    coef = pack_coeffs(pt)  # [T, NCOEF]
+    t = coef.shape[0]
     pad = (-t) % k_chunk
     if pad:
-        coef = jnp.pad(coef, ((0, 0), (0, pad)))
+        coef = jnp.pad(coef, ((0, pad), (0, 0)))
     n_tiles = (n // TILE) ** 2
-    coef_tiles = jnp.broadcast_to(coef[None], (n_tiles, NCOEF, coef.shape[1]))
+    coef_tiles = jnp.broadcast_to(coef[None], (n_tiles, coef.shape[0], NCOEF))
     return voxelize_parity_tiles(coef_tiles, n, k_chunk=k_chunk, interpret=interpret)
