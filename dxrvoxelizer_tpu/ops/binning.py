@@ -23,9 +23,10 @@ is sorts/gathers that XLA runs on-device.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dxrvoxelizer_tpu.ops.geom import parity_tri_setup
 from dxrvoxelizer_tpu.ops.voxelize_pallas import (
@@ -48,19 +49,9 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def bin_triangles(
-    verts_norm: jnp.ndarray,
-    tris: jnp.ndarray,
-    n: int,
-    max_span: int = 3,
-) -> tuple[jnp.ndarray, BinStats]:
-    """Build the dense binned coefficient block -> ([n_tiles, K, NCOEF], stats).
-
-    Runs eagerly (the padded capacity is data-dependent); all heavy steps are
-    on-device XLA sorts/gathers. Capacity is bucketed to powers of two so the
-    downstream kernel shape — and its compiled executable — is stable across
-    frames of a deforming mesh.
-    """
+@partial(jax.jit, static_argnames=("n", "max_span"))
+def _bin_phase_a(verts_norm, tris, n: int, max_span: int):
+    """Jitted phase A: setup, candidate pairs, sort, per-tile runs."""
     pt = parity_tri_setup(verts_norm, tris, n)
     coef = pack_coeffs(pt)  # [T, NCOEF]
     t_count = coef.shape[0]
@@ -103,35 +94,65 @@ def bin_triangles(
 
     starts = jnp.searchsorted(sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32))
     counts = starts[1:] - starts[:-1]  # [n_tiles]
-    max_bin = int(counts.max()) if t_count else 0
-
     ov_ids = jnp.nonzero(overflow_mask, size=t_count, fill_value=-1)[0]
-    n_overflow = int(overflow_mask.sum())
+    return (
+        coef, sorted_tris, starts, counts, ov_ids,
+        counts.max(), overflow_mask.sum(),
+    )
 
-    cap_small = max(_round_up(max_bin, 8), 8)
-    cap = cap_small + _round_up(max(n_overflow, 0), 8)
-    # bucket total capacity to a power of two (stable kernel shapes)
-    cap_b = 8
-    while cap_b < cap:
-        cap_b *= 2
-    cap = cap_b
 
-    # per-tile index matrix [n_tiles, cap]: run slice + overflow + padding
+@partial(jax.jit, static_argnames=("cap",))
+def _bin_phase_b(coef, sorted_tris, starts, counts, ov_ids, n_overflow, cap: int):
+    """Jitted phase B: padded per-tile index matrix + coefficient gather."""
+    t_count = coef.shape[0]
     j = jnp.arange(cap, dtype=jnp.int32)[None, :]
     in_run = j < counts[:, None]
     run_idx = jnp.clip(starts[:-1][:, None] + j, 0, sorted_tris.shape[0] - 1)
     idx = jnp.where(in_run, sorted_tris[run_idx], -1)
-    if n_overflow:
-        ov_slot = j - counts[:, None]
-        in_ov = (ov_slot >= 0) & (ov_slot < n_overflow)
-        ov_idx = jnp.clip(ov_slot, 0, t_count - 1)
-        idx = jnp.where(in_ov, ov_ids[ov_idx].astype(jnp.int32), idx)
+    # overflow triangles appended to every tile (n_overflow may be traced 0)
+    ov_slot = j - counts[:, None]
+    in_ov = (ov_slot >= 0) & (ov_slot < n_overflow)
+    ov_idx = jnp.clip(ov_slot, 0, t_count - 1)
+    idx = jnp.where(in_ov, ov_ids[ov_idx].astype(jnp.int32), idx)
 
     # gather coefficients; index -1 -> zero row (valid=0 kills the triangle)
     coef_padded = jnp.concatenate(
         [coef, jnp.zeros((1, NCOEF), dtype=coef.dtype)], axis=0
     )
-    coef_tiles = coef_padded[jnp.where(idx < 0, t_count, idx)]
+    return coef_padded[jnp.where(idx < 0, t_count, idx)]
+
+
+def bin_triangles(
+    verts_norm: jnp.ndarray,
+    tris: jnp.ndarray,
+    n: int,
+    max_span: int = 3,
+) -> tuple[jnp.ndarray, BinStats]:
+    """Build the dense binned coefficient block -> ([n_tiles, K, NCOEF], stats).
+
+    Two jitted phases with a single host sync between them (the padded
+    capacity is data-dependent). Capacity is bucketed to powers of two so the
+    downstream kernel shape — and its compiled executable — is stable across
+    frames of a deforming mesh.
+    """
+    nt = n // TILE
+    n_tiles = nt * nt
+    coef, sorted_tris, starts, counts, ov_ids, max_bin_d, n_ov_d = _bin_phase_a(
+        verts_norm, tris, n, max_span
+    )
+    max_bin = int(max_bin_d)  # host sync (two scalars)
+    n_overflow = int(n_ov_d)
+
+    cap_small = max(_round_up(max_bin, 8), 8)
+    cap = cap_small + _round_up(max(n_overflow, 0), 8)
+    cap_b = 8
+    while cap_b < cap:
+        cap_b *= 2
+    cap = cap_b
+
+    coef_tiles = _bin_phase_b(
+        coef, sorted_tris, starts, counts, ov_ids, jnp.int32(n_overflow), cap
+    )
     stats = BinStats(
         n_tiles=n_tiles, capacity=cap, max_bin=max_bin, overflow=n_overflow
     )

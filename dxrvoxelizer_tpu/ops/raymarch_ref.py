@@ -14,10 +14,12 @@ This is the correctness renderer; the production Pallas renderer
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dxrvoxelizer_tpu.ops.sampling import sample_trilinear
 
@@ -25,8 +27,8 @@ NUM_SAMPLES = 128  # PSRayCast.hlsl:7
 NUM_LIGHT_SAMPLES = 32  # PSRayCast.hlsl:8
 ABSORPTION = 1.0  # PSRayCast.hlsl:9
 ZERO_THRESHOLD = 0.01  # PSRayCast.hlsl:10
-MAX_DIST = 2.0 * jnp.sqrt(3.0)  # PSRayCast.hlsl:33
-TEX_SCALE = jnp.array([0.5, -0.5, 0.5], dtype=jnp.float32)  # PSRayCast.hlsl:137
+MAX_DIST = 2.0 * math.sqrt(3.0)  # PSRayCast.hlsl:33
+TEX_SCALE = np.array([0.5, -0.5, 0.5], dtype=np.float32)  # PSRayCast.hlsl:137
 
 
 def get_sample(density: jnp.ndarray, tex: jnp.ndarray) -> jnp.ndarray:

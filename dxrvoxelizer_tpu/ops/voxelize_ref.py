@@ -92,18 +92,24 @@ def voxelize_raystab_ref(
     )
 
 
-@partial(jax.jit, static_argnames=("n", "tri_chunk"))
+@partial(jax.jit, static_argnames=("n", "tri_chunk", "x_slab"))
 def voxelize_parity_ref(
     verts_norm: jnp.ndarray,
     tris: jnp.ndarray,
     n: int = 64,
     tri_chunk: int = 1024,
+    x_slab: int | None = None,
+    x_offset: jnp.ndarray | int = 0,
 ):
-    """Axis-parity solid voxelization oracle -> occupancy [n,n,n] bool.
+    """Axis-parity solid voxelization oracle -> occupancy [x_slab,n,n] bool.
 
     Counts, per voxel column, the crossings strictly above each voxel center
     and takes the parity. Independent reduction from the production kernel's
     XOR fold (see ops/voxelize_pallas.py) over the shared per-triangle setup.
+
+    ``x_slab``/``x_offset`` restrict computation to grid-x rows
+    [x_offset, x_offset + x_slab) — the unit of multi-chip sharding
+    (parallel/shard.py); the offset may be traced (e.g. from axis_index).
     """
     pt = parity_tri_setup(verts_norm, tris, n)
     num_tris = tris.shape[0]
@@ -114,7 +120,10 @@ def voxelize_parity_ref(
     pt_chunks = jax.tree.map(lambda x: x.reshape(n_chunks, tri_chunk), pt)
 
     # column centers in index space are the integers 0..n-1
-    gx = jnp.arange(n, dtype=jnp.float32)[:, None, None]  # [n,1,1]
+    x_slab = n if x_slab is None else x_slab
+    gx = (
+        jnp.arange(x_slab, dtype=jnp.float32) + jnp.float32(x_offset)
+    )[:, None, None]  # [x_slab,1,1]
     gy = jnp.arange(n, dtype=jnp.float32)[None, :, None]  # [1,n,1]
 
     def body(counts, ptc):
@@ -127,6 +136,6 @@ def voxelize_parity_ref(
 
         return jax.lax.fori_loop(0, n, k_body, counts), None
 
-    counts0 = jnp.zeros((n, n, n), dtype=jnp.int32)
+    counts0 = jnp.zeros((x_slab, n, n), dtype=jnp.int32)
     counts, _ = jax.lax.scan(body, counts0, pt_chunks)
     return (counts & 1).astype(bool)

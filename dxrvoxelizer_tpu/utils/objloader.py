@@ -86,13 +86,30 @@ def _resolve_indices(raw: np.ndarray, counts_so_far: np.ndarray, total: int) -> 
 
 
 def load_obj(path: str | Path, need_norm: bool = True, need_aabb: bool = True,
-             for_dx: bool = True, swap_yz: bool = False) -> ObjMesh:
+             for_dx: bool = True, swap_yz: bool = False,
+             impl: str = "auto") -> ObjMesh:
     """Load an OBJ file with reference-equivalent semantics.
 
     Mirrors ``ObjLoader::Import`` (XUSGObjLoader.cpp:18-40). Normals are always
     returned when ``need_norm``; AABB is always computed when ``need_aabb``.
+    ``impl``: "auto" (native C++ parser when buildable, else Python),
+    "native", or "python".
     """
     path = Path(path)
+    if impl in ("auto", "native"):
+        from dxrvoxelizer_tpu.utils.native import parse_obj_native
+
+        parsed = parse_obj_native(path)
+        if parsed is not None:
+            positions, file_normals, corner_v, corner_vn = parsed
+            has_vn = file_normals.shape[0] > 0
+            return _postprocess(
+                positions.copy(), file_normals.copy(), corner_v,
+                corner_vn if has_vn else None, has_vn,
+                need_norm, need_aabb, for_dx, swap_yz,
+            )
+        if impl == "native":
+            raise RuntimeError("native OBJ parser unavailable (g++ missing?)")
     text = path.read_text(errors="replace")
     lines = text.split("\n")
 
@@ -123,14 +140,6 @@ def load_obj(path: str | Path, need_norm: bool = True, need_aabb: bool = True,
 
     positions = _parse_float_block(v_lines)
     file_normals = _parse_float_block(vn_lines)
-
-    if swap_yz:
-        positions = positions[:, [0, 2, 1]].copy()
-        file_normals = file_normals[:, [0, 2, 1]].copy() if len(file_normals) else file_normals
-    if for_dx:
-        positions[:, 2] *= -1.0
-        if len(file_normals):
-            file_normals[:, 2] *= -1.0
 
     # ---- faces: vectorized fast path for uniform pure-triangle bodies -------
     has_vn = n_vn > 0
@@ -196,11 +205,41 @@ def load_obj(path: str | Path, need_norm: bool = True, need_aabb: bool = True,
     else:
         nrm_indices = None
 
+    return _postprocess(
+        positions, file_normals, indices, nrm_indices, has_vn,
+        need_norm, need_aabb, for_dx, swap_yz,
+    )
+
+
+def _postprocess(
+    positions: np.ndarray,
+    file_normals: np.ndarray,
+    indices: np.ndarray,
+    nrm_indices: np.ndarray | None,
+    has_vn: bool,
+    need_norm: bool,
+    need_aabb: bool,
+    for_dx: bool,
+    swap_yz: bool,
+) -> ObjMesh:
+    """Shared post-parse pipeline: DX conversion, normal assignment with
+    vertex splitting, winding reversal, normal recompute, AABB."""
+    if swap_yz:
+        positions = positions[:, [0, 2, 1]].copy()
+        if len(file_normals):
+            file_normals = file_normals[:, [0, 2, 1]].copy()
+    if for_dx:
+        positions = positions.copy() if not positions.flags.writeable else positions
+        positions[:, 2] *= -1.0
+        if len(file_normals):
+            file_normals[:, 2] *= -1.0
+
+    indices = np.asarray(indices, dtype=np.int64)
     normals = np.zeros_like(positions)
 
     if has_vn and nrm_indices is not None and need_norm:
         positions, normals, indices = _assign_normals_with_splitting(
-            positions, file_normals, indices, nrm_indices
+            positions, file_normals, indices, np.asarray(nrm_indices, np.int64)
         )
 
     # DX winding fix: reverse the entire flat index stream

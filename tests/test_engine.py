@@ -1,0 +1,129 @@
+"""Engine (EZ tier), core pipeline, CLI app, and image IO tests."""
+
+import numpy as np
+
+from dxrvoxelizer_tpu.app.main import main
+from dxrvoxelizer_tpu.core import FRAME_COUNT, FramePipeline, voxelize
+from dxrvoxelizer_tpu.ez import Engine
+from dxrvoxelizer_tpu.models.camera import OrbitCamera
+from dxrvoxelizer_tpu.models.mesh import MeshBuffers
+from dxrvoxelizer_tpu.models.scene import Scene
+from dxrvoxelizer_tpu.utils.config import VoxelizerConfig, parse_args
+from dxrvoxelizer_tpu.utils.image import read_png, to_u8, write_png
+from dxrvoxelizer_tpu.utils.objloader import ObjMesh
+from tests.meshes import tetrahedron_mesh
+
+
+def _tet_scene():
+    verts, norms, tris = tetrahedron_mesh()
+    mesh = ObjMesh(
+        positions=verts * 2.0 + np.array([0, 4, 0], np.float32),
+        normals=norms,
+        indices=tris.reshape(-1).astype(np.int32),
+        aabb_min=(verts * 2.0 + [0, 4, 0]).min(0),
+        aabb_max=(verts * 2.0 + [0, 4, 0]).max(0),
+    )
+    return Scene(mesh)
+
+
+def test_engine_update_render_surface():
+    cfg = VoxelizerConfig(grid_size=32, width=32, height=24, num_samples=16,
+                          num_light_samples=4)
+    eng = Engine(cfg, scene=_tet_scene(), vox_impl="xla")
+    cam = OrbitCamera(cfg.width, cfg.height)
+    for frame in range(4):
+        eng.update_frame(frame % FRAME_COUNT, cam.eye, cam.view_proj)
+        img = eng.render(frame % FRAME_COUNT)
+    eng.sync()
+    host = np.asarray(img)
+    assert host.shape == (24, 32, 3)
+    assert np.isfinite(host).all()
+
+
+def test_render_before_update_raises():
+    cfg = VoxelizerConfig(grid_size=32, width=16, height=16)
+    eng = Engine(cfg, scene=_tet_scene(), vox_impl="xla")
+    try:
+        eng.render(0)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+
+
+def test_voxelize_mode_raystab_has_rgba():
+    scene = _tet_scene()
+    grid = voxelize(scene.buffers, 32, mode="raystab")
+    assert grid.rgba is not None
+    occ = np.asarray(grid.occupancy())
+    rgba = np.asarray(grid.rgba)
+    # alpha quantized to {0, 1} by R10G10B10A2 emulation, matches occupancy
+    np.testing.assert_array_equal(rgba[..., 3] > 0.5, occ)
+
+
+def test_frame_pipeline_inflight_bound():
+    cfg = VoxelizerConfig(grid_size=32, width=16, height=16, num_samples=8,
+                          num_light_samples=2)
+    scene = _tet_scene()
+    pipe = FramePipeline(cfg, scene.buffers, vox_impl="xla")
+    cam = OrbitCamera(cfg.width, cfg.height)
+    for i in range(6):
+        consts = scene.update_frame(cam.eye, cam.view_proj, cfg.width, cfg.height)
+        pipe.frame(consts)
+        assert len(pipe._inflight) <= FRAME_COUNT
+    pipe.sync()
+    assert not pipe._inflight
+
+
+def test_cli_parse_reference_flags():
+    cfg = parse_args(["-mesh", "Assets/dragon.obj", "0.0", "2.8", "0.0", "0.03"])
+    assert cfg.mesh == "Assets/dragon.obj"
+    assert cfg.pos_scale == (0.0, 2.8, 0.0, 0.03)
+    cfg = parse_args(["/warp"])
+    assert cfg.backend == "cpu"
+    cfg = parse_args(["-grid", "128", "-width", "640", "-height", "360"])
+    assert (cfg.grid_size, cfg.width, cfg.height) == (128, 640, 360)
+
+
+def test_app_main_end_to_end(tmp_path, reference_assets_available):
+    out = tmp_path / "shot.png"
+    rc = main([
+        "-mesh", "bunny.obj", "-grid", "32", "-width", "48", "-height", "32",
+        "-frames", "2", "-out", str(out), "-voximpl", "xla",
+    ])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (32, 48, 3)
+    # bunny visible: some pixels differ from the clear color
+    clear = to_u8(np.array([0.0, 0.2, 0.4]))
+    assert (np.abs(img.astype(int) - clear.astype(int)).max(axis=-1) > 12).mean() > 0.03
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    img = (rng.random((20, 31, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "rt.png"
+    write_png(p, img)
+    back = read_png(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_mesh_buffers_normalization():
+    scene = _tet_scene()
+    pn = np.asarray(scene.buffers.positions_norm)
+    assert np.abs(pn).max() <= 1.0 + 1e-5
+
+
+def test_meshbuffers_pytree():
+    import jax
+
+    scene = _tet_scene()
+    leaves = jax.tree.leaves(scene.buffers)
+    assert len(leaves) == 4
+
+
+def test_obj_mesh_roundtrip_to_buffers():
+    verts, norms, tris = tetrahedron_mesh()
+    m = ObjMesh(verts, norms, tris.reshape(-1).astype(np.int32),
+                verts.min(0), verts.max(0))
+    b = MeshBuffers.from_obj(m)
+    assert b.num_triangles == 4

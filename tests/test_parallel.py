@@ -1,0 +1,63 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4 "multi-chip without a real cluster")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxrvoxelizer_tpu.ops.raymarch_fast import (
+    precompute_light_volume,
+    raymarch_fast,
+)
+from dxrvoxelizer_tpu.ops.voxelize_ref import voxelize_parity_ref
+from dxrvoxelizer_tpu.parallel import make_device_mesh, sharded_frame
+from tests.meshes import tetrahedron_mesh
+from tests.test_raymarch import _frame_consts
+
+CLEAR = np.array([0.0, 0.2, 0.4], dtype=np.float32)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_frame_matches_single_device():
+    n, w, h = 32, 48, 32
+    verts, _, tris = tetrahedron_mesh()
+    s2l, eye_l, light_l = _frame_consts(w, h)
+
+    mesh = make_device_mesh(8)
+    frame = sharded_frame(mesh, n, w, h, n_samples=32, n_light=8)
+    img_sharded = np.asarray(
+        frame(
+            jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(s2l),
+            jnp.asarray(eye_l), jnp.asarray(light_l), jnp.asarray(CLEAR),
+        )
+    )
+
+    occ = voxelize_parity_ref(jnp.asarray(verts), jnp.asarray(tris), n=n)
+    density = occ.astype(jnp.float32)
+    lv = precompute_light_volume(density, jnp.asarray(light_l), n_light=8)
+    img_single = np.asarray(
+        raymarch_fast(
+            density, lv, jnp.asarray(s2l), jnp.asarray(eye_l),
+            jnp.asarray(CLEAR), w, h, n_samples=32,
+        )
+    )
+    assert img_sharded.shape == img_single.shape
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-5)
+
+
+def test_sharded_voxelize_slabs_cover_grid():
+    n = 32
+    verts, _, tris = tetrahedron_mesh()
+    full = np.asarray(voxelize_parity_ref(jnp.asarray(verts), jnp.asarray(tris), n=n))
+    # slab evaluation with a traced offset equals the corresponding slice
+    for x0 in (0, 8, 24):
+        slab = np.asarray(
+            voxelize_parity_ref(
+                jnp.asarray(verts), jnp.asarray(tris), n=n, x_slab=8,
+                x_offset=jnp.int32(x0),
+            )
+        )
+        np.testing.assert_array_equal(slab, full[x0 : x0 + 8])
