@@ -33,7 +33,10 @@ def _parse_extras(argv: list[str]) -> dict:
         "save_grid": None,
         "orbit": True,
         "vox_impl": "auto",
-        "render_impl": "fast",
+        "render_impl": "warp",
+        "timings": False,
+        "ab": False,
+        "deform": False,
     }
     i = 0
     while i < len(argv):
@@ -51,6 +54,12 @@ def _parse_extras(argv: list[str]) -> dict:
             out["vox_impl"] = argv[i + 1]
         elif key == "renderimpl" and i + 1 < len(argv):
             out["render_impl"] = argv[i + 1]
+        elif key == "timings":
+            out["timings"] = True
+        elif key == "ab":
+            out["ab"] = True
+        elif key == "deform":
+            out["deform"] = True
         i += 1
     return out
 
@@ -60,11 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     cfg = parse_args(argv)
     extras = _parse_extras(argv)
 
-    if cfg.backend == "cpu":
-        # the -warp (software adapter) analog (DXRVoxelizer.cpp:392)
-        import jax
+    from dxrvoxelizer_tpu.utils.backend import select_backend
 
-        jax.config.update("jax_platforms", "cpu")
+    # device ladder: preferred accelerator, else CPU — the reference's
+    # discrete -> UMA -> WARP fallback analog (DXRVoxelizer.cpp:89-128);
+    # -warp maps straight to CPU (DXRVoxelizer.cpp:392)
+    platform = select_backend("cpu" if cfg.backend == "cpu" else "default")
 
     engine = Engine(
         cfg,
@@ -78,21 +88,53 @@ def main(argv: list[str] | None = None) -> int:
         f"dxrvoxelizer_tpu: {cfg.mesh} "
         f"({engine.scene.buffers.num_triangles} tris) grid={cfg.grid_size}^3 "
         f"{cfg.width}x{cfg.height} mode={cfg.inside_mode} "
-        f"vox={extras['vox_impl']} render={extras['render_impl']}"
+        f"vox={extras['vox_impl']} render={extras['render_impl']} "
+        f"backend={platform}"
     )
 
+    base_mesh = engine.pipeline.mesh
     img = None
     last_fps = 0.0
     for frame in range(extras["frames"]):
         timer.tick()
         if extras["orbit"] and frame:
             cam.orbit(12.0, 0.0)  # slow yaw, the mouse-drag analog
+        if extras["deform"]:
+            # deforming-geometry config (BASELINE.json): per-frame vertex
+            # wobble along normals; re-bins + re-voxelizes every frame
+            import dataclasses
+
+            import jax.numpy as jnp
+
+            t = frame / 15.0
+            amp = 0.04 * np.sin(
+                2 * np.pi * t + np.asarray(base_mesh.positions_norm)[:, :1] * 5.0
+            )
+            engine.pipeline.mesh = dataclasses.replace(
+                base_mesh,
+                positions_norm=base_mesh.positions_norm
+                + jnp.asarray(amp) * base_mesh.normals,
+            )
         engine.update_frame(frame % 3, cam.eye, cam.view_proj)
         img = engine.render(frame % 3)
         if timer.frames_per_second != last_fps:
             last_fps = timer.frames_per_second
             print(f"fps: {last_fps:.1f}")
     engine.sync()
+
+    if extras["ab"]:
+        # runtime A/B of the two voxelizer paths (the reference's X-key
+        # Core/EZ switch analog, DXRVoxelizer.cpp:295-297): Pallas kernel vs
+        # jnp oracle must produce identical occupancy
+        from dxrvoxelizer_tpu.core import voxelize
+
+        engine.pipeline.mesh = base_mesh
+        a = voxelize(base_mesh, cfg.grid_size, mode=cfg.inside_mode, impl="auto")
+        b = voxelize(base_mesh, cfg.grid_size, mode=cfg.inside_mode, impl="xla")
+        same = bool((np.asarray(a.words) == np.asarray(b.words)).all())
+        print(f"A/B voxelizer paths identical: {same}")
+        if not same:
+            return 1
 
     if img is not None:
         out = extras["out"] or screenshot_name()
@@ -103,4 +145,21 @@ def main(argv: list[str] | None = None) -> int:
         grid = engine.voxelize_only()
         save_grid_npy(extras["save_grid"], np.asarray(grid.occupancy()))
         print(f"wrote {extras['save_grid']}")
+
+    if extras["timings"]:
+        # one synchronous instrumented frame: per-pass wall-clock with fences
+        from dxrvoxelizer_tpu.utils.profiling import PassTimers
+
+        timers = PassTimers()
+        consts = engine.scene.update_frame(
+            cam.eye, cam.view_proj, cfg.width, cfg.height
+        )
+        for _ in range(3):
+            with timers.measure("voxelize"):
+                grid = engine.voxelize_only()
+                grid.words.block_until_ready()
+            with timers.measure("raycast"):
+                img2 = engine.render_grid(grid, consts)
+                img2.block_until_ready()
+        print(f"pass timings (ms): {timers.summary()}")
     return 0

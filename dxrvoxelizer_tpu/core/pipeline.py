@@ -118,10 +118,16 @@ def render(
     grid: VoxelGrid,
     consts: FrameConstants,
     cfg: VoxelizerConfig,
-    impl: str = "fast",
+    impl: str = "warp",
     light_volume: jax.Array | None = None,
 ) -> jax.Array:
-    """Ray-march a grid -> [H,W,3] float32 image."""
+    """Ray-march a grid -> [H,W,3] float32 image.
+
+    ``impl``: "warp" (shear-warp, the regular-access production path),
+    "gather" (loop-free per-sample gather path — exact light-march-free
+    semantics but gather-bound on TPU), or "ref" (the shader-exact
+    sequential reference).
+    """
     density = grid.density()
     clear = jnp.asarray(np.array(cfg.clear_color, np.float32))
     s2l = jnp.asarray(consts.screen_to_local)
@@ -132,15 +138,30 @@ def render(
             density, s2l, eye, light, clear, cfg.width, cfg.height,
             n_samples=cfg.num_samples, n_light=cfg.num_light_samples,
         )
-    if impl != "fast":
-        raise ValueError(f"unknown renderer impl {impl!r}")
-    if light_volume is None:
-        light_volume = precompute_light_volume(
-            density, light, n_light=cfg.num_light_samples
+    if impl == "gather":
+        if light_volume is None:
+            light_volume = precompute_light_volume(
+                density, light, n_light=cfg.num_light_samples
+            )
+        return raymarch_fast(
+            density, light_volume, s2l, eye, clear, cfg.width, cfg.height,
+            n_samples=cfg.num_samples,
         )
-    return raymarch_fast(
-        density, light_volume, s2l, eye, clear, cfg.width, cfg.height,
-        n_samples=cfg.num_samples,
+    if impl not in ("warp", "fast"):  # "fast" kept as an alias
+        raise ValueError(f"unknown renderer impl {impl!r}")
+    from dxrvoxelizer_tpu.ops.raymarch_warp import (
+        light_sweep_host,
+        raymarch_shearwarp,
+    )
+
+    if light_volume is None:
+        light_volume = light_sweep_host(
+            density, consts.local_space_light_pt, density.shape[0]
+        )
+    return raymarch_shearwarp(
+        density, light_volume, consts.screen_to_local,
+        consts.local_space_eye_pt, np.array(cfg.clear_color, np.float32),
+        cfg.width, cfg.height,
     )
 
 
@@ -154,7 +175,7 @@ class FramePipeline:
     """
 
     def __init__(self, cfg: VoxelizerConfig, mesh: MeshBuffers,
-                 vox_impl: str = "auto", render_impl: str = "fast"):
+                 vox_impl: str = "auto", render_impl: str = "warp"):
         self.cfg = cfg
         self.mesh = mesh
         self.vox_impl = vox_impl

@@ -27,7 +27,7 @@ class Engine:
     """Load once, then per frame: ``update_frame`` + ``render``."""
 
     def __init__(self, cfg: VoxelizerConfig, scene: Scene | None = None,
-                 vox_impl: str = "auto", render_impl: str = "fast"):
+                 vox_impl: str = "auto", render_impl: str = "warp"):
         self.cfg = cfg
         self.scene = scene if scene is not None else Scene.load(cfg)
         self.pipeline = FramePipeline(

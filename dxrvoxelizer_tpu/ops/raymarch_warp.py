@@ -1,0 +1,398 @@
+"""Shear-warp volume renderer — the production TPU path.
+
+Why: per-sample trilinear *gathers* run at ~1e8 taps/s on TPU (measured) —
+a 1080p x 128-step gather-based march costs tens of seconds. This renderer
+restructures the march so every memory access is **regular**:
+
+1. **Factorization.** Rays are parameterized by their intersection ``g`` with
+   a fixed reference plane behind the volume (perpendicular to the view's
+   major axis). A ray hits voxel slab k at
+   ``p_xy = e_xy + s_k * (g_xy - e_xy)``, ``s_k = (z_k - e_z)/(z_ref - e_z)``
+   — for a fixed slab this is a pure per-axis scale+translate of the slab
+   image, i.e. two small dense matmuls with 2-tap interpolation matrices
+   (ops/warp.py). 64-256 slabs cost a few hundred MFLOPs on the MXU.
+2. **Compositing** runs front-to-back over slabs on the intermediate grid
+   with the shader's absorption rules (PSRayCast.hlsl:134-179): per-pixel
+   step length ``delta = (2/N) * |w|/|w_z|``, attenuation
+   ``clip(1 - dens*delta, 0, 1)``, early-out masks expressed as monotone
+   clamps. A 64-step elementwise scan — no gathers.
+3. **Light transmittance** comes from :func:`light_sweep`: a slab-order
+   recurrence along the light's major axis (constant fractional shift per
+   slab = one interpolation-matrix pair), replacing the reference's 32-step
+   per-sample light march with an N-step per-voxel field.
+4. **Screen resolve**: each screen pixel bilinearly reads the composited
+   intermediate (scatter, transmit) at one point — a single coherent 2D
+   gather done by a Pallas kernel (ops/screen_warp_pallas.py) on TPU or
+   jnp.take on CPU.
+
+Approximations vs the exact renderer (ops/raymarch_ref.py): sampling along
+the major axis at slab spacing instead of 128 uniform ray steps; light field
+at voxel resolution; screen-space bilinear resolve of radiance instead of
+per-pixel marching. Tests bound the image difference on canonical scenes.
+
+Sampling-direction degeneracies (rays nearly parallel to the slab planes)
+cannot occur for the major axis with the reference's FOV (pi/4: every ray's
+major-axis component dominates).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxrvoxelizer_tpu.ops.raymarch_ref import (
+    ABSORPTION,
+    TEX_SCALE,
+    ZERO_THRESHOLD,
+    compute_start_point,
+)
+from dxrvoxelizer_tpu.ops.warp import interp_matrix, scale_offset_coords, warp2d
+
+Z_REF = 1.25  # reference plane (tex space), just past the far slab
+S_MIN = 0.05  # near clipping for slabs almost at the eye plane
+
+
+def _perm_for_axis(axis: int) -> tuple[int, ...]:
+    """Permutation moving ``axis`` last, keeping the other two in order."""
+    rest = [a for a in range(3) if a != axis]
+    return (*rest, axis)
+
+
+def _tex_params(consts_eye_local: np.ndarray, screen_to_local: np.ndarray,
+                width: int, height: int):
+    """Host-side static config: major axis, flip, and intermediate-axis swap.
+
+    ``swap``: True when the first non-marching tex axis tracks screen-x more
+    than screen-y — the resolver's row-window coherence needs intermediate
+    *rows* to vary along screen-y (screen tiles are row-major 128-lane runs).
+    """
+    def ray_dir(sx, sy):
+        h = np.array([sx, sy, 0.0, 1.0], dtype=np.float32) @ screen_to_local
+        p = h[:3] / h[3]
+        w = p - consts_eye_local
+        return w / np.linalg.norm(w)
+
+    w_tex = TEX_SCALE * ray_dir(width * 0.5, height * 0.5)
+    axis = int(np.argmax(np.abs(w_tex)))
+    flip = bool(w_tex[axis] < 0)
+    rest = [a for a in range(3) if a != axis]
+    # how much does the first intermediate axis move per screen-x vs screen-y
+    ddx = TEX_SCALE * (ray_dir(width * 0.5 + 8, height * 0.5) - ray_dir(width * 0.5, height * 0.5))
+    ddy = TEX_SCALE * (ray_dir(width * 0.5, height * 0.5 + 8) - ray_dir(width * 0.5, height * 0.5))
+    swap = bool(abs(ddx[rest[0]]) > abs(ddy[rest[0]]))
+    return axis, flip, swap
+
+
+def _to_tex(p_norm: jnp.ndarray) -> jnp.ndarray:
+    return jnp.asarray(TEX_SCALE) * p_norm + 0.5
+
+
+@partial(jax.jit, static_argnames=("n", "axis", "flip"))
+def light_sweep(density: jnp.ndarray, light_local: jnp.ndarray,
+                n: int, axis: int, flip: bool) -> jnp.ndarray:
+    """Directional light-transmittance volume by slab recurrence -> [N,N,N].
+
+    ``axis``/``flip``: the light direction's major tex axis and sign (use
+    :func:`light_sweep_host` to compute them).
+    """
+    ld_n = light_local / jnp.linalg.norm(light_local)
+    ld_t = jnp.asarray(TEX_SCALE) * ld_n
+    perm = _perm_for_axis(axis)
+    dens = jnp.transpose(density, perm)  # [X, Y, K]
+    ld = ld_t[jnp.asarray(perm)]
+    if flip:
+        dens = dens[:, :, ::-1]
+        ld = ld * jnp.asarray([1.0, 1.0, -1.0])
+    dens = jnp.moveaxis(dens, -1, 0)  # [K, X, Y]
+
+    # per-slab constant shift (texels) and normalized-space step length
+    shift_x = ld[0] / ld[2]
+    shift_y = ld[1] / ld[2]
+    delta_l = (2.0 / n) * jnp.linalg.norm(ld_n) / jnp.maximum(jnp.abs(ld[2]), 1e-6)
+
+    coords_x = jnp.arange(n, dtype=jnp.float32) + shift_x
+    coords_y = jnp.arange(n, dtype=jnp.float32) + shift_y
+    wx = interp_matrix(coords_x, n)  # [n, n]
+    wy = interp_matrix(coords_y, n)
+    wsum = wx.sum(-1)[:, None] * wy.sum(-1)[None, :]  # [n, n]
+
+    g = jnp.minimum(dens * 8.0, 16.0)
+    att = jnp.clip(1.0 - ABSORPTION * delta_l * g, 0.0, 1.0)  # [K, X, Y]
+
+    def body(carry, att_k):
+        # carry = L[k+1] * att[k+1] field; produce L[k]
+        l_k = wx @ carry @ wy.T + (1.0 - wsum)
+        return l_k * att_k, l_k
+
+    init = jnp.ones((n, n), dtype=jnp.float32)  # beyond the last slab: 1
+    _, ls = jax.lax.scan(body, init, att[::-1])
+    lvol = ls[::-1]  # [K, X, Y]
+
+    lvol = jnp.moveaxis(lvol, 0, -1)
+    if flip:
+        lvol = lvol[:, :, ::-1]
+    inv = np.argsort(perm)
+    return jnp.transpose(lvol, tuple(inv))
+
+
+def light_sweep_host(density: jnp.ndarray, light_local: np.ndarray,
+                     n: int) -> jnp.ndarray:
+    ld_t = np.asarray(TEX_SCALE) * (light_local / np.linalg.norm(light_local))
+    axis = int(np.argmax(np.abs(ld_t)))
+    flip = bool(ld_t[axis] < 0)
+    return light_sweep(density, jnp.asarray(light_local), n, axis, flip)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n", "m", "width", "height", "axis", "flip", "swap", "use_pallas",
+    ),
+)
+def _shearwarp_core(
+    density: jnp.ndarray,
+    light_vol: jnp.ndarray,
+    screen_to_local: jnp.ndarray,
+    eye_local: jnp.ndarray,
+    clear_color: jnp.ndarray,
+    n: int,
+    m: int,
+    width: int,
+    height: int,
+    axis: int,
+    flip: bool,
+    swap: bool,
+    use_pallas: bool,
+):
+    perm = _perm_for_axis(axis)
+    inv_scale = jnp.asarray(TEX_SCALE)[jnp.asarray(perm)]
+
+    vol2 = jnp.stack([density, light_vol], axis=0)  # [2, N, N, N]
+    vol2 = jnp.transpose(vol2, (0, *[p + 1 for p in perm]))  # [2, X, Y, K]
+    if flip:
+        vol2 = vol2[..., ::-1]
+    slabs = jnp.moveaxis(vol2, -1, 1)  # [2, K, X, Y]
+
+    e_t_full = _to_tex(eye_local)[jnp.asarray(perm)]
+    if flip:
+        e_t_full = e_t_full * jnp.asarray([1.0, 1.0, -1.0]) + jnp.asarray(
+            [0.0, 0.0, 1.0]
+        )
+    e_xy = e_t_full[:2]
+    e_z = e_t_full[2]
+    c_ref = Z_REF - e_z  # positive whenever the volume is in front
+
+    # intermediate footprint: box corners projected from the eye to the
+    # reference plane (slabs closer than S_MIN*c_ref are near-clipped)
+    corners_z = jnp.asarray([0.0, 1.0])
+    c_z = jnp.maximum(corners_z - e_z, S_MIN * c_ref)  # [2]
+    scale_c = c_ref / c_z  # [2]
+    corners_xy = jnp.asarray([0.0, 1.0])
+    # g = e + (corner - e) * scale for each (corner_xy, corner_z) combo
+    gx_c = e_xy[0] + (corners_xy[:, None] - e_xy[0]) * scale_c[None, :]
+    gy_c = e_xy[1] + (corners_xy[:, None] - e_xy[1]) * scale_c[None, :]
+    gmin = jnp.stack([gx_c.min(), gy_c.min()])
+    gmax = jnp.stack([gx_c.max(), gy_c.max()])
+    gext = gmax - gmin
+
+    # per-slab warp matrices
+    k = jnp.arange(n, dtype=jnp.float32)
+    z_k = (k + 0.5) / n
+    s_k = jnp.maximum((z_k - e_z) / c_ref, 0.0)  # <=0: slab behind the eye
+    scale_x = s_k * gext[0] * n / m
+    off_x = n * (e_xy[0] + s_k * (gmin[0] - e_xy[0])) - 0.5
+    scale_y = s_k * gext[1] * n / m
+    off_y = n * (e_xy[1] + s_k * (gmin[1] - e_xy[1])) - 0.5
+    wx = interp_matrix(scale_offset_coords(m, scale_x, off_x), n)  # [K, M, N]
+    wy = interp_matrix(scale_offset_coords(m, scale_y, off_y), n)
+
+    dens_w = warp2d(slabs[0], wx, wy)  # [K, M, M]
+    light_w = warp2d(slabs[1], wx, wy)
+
+    # per-intermediate-pixel step length (normalized-space units)
+    gi = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+    g_x = gmin[0] + gi * gext[0]
+    g_y = gmin[1] + gi * gext[1]
+    w_x = (g_x - e_xy[0])[:, None]
+    w_y = (g_y - e_xy[1])[None, :]
+    # tex -> normalized direction scale is uniform (|2|) per axis, so the
+    # obliquity ratio is computable in tex space directly
+    delta = (2.0 / n) * jnp.sqrt(w_x**2 + w_y**2 + c_ref**2) / jnp.abs(c_ref)
+
+    front = (s_k > S_MIN).astype(jnp.float32)  # near-clip mask per slab
+
+    def body(carry, xs):
+        transmit, scatter = carry
+        d_k, l_k, f_k = xs
+        g_s = jnp.minimum(d_k * 8.0, 16.0)
+        occupied = (g_s > ZERO_THRESHOLD) & (f_k > 0)
+        sigma = g_s * delta
+        att = jnp.where(occupied, jnp.clip(1.0 - sigma * ABSORPTION, 0.0, 1.0), 1.0)
+        new_transmit = transmit * att
+        contributes = occupied & (new_transmit >= ZERO_THRESHOLD)
+        scatter = scatter + jnp.where(
+            contributes, l_k * new_transmit * sigma, 0.0
+        )
+        # shader break: once transmit dies it stays at the dying value
+        transmit = jnp.where(
+            transmit >= ZERO_THRESHOLD, new_transmit, transmit
+        )
+        return (transmit, scatter), None
+
+    init = (jnp.ones((m, m), jnp.float32), jnp.zeros((m, m), jnp.float32))
+    (transmit_i, scatter_i), _ = jax.lax.scan(
+        body, init, (dens_w, light_w, front)
+    )
+
+    # ---- screen resolve ----------------------------------------------------
+    sx = jnp.arange(width, dtype=jnp.float32) + 0.5
+    sy = jnp.arange(height, dtype=jnp.float32) + 0.5
+    px, py = jnp.meshgrid(sx, sy, indexing="xy")
+    screen = jnp.stack([px, py, jnp.zeros_like(px), jnp.ones_like(px)], axis=-1)
+    h4 = jnp.matmul(
+        screen.reshape(-1, 4), screen_to_local,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pos_n = h4[:, :3] / h4[:, 3:4]
+    d_n = pos_n - eye_local
+    d_n = d_n / jnp.linalg.norm(d_n, axis=-1, keepdims=True)
+    _, is_hit = compute_start_point(pos_n, d_n)
+
+    d_t = (d_n * jnp.asarray(TEX_SCALE))[:, jnp.asarray(perm)]
+    if flip:
+        d_t = d_t * jnp.asarray([1.0, 1.0, -1.0])
+    dz = d_t[:, 2]
+    valid = jnp.abs(dz) > 1e-6
+    safe_dz = jnp.where(valid, dz, 1.0)
+    g_px = e_xy[0] + c_ref * d_t[:, 0] / safe_dz
+    g_py = e_xy[1] + c_ref * d_t[:, 1] / safe_dz
+    gi_x = (g_px - gmin[0]) / gext[0] * m - 0.5
+    gi_y = (g_py - gmin[1]) / gext[1] * m - 0.5
+
+    if swap:
+        # resolver coherence: rows should track screen-y
+        scatter_i = scatter_i.T
+        transmit_i = transmit_i.T
+        gi_x, gi_y = gi_y, gi_x
+    ok = is_hit & valid
+    if use_pallas:
+        from dxrvoxelizer_tpu.ops.screen_warp_pallas import (
+            M_SUPPORTED,
+            bilinear_resolve,
+        )
+
+        # edge-pad the intermediates up to the resolver's native size (the
+        # render resolution m may be smaller to keep magnification ~1)
+        if m < M_SUPPORTED:
+            pads = ((0, M_SUPPORTED - m), (0, M_SUPPORTED - m))
+            scatter_i = jnp.pad(scatter_i, pads, mode="edge")
+            transmit_i = jnp.pad(transmit_i, pads, mode="edge")
+        # tile pixels as 32x32 screen blocks: bounded 2D extent per tile is
+        # what keeps the resolver's row window coherent
+        bx, by = _to_blocks(gi_x, width, height), _to_blocks(gi_y, width, height)
+        bm = _to_blocks(ok.astype(jnp.float32), width, height)
+        sc_b, tr_b = bilinear_resolve(
+            scatter_i, transmit_i, bx, by, mask=bm.astype(jnp.int32)
+        )
+        sc = _from_blocks(sc_b, width, height)
+        tr = _from_blocks(tr_b, width, height)
+    else:
+        sc = _bilinear_take(scatter_i, gi_x, gi_y, m)
+        tr = _bilinear_take(transmit_i, gi_x, gi_y, m)
+    result = sc[:, None] * 0.8 + 0.2
+    cc2 = clear_color * clear_color
+    result = result + (cc2[None, :] - result) * jnp.clip(tr, 0.0, 1.0)[:, None]
+    rgb = jnp.sqrt(jnp.maximum(result, 0.0))
+    out = jnp.where(ok[:, None], rgb, clear_color[None, :])
+    return out.reshape(height, width, 3).astype(jnp.float32)
+
+
+def _to_blocks(flat: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """[H*W] row-major pixels -> 32x32-block-major flat layout (edge-padded)."""
+    x = flat.reshape(height, width)
+    ph = (-height) % 32
+    pw = (-width) % 32
+    x = jnp.pad(x, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = (height + ph) // 32, (width + pw) // 32
+    return x.reshape(hb, 32, wb, 32).transpose(0, 2, 1, 3).reshape(-1)
+
+
+def _from_blocks(flat: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    ph = (-height) % 32
+    pw = (-width) % 32
+    hb, wb = (height + ph) // 32, (width + pw) // 32
+    x = flat.reshape(hb, wb, 32, 32).transpose(0, 2, 1, 3).reshape(
+        height + ph, width + pw
+    )
+    return x[:height, :width].reshape(-1)
+
+
+def _bilinear_take(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, m: int):
+    """XLA fallback bilinear sample of img[x, y] (clamped)."""
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, m - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, m - 1)
+    x1 = jnp.clip(x0 + 1, 0, m - 1)
+    y1 = jnp.clip(y0 + 1, 0, m - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    flat = img.reshape(-1)
+    v00 = jnp.take(flat, x0 * m + y0)
+    v10 = jnp.take(flat, x1 * m + y0)
+    v01 = jnp.take(flat, x0 * m + y1)
+    v11 = jnp.take(flat, x1 * m + y1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v10 * fx * (1 - fy)
+        + v01 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def _box_screen_px(screen_to_local: np.ndarray, width: int, height: int) -> float:
+    """Host estimate of the volume's screen-space extent in pixels."""
+    l2s = np.linalg.inv(screen_to_local.astype(np.float64))
+    corners = np.array(
+        [[x, y, z, 1.0] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+        dtype=np.float64,
+    )
+    s = corners @ l2s
+    w_ok = np.abs(s[:, 3]) > 1e-9
+    if not w_ok.any():
+        return float(max(width, height))
+    p = s[w_ok, :2] / s[w_ok, 3:4]
+    ext = p.max(axis=0) - p.min(axis=0)
+    return float(np.clip(max(ext[0], ext[1]), 16.0, 4096.0))
+
+
+def raymarch_shearwarp(
+    density: jnp.ndarray,
+    light_vol: jnp.ndarray,
+    screen_to_local,
+    eye_local,
+    clear_color,
+    width: int,
+    height: int,
+    m: int | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Render via the shear-warp path. Host wrapper: picks the static axis/
+    flip/orientation and the intermediate resolution, then calls the jitted
+    core. Intermediate resolution tracks the volume's screen footprint
+    (magnification ~1) so the Pallas resolver's coherence window holds."""
+    n = density.shape[0]
+    s2l_np = np.asarray(screen_to_local)
+    eye_np = np.asarray(eye_local)
+    if m is None:
+        box_px = _box_screen_px(s2l_np, width, height)
+        m = int(np.clip(16 * round(0.9 * box_px / 16), 32, 128))
+    axis, flip, swap = _tex_params(eye_np, s2l_np, width, height)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    return _shearwarp_core(
+        density, light_vol, jnp.asarray(s2l_np), jnp.asarray(eye_np),
+        jnp.asarray(np.asarray(clear_color, np.float32)),
+        n, m, width, height, axis, flip, swap, use_pallas,
+    )

@@ -1,0 +1,126 @@
+"""Pallas screen-resolve kernel: coherent bilinear reads of the intermediate.
+
+The shear-warp renderer's only irregular access is one bilinear sample per
+screen pixel from the (M, M) intermediate images. XLA's gather runs at
+~1e8 taps/s on TPU — far too slow — but this access is *coherent*:
+neighbouring pixels read neighbouring texels. The kernel exploits it:
+
+- the whole intermediate lives in VMEM (M = 128 -> 64 KB per channel);
+- each program resolves a (8, 128) pixel tile; the tile's source rows span a
+  small window, so a 16-row dynamic slice + per-row lane-shuffles
+  (``take_along_axis`` along lanes — the one vector gather Mosaic lowers
+  natively) + row-select reconstruct an arbitrary 2D bilinear fetch in a few
+  hundred VPU ops per 1024 pixels.
+
+Row windows are clamped: a screen tile whose rows span more than 16
+intermediate rows (possible only when the whole volume is < ~64 px tall on
+screen) resolves with edge clamping.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+M_SUPPORTED = 128  # intermediate resolution with native lane width
+# Row window per tile: the resolver chooses the intermediate orientation so
+# rows track screen-y (raymarch_warp host logic); 32 covers rolled cameras.
+WIN = 32
+
+
+def _resolve_kernel(
+    sc_ref, tr_ref, gx_ref, gy_ref, mask_ref, osc_ref, otr_ref, *, m: int
+):
+    gx = gx_ref[0]  # (8,128) source row coordinate (x index of intermediate)
+    gy = gy_ref[0]  # (8,128) source column coordinate
+    mask = mask_ref[0] > 0  # lanes whose result is consumed
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, m - 1)
+    x1 = jnp.clip(x0 + 1, 0, m - 1)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, m - 1)
+    y1 = jnp.clip(y0 + 1, 0, m - 1)
+    # fractions from the *clamped* base texel (edge-clamp semantics)
+    fx = jnp.clip(gx - x0.astype(jnp.float32), 0.0, 1.0)
+    fy = jnp.clip(gy - y0.astype(jnp.float32), 0.0, 1.0)
+
+    # window from consumed lanes only (miss pixels may point anywhere)
+    rmin = jnp.clip(jnp.min(jnp.where(mask, x0, m - 1)), 0, m - WIN)
+    rr0 = jnp.clip(x0 - rmin, 0, WIN - 1)
+    rr1 = jnp.clip(x1 - rmin, 0, WIN - 1)
+
+    def sample(img_ref):
+        win = img_ref[pl.ds(rmin, WIN), :]  # (WIN, m)
+        zero = jnp.zeros(gx.shape, jnp.float32)
+        v00 = v01 = v10 = v11 = zero
+        for k in range(WIN):
+            rowb = jnp.broadcast_to(win[k : k + 1, :], gx.shape)
+            g0 = jnp.take_along_axis(rowb, y0, axis=1)
+            g1 = jnp.take_along_axis(rowb, y1, axis=1)
+            v00 = jnp.where(rr0 == k, g0, v00)
+            v10 = jnp.where(rr1 == k, g0, v10)
+            v01 = jnp.where(rr0 == k, g1, v01)
+            v11 = jnp.where(rr1 == k, g1, v11)
+        return (
+            v00 * (1 - fx) * (1 - fy)
+            + v10 * fx * (1 - fy)
+            + v01 * (1 - fx) * fy
+            + v11 * fx * fy
+        )
+
+    osc_ref[0] = sample(sc_ref)
+    otr_ref[0] = sample(tr_ref)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bilinear_resolve(
+    scatter_i: jnp.ndarray,
+    transmit_i: jnp.ndarray,
+    gi_x: jnp.ndarray,
+    gi_y: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """Bilinear-sample both intermediates at (gi_x, gi_y) -> (sc, tr) [P].
+
+    ``mask``: lanes whose results are consumed (miss pixels excluded from the
+    coherence-window computation; their outputs are garbage).
+    """
+    m = scatter_i.shape[0]
+    assert m == M_SUPPORTED, f"pallas resolve supports M={M_SUPPORTED}, got {m}"
+    p = gi_x.shape[0]
+    pad = (-p) % 1024
+    if mask is None:
+        mask = jnp.ones((p,), jnp.int32)
+    # edge-pad: zero-padding would break the last tile's row coherence
+    gx = jnp.pad(gi_x, (0, pad), mode="edge")
+    gy = jnp.pad(gi_y, (0, pad), mode="edge")
+    mk = jnp.pad(mask.astype(jnp.int32), (0, pad))
+    tiles = (p + pad) // 1024
+    gx = gx.reshape(tiles, 8, 128)
+    gy = gy.reshape(tiles, 8, 128)
+    mk = mk.reshape(tiles, 8, 128)
+
+    sc, tr = pl.pallas_call(
+        partial(_resolve_kernel, m=m),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scatter (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # transmit (full)
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scatter_i, transmit_i, gx, gy, mk)
+    return sc.reshape(-1)[:p], tr.reshape(-1)[:p]

@@ -1,0 +1,47 @@
+"""Golden occupancy grids for the canonical scenes (bit-exactness CI).
+
+The goldens are 64^3 parity-mode packed grids produced by the counting
+oracle (CPU, f32); the Pallas kernel and the oracle must reproduce them
+bit-for-bit on every backend (BASELINE.json "bit-exact occupancy grids").
+Scene placements follow the reference launch scripts: bunny/dragon default,
+TuringBowl posScale (0, 2.8, 0, 0.03) (Bin/TuringBowl.bat).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dxrvoxelizer_tpu.models.scene import Scene
+from dxrvoxelizer_tpu.ops.binning import voxelize_parity_binned
+from dxrvoxelizer_tpu.ops.packing import pack_bits_z
+from dxrvoxelizer_tpu.ops.voxelize_ref import voxelize_parity_ref
+from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
+
+GOLDENS = Path(__file__).parent / "goldens"
+
+SCENES = [
+    ("bunny", (0.0, 0.0, 0.0, 1.0), 52356),
+    ("dragon", (0.0, 0.0, 0.0, 1.0), 14529),
+    ("TuringBowl", (0.0, 2.8, 0.0, 0.03), 11772),
+]
+
+
+@pytest.mark.parametrize("name,ps,occupied", SCENES)
+def test_oracle_matches_golden(reference_assets_available, name, ps, occupied):
+    golden = np.load(GOLDENS / f"{name}_64_parity.npy")
+    scene = Scene.load(VoxelizerConfig(mesh=f"{name}.obj", pos_scale=ps))
+    occ = voxelize_parity_ref(
+        scene.buffers.positions_norm, scene.buffers.tris, n=64, tri_chunk=4096
+    )
+    assert int(np.asarray(occ).sum()) == occupied
+    np.testing.assert_array_equal(np.asarray(pack_bits_z(occ)), golden)
+
+
+def test_binned_kernel_matches_golden_bunny(reference_assets_available):
+    golden = np.load(GOLDENS / "bunny_64_parity.npy")
+    scene = Scene.load(VoxelizerConfig(mesh="bunny.obj"))
+    words = voxelize_parity_binned(
+        scene.buffers.positions_norm, scene.buffers.tris, n=64, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(words), golden)
