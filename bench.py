@@ -4,12 +4,13 @@ Headline (BASELINE.json): solid voxelization of the Dragon at 256^3 on one
 TPU chip, target <= 2 ms/frame. ``vs_baseline`` = measured_ms / 2.0 (< 1.0
 beats the target). Secondary numbers go to stderr.
 
-Timing methodology: this environment drives the TPU through a tunnel whose
-``block_until_ready`` acknowledges before execution finishes and whose
-per-dispatch latency is ~10 ms, so each measured op is repeated R times
-*inside one jitted scan* (with an opaque no-op data dependence between
-iterations so XLA cannot hoist or dedupe), fenced by a scalar read-back; the
-elapsed time divided by R is the honest per-iteration device time.
+Timing methodology: this environment drives the TPU through a tunnel with a
+large fixed dispatch+readback latency (~28 ms), so per-op time is measured
+as a SLOPE: each measured op is repeated r1 and r2 times inside one jitted
+scan (with an opaque no-op data dependence between iterations so XLA cannot
+hoist or dedupe), fenced by a scalar read-back, and
+(t(r2) - t(r1)) / (r2 - r1) is the honest per-iteration device time — the
+fixed dispatch cost cancels exactly.
 
 Run: python bench.py  (add --quick for a smaller sanity config)
 """
@@ -30,60 +31,79 @@ def main() -> int:
 
     from dxrvoxelizer_tpu.models.camera import OrbitCamera
     from dxrvoxelizer_tpu.models.scene import Scene
-    from dxrvoxelizer_tpu.ops.binning import bin_triangles
+    from dxrvoxelizer_tpu.ops.voxelize_queue import (
+        build_queue,
+        voxelize_parity_queue_run,
+    )
     from dxrvoxelizer_tpu.ops.raymarch_warp import (
         _shearwarp_core,
         _tex_params,
         light_sweep,
     )
-    from dxrvoxelizer_tpu.ops.voxelize_pallas import voxelize_parity_tiles
     from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
 
     n = 64 if quick else 256
-    reps = 10 if quick else 20
+    r1, r2 = (5, 20) if quick else (25, 100)
     cfg = VoxelizerConfig(mesh="dragon.obj", grid_size=n)
     scene = Scene.load(cfg)
     verts = scene.buffers.positions_norm
     tris = scene.buffers.tris
 
-    coef_tiles, stats = bin_triangles(verts, tris, n)
-    kc = min(512, stats.capacity)
+    def slope(build_body, r_pair, label, reps=3):
+        """Honest seconds/iter as the slope between two scan lengths."""
+        ra, rb = r_pair
 
-    def timed_scan(build_body, init, r, label):
-        """Jit scan of r iterations; returns honest seconds/iter."""
+        def make(r):
+            @jax.jit
+            def run():
+                out, _ = jax.lax.scan(
+                    build_body, jnp.float32(0.0), None, length=r
+                )
+                return out
 
-        @jax.jit
-        def run():
-            out, _ = jax.lax.scan(build_body, init, None, length=r)
-            return out
+            return run
 
-        out = run()
-        _ = float(jnp.ravel(jax.tree.leaves(out)[0])[0])  # warm + fence
-        t0 = time.perf_counter()
-        out = run()
-        _ = float(jnp.ravel(jax.tree.leaves(out)[0])[0])
-        dt = (time.perf_counter() - t0) / r
-        print(f"# {label}: {dt*1e3:.3f} ms/iter (R={r})", file=sys.stderr)
+        fa, fb = make(ra), make(rb)
+        _ = float(fa())
+        _ = float(fb())
+
+        def best(f):
+            b = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = float(f())
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        dt = (best(fb) - best(fa)) / (rb - ra)
+        print(f"# {label}: {dt*1e3:.3f} ms/iter (slope r={ra}->{rb})",
+              file=sys.stderr)
         return dt
 
-    # ---- voxelize kernel (binned) ------------------------------------------
+    # ---- voxelize kernel (work queue) ---------------------------------------
+    coefs, ct, cf, stats = build_queue(verts, tris, n, k_chunk=256)
+    ct_h, cf_h = np.asarray(ct), np.asarray(cf)
+
     def vox_body(carry, _):
         # opaque no-op dependence: + x*1e-38 never changes f32 coefficients
-        ct = coef_tiles + carry * 1e-38
-        words = voxelize_parity_tiles(ct, n, k_chunk=kc)
+        c2 = coefs + carry * 1e-38
+        words = voxelize_parity_queue_run(c2, ct_h, cf_h, n, k_chunk=256)
         return jnp.float32(words[0, 0, 0] % 2), None
 
-    vox_s = timed_scan(vox_body, jnp.float32(0.0), reps,
-                       f"dragon {n}^3 voxelize kernel")
+    vox_s = slope(vox_body, (r1, r2), f"dragon {n}^3 voxelize kernel")
+    print(
+        f"# queue stats: pairs={stats.pairs} chunks={stats.real_chunks} "
+        f"overflow={stats.overflow}",
+        file=sys.stderr,
+    )
 
-    # ---- binning (acceleration-structure rebuild) --------------------------
+    # ---- binning (acceleration-structure rebuild, incl. one host sync) ------
     t0 = time.perf_counter()
     for _ in range(3):
-        ct2, st2 = bin_triangles(verts, tris, n)
-    _ = float(ct2[0, 0, 0])
+        c3, _, _, _ = build_queue(verts, tris, n, k_chunk=256)
+    _ = float(c3[0, 0])
     bin_s = (time.perf_counter() - t0) / 3
-    print(f"# binning rebuild: {bin_s*1e3:.1f} ms (incl. dispatch overhead), "
-          f"max_bin={stats.max_bin} cap={stats.capacity} overflow={stats.overflow}",
+    print(f"# binning rebuild: {bin_s*1e3:.1f} ms (incl. dispatch overhead)",
           file=sys.stderr)
 
     # ---- shear-warp render 1080p (64^3 grid, the reference workload) -------
@@ -123,16 +143,16 @@ def main() -> int:
         )
         return img[0, 0, 0], None
 
-    rm_s = timed_scan(render_body, jnp.float32(0.0), max(reps // 2, 3),
-                      "shear-warp render 1080p")
-    print(f"# raymarch 1080p: {1.0/rm_s:.1f} FPS equivalent", file=sys.stderr)
+    rm_s = slope(render_body, (r1, r2), "shear-warp render 1080p")
+    print(f"# raymarch 1080p: {1.0/max(rm_s, 1e-9):.1f} FPS equivalent",
+          file=sys.stderr)
 
     def light_body(carry, _):
         d2 = density + carry * 1e-38
         lvol = light_sweep(d2, jnp.asarray(light_np), rn, l_axis, l_flip)
         return lvol[0, 0, 0], None
 
-    timed_scan(light_body, jnp.float32(0.0), max(reps // 2, 3), "light sweep 64^3")
+    slope(light_body, (r1, r2), "light sweep 64^3")
 
     value = vox_s * 1e3
     print(

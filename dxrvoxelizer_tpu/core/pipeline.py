@@ -76,9 +76,10 @@ def voxelize(
 
     ``mode``: "parity" (axis-parity fill, TPU-native default) or "raystab"
     (the reference's radial back-face rule, DXRVoxelizer.hlsl:132-140).
-    ``impl``: "auto" | "pallas" | "pallas_bruteforce" | "xla" — "auto" picks
-    the binned Pallas kernel on TPU-capable backends and the jnp oracle
-    elsewhere/for raystab.
+    ``impl``: "auto" | "queue" | "pallas" | "pallas_bruteforce" | "xla" —
+    "auto" picks the work-queue Pallas kernel (ops/voxelize_queue.py) at
+    >= 128^3, the gen-1 tiled kernel at 64^3, and the jnp oracle on CPU
+    backends/for raystab.
     """
     from dxrvoxelizer_tpu.ops.packing import pack_bits_z
 
@@ -93,8 +94,17 @@ def voxelize(
         raise ValueError(f"unknown inside mode {mode!r}")
 
     if impl == "auto":
-        impl = "pallas" if _pallas_ok(n) else "xla"
-    if impl == "pallas":
+        if not _pallas_ok(n):
+            impl = "xla"
+        elif n >= 128:
+            impl = "queue"
+        else:
+            impl = "pallas"
+    if impl == "queue":
+        from dxrvoxelizer_tpu.ops.voxelize_queue import voxelize_parity_queue
+
+        words = voxelize_parity_queue(mesh.positions_norm, mesh.tris, n)
+    elif impl == "pallas":
         words = binning.voxelize_parity_binned(mesh.positions_norm, mesh.tris, n)
     elif impl == "pallas_bruteforce":
         words = voxelize_pallas.voxelize_parity_bruteforce(

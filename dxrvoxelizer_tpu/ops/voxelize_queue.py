@@ -1,0 +1,426 @@
+"""Work-queue parity voxelizer (Pallas TPU) — the hi-res production kernel.
+
+The first-generation kernel (ops/voxelize_pallas.py) bins triangles to
+32x32-column tiles and pads every tile to the *global* max bin size, so at
+256^3 a typical frame pays ~3x padding waste and every (tile, triangle) pair
+tests all 1024 columns even though a typical triangle overlaps ~10. This
+kernel removes both costs; same math, bit-identical output:
+
+- **16x8-column tiles** (one 128-lane strip): a triangle pays 128 column
+  tests instead of 1024 — binning granularity matches the VPU register shape;
+- **an exact work queue instead of padded bins**: chunks of ``k_chunk``
+  triangles are laid out back-to-back per tile in one flat array; the Pallas
+  grid runs over *chunks*, and two scalar-prefetch arrays map each chunk to
+  its output tile and give its real sub-block count (the dynamic inner trip
+  bound — queue padding costs zero compute). Tiles with many triangles get
+  many chunks, empty tiles get none (the DXR analog: rays traverse only
+  their own BVH subtree, reference Voxelizer.cpp:313-323 builds exactly
+  that);
+- **VMEM-resident output**: per-grid-step output traffic (dynamic output
+  blocks or per-tile writeback DMA) measures ~1 us/step of scalar plumbing —
+  more than the compute itself. The whole packed grid (2 MB at 256^3)
+  instead lives in VMEM for the launch and flushes once; at 512^3 the tile
+  range is split into groups so each group's slab still fits.
+
+Coverage/cutoff arithmetic is expression-for-expression the same as the
+oracle (ops/geom.py) and the first-generation kernel, so all three produce
+bit-identical occupancy words.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dxrvoxelizer_tpu.ops.geom import parity_tri_setup
+from dxrvoxelizer_tpu.ops.voxelize_pallas import NCOEF, SUB, pack_coeffs
+from dxrvoxelizer_tpu.ops.voxelize_pallas import (
+    _EX0, _EY0, _EO0, _TL0, _EX1, _EY1, _EO1, _TL1,
+    _EX2, _EY2, _EO2, _TL2, _ZX, _ZY, _ZO, _VALID,
+)
+
+TILE_X = 16  # tile extent in grid-x columns
+TILE_Y = 8  # tile extent in grid-y columns (16*8 = 128 = one lane strip)
+
+
+@dataclass
+class QueueStats:
+    n_tiles: int
+    num_chunks: int  # padded queue length (grid size)
+    real_chunks: int
+    pairs: int  # (tile, triangle) pairs before chunk padding
+    overflow: int  # triangles appended to every tile
+
+
+def _queue_kernel(tile_ref, nsub_ref, coef_ref, out_ref, *, n: int,
+                  nty: int, k_chunk: int, tile_off: int = 0):
+    """One queue chunk: XOR this chunk's parity masks into its tile.
+
+    tile_ref/nsub_ref: scalar-prefetch [num_chunks] int32 — the chunk's
+        output tile and its real sub-block count (the dynamic trip bound:
+        queue-padding slots cost zero compute)
+    coef_ref: [k_chunk, NCOEF] f32 (this chunk's triangles)
+    out_ref: [n_tiles, W, 128] int32 — the ENTIRE output, resident in VMEM
+        for the whole launch (2 MB at 256^3). Grid-step plumbing measures
+        ~1 us/step when the output block is dynamically indexed per step or
+        written back by per-tile DMA; holding it resident removes all
+        per-step output traffic and all first/last-chunk bookkeeping.
+    """
+    c = pl.program_id(0)
+    w_words = n // 32
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tile_id = tile_ref[c]
+    tile_global = tile_id + tile_off
+    tx = tile_global // nty
+    ty = tile_global - tx * nty
+
+    # lane l covers column (x_local, y_local) = (l // TILE_Y, l % TILE_Y)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    px = (tx * TILE_X + lane // TILE_Y).astype(jnp.float32)  # (1,128)
+    py = (ty * TILE_Y + lane % TILE_Y).astype(jnp.float32)
+
+    def step(g, acc):
+        cf = coef_ref[pl.ds(g * SUB, SUB), :]  # (SUB, NCOEF)
+
+        def col(row):
+            return cf[:, row : row + 1]  # (SUB, 1)
+
+        ex0, ey0, eo0, tl0 = col(_EX0), col(_EY0), col(_EO0), col(_TL0)
+        ex1, ey1, eo1, tl1 = col(_EX1), col(_EY1), col(_EO1), col(_TL1)
+        ex2, ey2, eo2, tl2 = col(_EX2), col(_EY2), col(_EO2), col(_TL2)
+        zx, zy, zo, valid = col(_ZX), col(_ZY), col(_ZO), col(_VALID)
+
+        e0 = ex0 * px + ey0 * py + eo0  # (SUB,128)
+        e1 = ex1 * px + ey1 * py + eo1
+        e2 = ex2 * px + ey2 * py + eo2
+        in0 = (e0 > 0) | ((e0 == 0) & (tl0 > 0))
+        in1 = (e1 > 0) | ((e1 == 0) & (tl1 > 0))
+        in2 = (e2 > 0) | ((e2 == 0) & (tl2 > 0))
+        covered = in0 & in1 & in2 & (valid > 0)
+        cov_mask = jnp.where(covered, jnp.int32(-1), jnp.int32(0))
+        z = zx * px + zy * py + zo
+        cutoff = jnp.clip(jnp.ceil(z), 0.0, float(n)).astype(jnp.int32)
+
+        new_acc = []
+        for w in range(w_words):
+            cbits = jnp.clip(cutoff - 32 * w, 0, 32)
+            word = jnp.where(
+                cbits >= 32,
+                jnp.int32(-1),
+                (jnp.int32(1) << cbits) - jnp.int32(1),
+            )
+            word = word & cov_mask  # (SUB,128)
+            f4 = word[0:4] ^ word[4:8]
+            f2 = f4[0:2] ^ f4[2:4]
+            new_acc.append(acc[w] ^ (f2[0:1] ^ f2[1:2]))  # (1,128)
+        return tuple(new_acc)
+
+    acc = jax.lax.fori_loop(
+        0,
+        nsub_ref[c],
+        step,
+        tuple(jnp.zeros((1, 128), jnp.int32) for _ in range(w_words)),
+    )
+    upd = jnp.concatenate(acc, axis=0)  # [W, 128]
+    row = pl.ds(tile_id, 1)
+    out_ref[row] ^= upd[None]
+
+
+def _tiles_to_grid(out: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[n_tiles, W, 128] -> packed occupancy words [N, N, W]."""
+    w_words = n // 32
+    ntx, nty = n // TILE_X, n // TILE_Y
+    x = out.reshape(ntx, nty, w_words, TILE_X, TILE_Y)
+    x = x.transpose(0, 3, 1, 4, 2)  # [ntx, xl, nty, yl, W]
+    return x.reshape(n, n, w_words)
+
+
+@partial(jax.jit, static_argnames=("n", "max_span_x", "max_span_y"))
+def _queue_phase_a(verts_norm, tris, n: int, max_span_x: int, max_span_y: int):
+    """Device phase A: setup, (tile, tri) pairs, sort -> per-tile runs."""
+    pt = parity_tri_setup(verts_norm, tris, n)
+    coef = pack_coeffs(pt)  # [T, NCOEF]
+    t_count = coef.shape[0]
+    ntx, nty = n // TILE_X, n // TILE_Y
+    n_tiles = ntx * nty
+
+    x0 = jnp.ceil(pt.xmin)
+    x1 = jnp.floor(pt.xmax)
+    y0 = jnp.ceil(pt.ymin)
+    y1 = jnp.floor(pt.ymax)
+    nonempty = (
+        (pt.valid > 0) & (x1 >= x0) & (y1 >= y0)
+        & (x1 >= 0) & (x0 <= n - 1) & (y1 >= 0) & (y0 <= n - 1)
+    )
+    tx0 = (jnp.clip(x0, 0, n - 1).astype(jnp.int32)) // TILE_X
+    tx1 = (jnp.clip(x1, 0, n - 1).astype(jnp.int32)) // TILE_X
+    ty0 = (jnp.clip(y0, 0, n - 1).astype(jnp.int32)) // TILE_Y
+    ty1 = (jnp.clip(y1, 0, n - 1).astype(jnp.int32)) // TILE_Y
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    small = nonempty & (span_x <= max_span_x) & (span_y <= max_span_y)
+    overflow_mask = nonempty & ~small
+
+    cands = []
+    for dx in range(max_span_x):
+        for dy in range(max_span_y):
+            tid = (tx0 + dx) * nty + (ty0 + dy)
+            ok = small & (dx < span_x) & (dy < span_y)
+            cands.append(jnp.where(ok, tid, n_tiles))  # sentinel = n_tiles
+    keys = jnp.stack(cands, axis=0).reshape(-1)
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(t_count, dtype=jnp.int32)[None, :],
+        (max_span_x * max_span_y, t_count),
+    ).reshape(-1)
+
+    order = jnp.argsort(keys, stable=True)
+    sorted_keys = keys[order]
+    sorted_tris = tri_ids[order]
+    starts = jnp.searchsorted(sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    counts = starts[1:] - starts[:-1]
+    ov_ids = jnp.nonzero(overflow_mask, size=t_count, fill_value=-1)[0]
+    return coef, sorted_tris, starts, counts, ov_ids, overflow_mask.sum()
+
+
+@partial(jax.jit, static_argnames=("num_chunks", "k_chunk"))
+def _queue_phase_b(coef, sorted_tris, ov_ids, gather_rows, num_chunks: int,
+                   k_chunk: int):
+    """Device phase B: gather the flat queue coefficient array.
+
+    ``gather_rows`` [num_chunks * k_chunk] indexes a virtual concatenation
+    [sorted_tris | overflow ids | zero sentinel] (built host-side from the
+    tiny per-tile counts vector).
+    """
+    t_count = coef.shape[0]
+    s_len = sorted_tris.shape[0]
+    combined = jnp.concatenate(
+        [sorted_tris, ov_ids.astype(jnp.int32), jnp.full((1,), -1, jnp.int32)]
+    )
+    tri_id = combined[jnp.clip(gather_rows, 0, combined.shape[0] - 1)]
+    tri_id = jnp.where(gather_rows < 0, -1, tri_id)
+    coef_padded = jnp.concatenate(
+        [coef, jnp.zeros((1, NCOEF), dtype=coef.dtype)], axis=0
+    )
+    rows = jnp.where(tri_id < 0, t_count, tri_id)
+    return coef_padded[rows].reshape(num_chunks * k_chunk, NCOEF), s_len
+
+
+def build_queue(
+    verts_norm: jnp.ndarray,
+    tris: jnp.ndarray,
+    n: int,
+    k_chunk: int = 256,
+    max_span_x: int = 4,
+    max_span_y: int = 8,
+):
+    """Build the flat work queue -> (coefs, chunk_tile, chunk_first, stats).
+
+    One host sync (the per-tile counts, ~n^2/128 int32s) between the two
+    jitted device phases; the queue layout itself is tiny host numpy work.
+    The chunk count is bucketed (multiples of 256) so the kernel executable
+    is stable across frames of a deforming mesh.
+    """
+    ntx, nty = n // TILE_X, n // TILE_Y
+    n_tiles = ntx * nty
+    coef, sorted_tris, starts, counts, ov_ids, n_ov_d = _queue_phase_a(
+        verts_norm, tris, n, max_span_x, max_span_y
+    )
+    counts_h = np.asarray(counts).astype(np.int64)  # host sync
+    starts_h = np.asarray(starts[:-1]).astype(np.int64)
+    n_ov = int(n_ov_d)
+    s_total = int(sorted_tris.shape[0])
+
+    # overflow triangles (too big for the span cap) may cover any column, so
+    # with any overflow present every tile gets a run; otherwise empty tiles
+    # get no chunks at all (the kernel zero-fills the whole output up front)
+    per_tile = np.where(
+        (counts_h > 0) | (n_ov > 0), counts_h + n_ov, 0
+    )
+    chunks_per_tile = (per_tile + k_chunk - 1) // k_chunk
+    real_chunks = int(chunks_per_tile.sum())
+    num_chunks = max(-(-real_chunks // 128) * 128, 128)
+
+    # padding chunks: last tile, zero sub-blocks (a zero-trip XOR is a no-op;
+    # using the last tile keeps chunk_tile ascending for group splitting)
+    chunk_tile = np.full(num_chunks, n_tiles - 1, dtype=np.int32)
+    chunk_nsub = np.zeros(num_chunks, dtype=np.int32)  # dynamic trip bounds
+
+    tile_ids = np.repeat(
+        np.arange(n_tiles, dtype=np.int32), chunks_per_tile
+    )
+    chunk_tile[:real_chunks] = tile_ids
+    first_pos = np.zeros(n_tiles, dtype=np.int64)
+    first_pos[1:] = np.cumsum(chunks_per_tile)[:-1]
+    chunk_idx = np.arange(real_chunks, dtype=np.int64)
+    within = chunk_idx - first_pos[tile_ids]  # chunk # within its tile
+    remaining = per_tile[tile_ids] - within * k_chunk
+    chunk_nsub[:real_chunks] = (
+        (np.minimum(remaining, k_chunk) + SUB - 1) // SUB
+    )
+
+    # rows of the virtual [sorted_tris | ov_ids | sentinel] concatenation
+    slot = np.arange(num_chunks * k_chunk, dtype=np.int64)
+    chunk_of_slot = slot // k_chunk
+    tile_of_slot = chunk_tile[np.minimum(chunk_of_slot, num_chunks - 1)]
+    within_tile = slot - first_pos[tile_of_slot] * k_chunk
+    real_slot = chunk_of_slot < real_chunks
+    t_idx = np.where(real_slot, within_tile, -1)
+    cnt = counts_h[tile_of_slot]
+    in_run = real_slot & (t_idx >= 0) & (t_idx < cnt)
+    in_ov = real_slot & (t_idx >= cnt) & (t_idx < cnt + n_ov)
+    rows = np.where(
+        in_run,
+        starts_h[tile_of_slot] + t_idx,
+        np.where(in_ov, s_total + (t_idx - cnt), -1),
+    )
+
+    coefs, _ = _queue_phase_b(
+        coef, sorted_tris, ov_ids, jnp.asarray(rows, jnp.int32),
+        num_chunks, k_chunk,
+    )
+    stats = QueueStats(
+        n_tiles=n_tiles,
+        num_chunks=num_chunks,
+        real_chunks=real_chunks,
+        pairs=int(per_tile.sum()),
+        overflow=n_ov,
+    )
+    return (
+        coefs,
+        jnp.asarray(chunk_tile),
+        jnp.asarray(chunk_nsub),
+        stats,
+    )
+
+
+VMEM_OUT_BUDGET = 4 * 1024 * 1024  # resident-output budget per launch (bytes)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "k_chunk", "n_tiles_grp", "tile_off", "interpret"),
+)
+def _queue_run_group(
+    coefs: jnp.ndarray,
+    chunk_tile: jnp.ndarray,
+    chunk_nsub: jnp.ndarray,
+    n: int,
+    k_chunk: int,
+    n_tiles_grp: int,
+    tile_off: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the queue kernel over one tile group -> [n_tiles_grp, W, 128].
+
+    ``chunk_tile`` must already be rebased to the group (0-based);
+    ``tile_off`` restores global column coordinates inside the kernel.
+    """
+    num_chunks = chunk_tile.shape[0]
+    assert coefs.shape == (num_chunks * k_chunk, NCOEF)
+    nty = n // TILE_Y
+    w_words = n // 32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (k_chunk, NCOEF),
+                lambda c, *_: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_tiles_grp, w_words, 128),
+            lambda c, *_: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        partial(
+            _queue_kernel, n=n, nty=nty, k_chunk=k_chunk, tile_off=tile_off
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles_grp, w_words, 128), jnp.int32),
+        interpret=interpret,
+    )(chunk_tile, chunk_nsub, coefs)
+
+
+def voxelize_parity_queue_run(
+    coefs: jnp.ndarray,
+    chunk_tile_host: np.ndarray,
+    chunk_nsub_host: np.ndarray,
+    n: int,
+    k_chunk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the queue kernel -> packed occupancy words [N, N, N//32].
+
+    The resident output must fit VMEM; above the budget (512^3) the tile
+    range splits into groups, each launched over its contiguous chunk
+    subrange (chunk_tile is tile-ascending by construction).
+    """
+    ntx, nty = n // TILE_X, n // TILE_Y
+    n_tiles = ntx * nty
+    w_words = n // 32
+    bytes_full = n_tiles * w_words * 128 * 4
+    n_groups = max(1, -(-bytes_full // VMEM_OUT_BUDGET))
+    while ntx % n_groups:  # group boundary = whole tx rows of tiles
+        n_groups += 1
+    tiles_grp = n_tiles // n_groups
+
+    ct = np.asarray(chunk_tile_host)
+    cn = np.asarray(chunk_nsub_host)
+    outs = []
+    for g in range(n_groups):
+        lo, hi = g * tiles_grp, (g + 1) * tiles_grp
+        c0, c1 = int(np.searchsorted(ct, lo)), int(np.searchsorted(ct, hi))
+        nc = max(-(-(c1 - c0) // 128) * 128, 128)
+        tile_g = np.full(nc, tiles_grp - 1, dtype=np.int32)
+        nsub_g = np.zeros(nc, dtype=np.int32)
+        tile_g[: c1 - c0] = ct[c0:c1] - lo
+        nsub_g[: c1 - c0] = cn[c0:c1]
+        start, end = c0 * k_chunk, (c0 + nc) * k_chunk
+        coef_g = coefs[start : min(end, coefs.shape[0])]
+        if end > coefs.shape[0]:
+            coef_g = jnp.concatenate(
+                [coef_g, jnp.zeros((end - coefs.shape[0], NCOEF), coefs.dtype)]
+            )
+        outs.append(
+            _queue_run_group(
+                coef_g, jnp.asarray(tile_g), jnp.asarray(nsub_g),
+                n, k_chunk, tiles_grp, tile_off=lo, interpret=interpret,
+            )
+        )
+    out = outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=0)
+    return _tiles_to_grid(out, n)
+
+
+def voxelize_parity_queue(
+    verts_norm: jnp.ndarray,
+    tris: jnp.ndarray,
+    n: int,
+    k_chunk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bin + run: the hi-res (>= 128^3) production parity voxelizer."""
+    assert n % 32 == 0, f"grid size must be a multiple of 32, got {n}"
+    if tris.shape[0] == 0:
+        return jnp.zeros((n, n, n // 32), dtype=jnp.int32)
+    coefs, chunk_tile, chunk_nsub, _ = build_queue(
+        verts_norm, tris, n, k_chunk=k_chunk
+    )
+    return voxelize_parity_queue_run(
+        coefs, np.asarray(chunk_tile), np.asarray(chunk_nsub), n,
+        k_chunk=k_chunk, interpret=interpret,
+    )

@@ -1,0 +1,69 @@
+"""Work-queue Pallas kernel vs the jnp oracle (interpret mode on CPU).
+
+The queue kernel (ops/voxelize_queue.py) must produce bit-identical packed
+occupancy to voxelize_parity_ref — same per-triangle setup, same coverage
+expressions, different reduction (XOR fold vs crossing count), mirroring the
+reference's dual Core/EZ implementations (SURVEY.md section 4).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dxrvoxelizer_tpu.ops import voxelize_queue as vq
+from dxrvoxelizer_tpu.ops.packing import pack_bits_z, unpack_bits_z
+from dxrvoxelizer_tpu.ops.voxelize_ref import voxelize_parity_ref
+from tests.meshes import box_mesh, tetrahedron_mesh
+
+
+def _cases():
+    tv, _, tt = box_mesh(np.array([-0.7, -0.5, -0.3]), np.array([0.4, 0.8, 0.6]))
+    sv, _, st = tetrahedron_mesh()
+    return {"tet": (sv, st), "box": (tv, tt)}
+
+
+@pytest.mark.parametrize("n", [64, 128])
+@pytest.mark.parametrize("name", ["tet", "box"])
+def test_queue_matches_oracle(name, n):
+    v, t = _cases()[name]
+    v = jnp.asarray(v, jnp.float32)
+    t = jnp.asarray(t, jnp.int32)
+    ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
+    got = vq.voxelize_parity_queue(v, t, n, interpret=True)
+    assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+def test_queue_group_split(monkeypatch):
+    """Force multi-group launches (the 512^3 path) at a small grid size."""
+    v, t = _cases()["tet"]
+    v = jnp.asarray(v, jnp.float32)
+    t = jnp.asarray(t, jnp.int32)
+    n = 64
+    ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
+    monkeypatch.setattr(vq, "VMEM_OUT_BUDGET", 8 * 1024)  # -> several groups
+    got = vq.voxelize_parity_queue(v, t, n, interpret=True)
+    assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+def test_queue_empty_mesh():
+    out = vq.voxelize_parity_queue(
+        jnp.zeros((0, 3), jnp.float32), jnp.zeros((0, 3), jnp.int32), 64
+    )
+    assert not unpack_bits_z(out, 64).any()
+
+
+def test_queue_overflow_path():
+    """A giant triangle (span > max_span) must route through overflow and
+    still land in every tile it covers."""
+    v, t = _cases()["box"]
+    v = jnp.asarray(v, jnp.float32)
+    t = jnp.asarray(t, jnp.int32)
+    n = 128
+    # shrink the span caps so the box faces overflow
+    ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
+    coefs, ct, cf, stats = vq.build_queue(v, t, n, max_span_x=1, max_span_y=1)
+    assert stats.overflow > 0
+    got = vq.voxelize_parity_queue_run(
+        coefs, np.asarray(ct), np.asarray(cf), n, interpret=True
+    )
+    assert (np.asarray(ref) == np.asarray(got)).all()
