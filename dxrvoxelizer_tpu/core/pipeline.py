@@ -84,9 +84,19 @@ def voxelize(
     from dxrvoxelizer_tpu.ops.packing import pack_bits_z
 
     if mode == "raystab":
-        occ, rgba = voxelize_ref.voxelize_raystab_ref(
-            mesh.positions_norm, mesh.normals, mesh.tris, n=n
-        )
+        if impl in ("auto", "fast", "queue", "pallas"):
+            # binned direction-space accel (ops/raystab_fast.py); stateless
+            # call rebuilds the accel — build-once callers use
+            # build_raystab_accel + raystab_query directly
+            from dxrvoxelizer_tpu.ops.raystab_fast import voxelize_raystab_fast
+
+            occ, rgba = voxelize_raystab_fast(
+                mesh.positions_norm, mesh.normals, mesh.tris, n=n
+            )
+        else:  # "xla": the brute-force oracle
+            occ, rgba = voxelize_ref.voxelize_raystab_ref(
+                mesh.positions_norm, mesh.normals, mesh.tris, n=n
+            )
         if quantize:
             rgba = quantize_r10g10b10a2(rgba)
         return VoxelGrid(words=pack_bits_z(occ), rgba=rgba)

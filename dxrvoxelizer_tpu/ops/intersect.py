@@ -23,24 +23,25 @@ def triangle_soup(verts: jnp.ndarray, tris: jnp.ndarray):
     return v0, v1 - v0, v2 - v0
 
 
-def _closest_hit_chunk(origins, dirs, v0, e1, e2, tri_offset):
-    """Closest hit of rays [R,3] against one triangle chunk [Tc,3].
+def mt_hit(o, d, v0, e1, e2):
+    """Moller-Trumbore test, broadcasting over leading dims -> (t, u, v, hit).
 
-    Returns (t, u, v, idx) per ray, with idx global (tri_offset added) and
-    t = +inf on miss. No backface culling; t >= 0 (TMin = 0, TMax = 1e4,
-    DXRVoxelizer.hlsl:76-77).
+    ``o``/``d`` and ``v0``/``e1``/``e2`` must already be broadcast-compatible
+    on their leading axes (last axis = xyz). No backface culling; t >= 0
+    (TMin = 0, TMax = 1e4, DXRVoxelizer.hlsl:76-77). t = +inf on miss.
+
+    Every caller (the oracle's brute-force scan and the binned fast path)
+    shares this exact expression sequence so closest-hit results agree
+    bit-for-bit.
     """
-    # [R, 1, 3] x [1, Tc, 3]
-    d = dirs[:, None, :]
-    o = origins[:, None, :]
-    p = jnp.cross(d, e2[None, :, :])
-    det = jnp.sum(e1[None, :, :] * p, axis=-1)
+    p = jnp.cross(d, e2)
+    det = jnp.sum(e1 * p, axis=-1)
     inv_det = jnp.where(jnp.abs(det) > EPS_DET, 1.0 / det, 0.0)
-    tvec = o - v0[None, :, :]
+    tvec = o - v0
     u = jnp.sum(tvec * p, axis=-1) * inv_det
-    q = jnp.cross(tvec, e1[None, :, :])
+    q = jnp.cross(tvec, e1)
     v = jnp.sum(d * q, axis=-1) * inv_det
-    t = jnp.sum(e2[None, :, :] * q, axis=-1) * inv_det
+    t = jnp.sum(e2 * q, axis=-1) * inv_det
     hit = (
         (jnp.abs(det) > EPS_DET)
         & (u >= 0.0)
@@ -50,6 +51,20 @@ def _closest_hit_chunk(origins, dirs, v0, e1, e2, tri_offset):
         & (t <= T_MAX)
     )
     t = jnp.where(hit, t, jnp.inf)
+    return t, u, v, hit
+
+
+def _closest_hit_chunk(origins, dirs, v0, e1, e2, tri_offset):
+    """Closest hit of rays [R,3] against one triangle chunk [Tc,3].
+
+    Returns (t, u, v, idx) per ray, with idx global (tri_offset added) and
+    t = +inf on miss.
+    """
+    # [R, 1, 3] x [1, Tc, 3]
+    t, u, v, _ = mt_hit(
+        origins[:, None, :], dirs[:, None, :],
+        v0[None, :, :], e1[None, :, :], e2[None, :, :],
+    )
     # closest hit in the chunk; ties resolved to the lowest triangle index
     best = jnp.argmin(t, axis=1)
     r = jnp.arange(t.shape[0])

@@ -127,3 +127,35 @@ def closest_hit_bruteforce(origins, dirs, verts, tris):
         best_u = np.where(hit, u, best_u)
         best_v = np.where(hit, vv, best_v)
     return best_t, best_i, best_u, best_v
+
+
+def icosphere_mesh(subdiv=3, radius=0.72, center=(0.05, -0.03, 0.02)):
+    """Subdivided icosahedron (smooth radial normals), slightly off-center
+    so no direction-cell boundary is hit symmetrically."""
+    t = (1 + 5**0.5) / 2
+    vs = [(-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+          (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+          (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1)]
+    fs = [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+          (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+          (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+          (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)]
+    vs = [np.asarray(v, np.float64) / np.linalg.norm(v) for v in vs]
+    for _ in range(subdiv):
+        cache, nf = {}, []
+
+        def mid(i, j):
+            k = (min(i, j), max(i, j))
+            if k not in cache:
+                m = vs[i] + vs[j]
+                vs.append(m / np.linalg.norm(m))
+                cache[k] = len(vs) - 1
+            return cache[k]
+
+        for a, b, c in fs:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        fs = nf
+    unit = np.array(vs, np.float32)
+    verts = unit * np.float32(radius) + np.asarray(center, np.float32)
+    return verts, unit, np.array(fs, np.int32)

@@ -1,0 +1,77 @@
+"""Direction-space-binned ray-stab voxelizer vs the brute-force oracle.
+
+The fast path (ops/raystab_fast.py) must reproduce the oracle's occupancy
+bit-for-bit: same Moller-Trumbore expressions (ops/intersect.py mt_hit) and
+the same winner rule (strictly closer t, ties to the lowest triangle index).
+Normal grids agree to float rounding (the winning u, v are recomputed in a
+different broadcast shape).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dxrvoxelizer_tpu.ops.raystab_fast import (
+    bin_triangles_radial,
+    build_raystab_accel,
+    raystab_query,
+    voxelize_raystab_fast,
+)
+from dxrvoxelizer_tpu.ops.voxelize_ref import voxelize_raystab_ref
+from tests.meshes import box_mesh, icosphere_mesh, tetrahedron_mesh
+
+
+def _cases():
+    bv, bn, bt = box_mesh(np.array([-0.7, -0.5, -0.3]), np.array([0.4, 0.8, 0.6]))
+    tv, tn, tt = tetrahedron_mesh()
+    iv, inr, it = icosphere_mesh(3)
+    return {
+        "tet": (tv, tn, tt),  # all triangles overflow (origin inside balls)
+        "box": (bv, bn, bt),
+        "ico": (iv, inr, it),  # 1280 small triangles: exercises cell bins
+    }
+
+
+@pytest.mark.parametrize("name", ["tet", "box", "ico"])
+def test_fast_matches_oracle(name):
+    v, nr, t = _cases()[name]
+    v, nr, t = jnp.asarray(v), jnp.asarray(nr), jnp.asarray(t, jnp.int32)
+    n = 32
+    occ_r, rgba_r = voxelize_raystab_ref(v, nr, t, n=n, ray_chunk=2048)
+    occ_f, rgba_f = voxelize_raystab_fast(v, nr, t, n=n)
+    assert (np.asarray(occ_r) == np.asarray(occ_f)).all()
+    np.testing.assert_allclose(
+        np.asarray(rgba_r), np.asarray(rgba_f), atol=1e-5
+    )
+
+
+def test_build_then_query_reuses_accel():
+    v, nr, t = _cases()["ico"]
+    v, nr, t = jnp.asarray(v), jnp.asarray(nr), jnp.asarray(t, jnp.int32)
+    accel = build_raystab_accel(v, t, n=32)
+    occ1, _ = raystab_query(v, nr, t, accel)
+    occ2, _ = voxelize_raystab_fast(v, nr, t, n=32)
+    assert (np.asarray(occ1) == np.asarray(occ2)).all()
+    # the ico bins into cells (not everything overflows)
+    assert sum(int(c[0].shape[0]) for c in accel.classes) > 0
+
+
+def test_radial_bins_conservative():
+    """Every triangle is either in some cell bin or in overflow."""
+    v, _, t = _cases()["ico"]
+    v, t = jnp.asarray(v), jnp.asarray(t, jnp.int32)
+    table, counts, ov_ids, stats = bin_triangles_radial(v, t)
+    binned = set(np.asarray(table)[np.asarray(table) >= 0].tolist())
+    over = set(np.asarray(ov_ids)[np.asarray(ov_ids) >= 0].tolist())
+    assert binned | over == set(range(t.shape[0]))
+
+
+def test_empty_mesh():
+    occ, rgba = voxelize_raystab_fast(
+        jnp.zeros((0, 3), jnp.float32),
+        jnp.zeros((0, 3), jnp.float32),
+        jnp.zeros((0, 3), jnp.int32),
+        n=32,
+    )
+    assert not np.asarray(occ).any()
+    assert not np.asarray(rgba).any()
