@@ -37,6 +37,7 @@ def _parse_extras(argv: list[str]) -> dict:
         "timings": False,
         "ab": False,
         "deform": False,
+        "interactive": False,
     }
     i = 0
     while i < len(argv):
@@ -60,6 +61,8 @@ def _parse_extras(argv: list[str]) -> dict:
             out["ab"] = True
         elif key == "deform":
             out["deform"] = True
+        elif key == "interactive":
+            out["interactive"] = True
         i += 1
     return out
 
@@ -91,6 +94,17 @@ def main(argv: list[str] | None = None) -> int:
         f"vox={extras['vox_impl']} render={extras['render_impl']} "
         f"backend={platform}"
     )
+
+    if extras["interactive"]:
+        # hotkey loop (Space/f/s/x/q — the reference's WndProc analog,
+        # DXRVoxelizer.cpp:282-299); -frames still bounds it if given
+        from dxrvoxelizer_tpu.app.interactive import run_interactive
+
+        frames = run_interactive(
+            engine, cam, extras["frames"], orbit=extras["orbit"]
+        )
+        print(f"rendered {frames} frames")
+        return 0
 
     base_mesh = engine.pipeline.mesh
     img = None

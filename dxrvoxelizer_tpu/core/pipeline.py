@@ -146,9 +146,17 @@ def render(
     ``impl``: "warp" (shear-warp, the regular-access production path),
     "gather" (loop-free per-sample gather path — exact light-march-free
     semantics but gather-bound on TPU), or "ref" (the shader-exact
-    sequential reference).
+    sequential reference). ``cfg.show_mip`` renders from that mip level of
+    the grid (SharedConst.h:5); ``cfg.use_mutex`` selects the float-grid
+    sampling path (no 2-bit alpha quantization, PSRayCast.hlsl:42-46).
     """
     density = grid.density()
+    if cfg.show_mip > 0:
+        from dxrvoxelizer_tpu.ops.mips import mip_level
+
+        density = mip_level(
+            density, cfg.show_mip, quantize_alpha=not cfg.use_mutex
+        )
     clear = jnp.asarray(np.array(cfg.clear_color, np.float32))
     s2l = jnp.asarray(consts.screen_to_local)
     eye = jnp.asarray(consts.local_space_eye_pt)
@@ -206,7 +214,7 @@ class FramePipeline:
         """Voxelize + render one frame (async); returns the device image."""
         grid = voxelize(
             self.mesh, self.cfg.grid_size, mode=self.cfg.inside_mode,
-            impl=self.vox_impl,
+            impl=self.vox_impl, quantize=not self.cfg.use_mutex,
         )
         img = render(grid, consts, self.cfg, impl=self.render_impl)
         self._inflight.append(img)

@@ -37,6 +37,11 @@ class VoxelizerConfig:
     # back-face rule, for reference-parity validation).
     inside_mode: str = "parity"
     backend: str = "default"  # "default" | "cpu" (the -warp analog)
+    # texture emulation switches (Content/SharedConst.h:5-6): show_mip
+    # renders from mip level N of the grid; use_mutex stores/samples a plain
+    # float density channel instead of the R10G10B10A2 alpha
+    show_mip: int = 0
+    use_mutex: bool = False
 
     def replace(self, **kw) -> "VoxelizerConfig":
         return dataclasses.replace(self, **kw)
@@ -97,5 +102,11 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
             if has_value(i):
                 i += 1
                 kw["inside_mode"] = argv[i]
+        elif is_flag(a, "showmip"):
+            if has_value(i):
+                i += 1
+                kw["show_mip"] = int(argv[i])
+        elif is_flag(a, "usemutex"):
+            kw["use_mutex"] = True
         i += 1
     return cfg.replace(**kw)

@@ -23,7 +23,11 @@ def to_u8(img: np.ndarray) -> np.ndarray:
 
 
 def write_png(path: str | Path, img: np.ndarray) -> Path:
-    """Write an [H,W,3] or [H,W,4] uint8/float image as PNG."""
+    """Write an [H,W,3] or [H,W,4] uint8/float image as PNG.
+
+    Uses the native C++ encoder (utils/_native/pngwrite.cpp, the
+    stb_image_write analog) when available; pure-Python fallback below.
+    """
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = to_u8(img)
@@ -31,6 +35,12 @@ def write_png(path: str | Path, img: np.ndarray) -> Path:
         img = img[:, :, None].repeat(3, axis=2)
     h, w, ch = img.shape
     assert ch in (1, 3, 4)
+
+    from dxrvoxelizer_tpu.utils.native import write_png_native
+
+    path = Path(path)
+    if write_png_native(path, img):
+        return path
     color_type = {1: 0, 3: 2, 4: 6}[ch]
 
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))

@@ -1,7 +1,10 @@
-"""ctypes binding + build-on-demand for the native OBJ parser.
+"""ctypes bindings + build-on-demand for the native (C++) runtime pieces.
 
-The shared library is compiled once per checkout with g++ (no pip deps);
-callers fall back to the pure-Python parser when the toolchain is missing.
+Native tier of the framework (the reference ships its runtime as C++ DLLs,
+SURVEY.md section 2b): currently the OBJ parser (XUSGObjLoader analog) and
+the PNG encoder (stb_image_write analog). Each shared library is compiled
+once per checkout with g++ (no pip deps); callers fall back to the
+pure-Python implementations when the toolchain is missing.
 """
 
 from __future__ import annotations
@@ -13,23 +16,28 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parent / "_native" / "objparse.cpp"
-_LIB = Path(__file__).resolve().parent / "_native" / "libobjparse.so"
+_NATIVE_DIR = Path(__file__).resolve().parent / "_native"
+_SRC = _NATIVE_DIR / "objparse.cpp"
+_LIB = _NATIVE_DIR / "libobjparse.so"
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _compile(src: Path, lib: Path, extra: tuple[str, ...] = ()) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_LIB)],
+             str(src), "-o", str(lib), *extra],
             check=True, capture_output=True, timeout=120,
         )
         return True
     except (OSError, subprocess.SubprocessError):
         return False
+
+
+def _build() -> bool:
+    return _compile(_SRC, _LIB)
 
 
 def get_lib():
@@ -95,3 +103,62 @@ def parse_obj_native(path: str | Path):
         return pos, nrm, cv, cn
     finally:
         lib.objparse_free(h)
+
+
+# ---- PNG encoder (stb_image_write analog) -----------------------------------
+
+_PNG_SRC = _NATIVE_DIR / "pngwrite.cpp"
+_PNG_LIB = _NATIVE_DIR / "libpngwrite.so"
+_png_lock = threading.Lock()
+_png_lib = None
+_png_tried = False
+
+
+def get_png_lib():
+    """The loaded native PNG encoder; None if toolchain/zlib unavailable."""
+    global _png_lib, _png_tried
+    with _png_lock:
+        if _png_lib is not None or _png_tried:
+            return _png_lib
+        _png_tried = True
+        if (
+            not _PNG_LIB.exists()
+            or _PNG_LIB.stat().st_mtime < _PNG_SRC.stat().st_mtime
+        ):
+            if not _compile(_PNG_SRC, _PNG_LIB, extra=("-lz",)):
+                return None
+        try:
+            lib = ctypes.CDLL(str(_PNG_LIB))
+        except OSError:
+            return None
+        lib.pngwrite_file.restype = ctypes.c_int
+        lib.pngwrite_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pngwrite_encode.restype = ctypes.c_longlong
+        lib.pngwrite_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.pngwrite_free.argtypes = [ctypes.c_void_p]
+        _png_lib = lib
+        return _png_lib
+
+
+def write_png_native(path, img: np.ndarray) -> bool:
+    """Encode + write via the native library. img: uint8 [H,W,C] contiguous.
+
+    Returns False (caller falls back) when the library is unavailable.
+    """
+    lib = get_png_lib()
+    if lib is None:
+        return False
+    img = np.ascontiguousarray(img)
+    h, w, ch = img.shape
+    rc = lib.pngwrite_file(
+        str(path).encode(), img.ctypes.data_as(ctypes.c_void_p), w, h, ch
+    )
+    if rc != 0:
+        raise OSError(f"native png write failed: rc={rc} path={path}")
+    return True

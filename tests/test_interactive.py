@@ -1,0 +1,71 @@
+"""Interactive hotkey loop (reference WndProc analog) — headless driving."""
+
+import numpy as np
+
+from dxrvoxelizer_tpu.app import interactive
+from dxrvoxelizer_tpu.ez import Engine
+from dxrvoxelizer_tpu.models.camera import OrbitCamera
+from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
+from dxrvoxelizer_tpu.utils.objloader import ObjMesh
+from dxrvoxelizer_tpu.models.scene import Scene
+from tests.meshes import tetrahedron_mesh
+
+
+def _tet_engine(**cfg_kw):
+    v, nrm, t = tetrahedron_mesh()
+    mesh = ObjMesh(
+        positions=np.asarray(v, np.float32),
+        normals=np.asarray(nrm, np.float32),
+        indices=np.asarray(t, np.int32).reshape(-1),
+        aabb_min=np.asarray(v, np.float32).min(axis=0),
+        aabb_max=np.asarray(v, np.float32).max(axis=0),
+    )
+    cfg = VoxelizerConfig(grid_size=32, width=64, height=64, **cfg_kw)
+    return Engine(cfg, scene=Scene(mesh), vox_impl="xla",
+                  render_impl="gather")
+
+
+class _KeyFeed:
+    """Scripted key source standing in for the TTY."""
+
+    def __init__(self, keys):
+        self.keys = list(keys)
+        self.enabled = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+    def poll_key(self):
+        return self.keys.pop(0) if self.keys else None
+
+
+def test_headless_loop_renders_frames():
+    eng = _tet_engine()
+    n = interactive.run_interactive(eng, OrbitCamera(64, 64), max_frames=3)
+    assert n == 3
+
+
+def test_hotkeys_pause_switch_quit(monkeypatch, capsys):
+    eng = _tet_engine()
+    # pause, resume, switch path, then quit
+    feed = _KeyFeed([" ", " ", "x", None, "q"])
+    monkeypatch.setattr(interactive, "_RawTTY", lambda: feed)
+    n = interactive.run_interactive(
+        eng, OrbitCamera(64, 64), max_frames=10
+    )
+    out = capsys.readouterr().out
+    assert "paused" in out and "resumed" in out
+    assert "voxelizer path -> auto" in out or "voxelizer path -> xla" in out
+    assert n < 10  # quit before exhausting frames
+
+
+def test_screenshot_key(monkeypatch, tmp_path):
+    eng = _tet_engine()
+    feed = _KeyFeed(["s"])
+    monkeypatch.setattr(interactive, "_RawTTY", lambda: feed)
+    monkeypatch.chdir(tmp_path)
+    interactive.run_interactive(eng, OrbitCamera(64, 64), max_frames=2)
+    assert list(tmp_path.glob("*.png"))
