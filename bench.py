@@ -154,6 +154,42 @@ def main() -> int:
 
     slope(light_body, (r1, r2), "light sweep 64^3")
 
+    if not quick:
+        # ---- hi-res 512^3 (stress config, BASELINE.json) --------------------
+        s512 = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=512))
+        c512, ct5, cf5, _ = build_queue(
+            s512.buffers.positions_norm, s512.buffers.tris, 512, k_chunk=256
+        )
+        ct5h, cf5h = np.asarray(ct5), np.asarray(cf5)
+
+        def vox512_body(carry, _):
+            c2 = c512 + carry * 1e-38
+            words = voxelize_parity_queue_run(c2, ct5h, cf5h, 512, k_chunk=256)
+            return jnp.float32(words[0, 0, 0] % 2), None
+
+        slope(vox512_body, (10, 40), "dragon 512^3 voxelize kernel")
+
+        # ---- reference-rule ray-stab (binned TraceRay analog) ---------------
+        from dxrvoxelizer_tpu.ops.raystab_fast import (
+            _raystab_query_all,
+            build_raystab_accel,
+        )
+
+        accel = build_raystab_accel(
+            scene64.buffers.positions_norm, scene64.buffers.tris, 64
+        )
+
+        def stab_body(carry, _):
+            occ, _ = _raystab_query_all(
+                scene64.buffers.positions_norm + carry * 1e-38,
+                scene64.buffers.normals, scene64.buffers.tris,
+                accel.classes, accel.ov_ids, 64, 0.12, 32,
+                accel.stats.overflow > 0,
+            )
+            return occ.reshape(-1)[0].astype(jnp.float32), None
+
+        slope(stab_body, (2, 8), "dragon ray-stab query 64^3")
+
     value = vox_s * 1e3
     print(
         json.dumps(

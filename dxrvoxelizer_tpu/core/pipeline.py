@@ -71,6 +71,7 @@ def voxelize(
     mode: str = "parity",
     impl: str = "auto",
     quantize: bool = True,
+    accel=None,
 ) -> VoxelGrid:
     """Solid-voxelize a mesh -> :class:`VoxelGrid`.
 
@@ -85,14 +86,23 @@ def voxelize(
 
     if mode == "raystab":
         if impl in ("auto", "fast", "queue", "pallas"):
-            # binned direction-space accel (ops/raystab_fast.py); stateless
-            # call rebuilds the accel — build-once callers use
-            # build_raystab_accel + raystab_query directly
-            from dxrvoxelizer_tpu.ops.raystab_fast import voxelize_raystab_fast
+            # binned direction-space accel (ops/raystab_fast.py); a
+            # stateless call rebuilds the accel — pass ``accel`` (or use
+            # build_raystab_accel + raystab_query) for static geometry
+            if accel is not None:
+                from dxrvoxelizer_tpu.ops.raystab_fast import raystab_query
 
-            occ, rgba = voxelize_raystab_fast(
-                mesh.positions_norm, mesh.normals, mesh.tris, n=n
-            )
+                occ, rgba = raystab_query(
+                    mesh.positions_norm, mesh.normals, mesh.tris, accel
+                )
+            else:
+                from dxrvoxelizer_tpu.ops.raystab_fast import (
+                    voxelize_raystab_fast,
+                )
+
+                occ, rgba = voxelize_raystab_fast(
+                    mesh.positions_norm, mesh.normals, mesh.tris, n=n
+                )
         else:  # "xla": the brute-force oracle
             occ, rgba = voxelize_ref.voxelize_raystab_ref(
                 mesh.positions_norm, mesh.normals, mesh.tris, n=n
@@ -209,14 +219,36 @@ class FramePipeline:
         self.vox_impl = vox_impl
         self.render_impl = render_impl
         self._inflight: list[jax.Array] = []
+        self._stab_accel = None
+        self._stab_mesh = None  # identity of the mesh the accel was built for
+
+    def _raystab_accel(self):
+        """Build-once direction-space accel; rebuilt when ``self.mesh`` is
+        replaced (the deforming-geometry path swaps the buffers object)."""
+        if self._stab_accel is None or self._stab_mesh is not self.mesh:
+            from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel
+
+            self._stab_accel = build_raystab_accel(
+                self.mesh.positions_norm, self.mesh.tris, self.cfg.grid_size
+            )
+            self._stab_mesh = self.mesh
+        return self._stab_accel
 
     def frame(self, consts: FrameConstants) -> jax.Array:
         """Voxelize + render one frame (async); returns the device image."""
-        grid = voxelize(
-            self.mesh, self.cfg.grid_size, mode=self.cfg.inside_mode,
-            impl=self.vox_impl, quantize=not self.cfg.use_mutex,
-        )
-        img = render(grid, consts, self.cfg, impl=self.render_impl)
+        # named scopes surface the two passes in jax.profiler traces (the
+        # PIX BeginEvent/EndEvent analog, SURVEY.md section 5 tracing)
+        accel = None
+        if self.cfg.inside_mode == "raystab" and self.vox_impl != "xla":
+            accel = self._raystab_accel()
+        with jax.named_scope("voxelize"):
+            grid = voxelize(
+                self.mesh, self.cfg.grid_size, mode=self.cfg.inside_mode,
+                impl=self.vox_impl, quantize=not self.cfg.use_mutex,
+                accel=accel,
+            )
+        with jax.named_scope("raycast"):
+            img = render(grid, consts, self.cfg, impl=self.render_impl)
         self._inflight.append(img)
         if len(self._inflight) > FRAME_COUNT:
             self._inflight.pop(0).block_until_ready()  # fence on oldest

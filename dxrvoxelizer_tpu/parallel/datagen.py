@@ -52,8 +52,14 @@ def voxelize_mesh_file(
     )
     tris = jnp.asarray(mesh.triangles)
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
-    if impl == "pallas":
+        impl = "queue" if jax.default_backend() != "cpu" else "xla"
+    if impl == "queue":
+        # the work-queue kernel; its chunk-count bucketing bounds recompiles
+        # across the heterogeneous mesh set on its own
+        from dxrvoxelizer_tpu.ops.voxelize_queue import voxelize_parity_queue
+
+        words = voxelize_parity_queue(verts, tris, n)
+    elif impl == "pallas":
         t = tris.shape[0]
         cap = _bucket(t)
         pad = cap - t

@@ -61,3 +61,16 @@ def test_sharded_voxelize_slabs_cover_grid():
             )
         )
         np.testing.assert_array_equal(slab, full[x0 : x0 + 8])
+
+
+def test_multichip_queue_voxelize_matches_oracle():
+    """Tile groups across the 8 virtual devices == single-path result."""
+    from dxrvoxelizer_tpu.ops.packing import pack_bits_z
+    from dxrvoxelizer_tpu.parallel.queue_shard import voxelize_parity_multichip
+
+    n = 64
+    verts, _, tris = tetrahedron_mesh()
+    v, t = jnp.asarray(verts), jnp.asarray(tris)
+    ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
+    got = voxelize_parity_multichip(v, t, n, interpret=True)
+    assert (np.asarray(ref) == np.asarray(got)).all()

@@ -75,3 +75,32 @@ def test_empty_mesh():
     )
     assert not np.asarray(occ).any()
     assert not np.asarray(rgba).any()
+
+
+def test_pipeline_caches_accel_and_rebuilds_on_deform():
+    import dataclasses
+
+    from dxrvoxelizer_tpu.core.pipeline import FramePipeline
+    from dxrvoxelizer_tpu.models.mesh import MeshBuffers
+    from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
+    from tests.test_mips import _consts
+
+    v, nr, t = _cases()["ico"]
+    mesh = MeshBuffers(
+        positions=jnp.asarray(v), normals=jnp.asarray(nr),
+        tris=jnp.asarray(t, jnp.int32), positions_norm=jnp.asarray(v),
+    )
+    cfg = VoxelizerConfig(grid_size=32, width=32, height=32,
+                          inside_mode="raystab")
+    pipe = FramePipeline(cfg, mesh, render_impl="gather")
+    fc = _consts(cfg)
+    pipe.frame(fc)
+    a1 = pipe._stab_accel
+    pipe.frame(fc)
+    assert pipe._stab_accel is a1  # cached across frames
+    pipe.mesh = dataclasses.replace(
+        mesh, positions_norm=mesh.positions_norm * 1.01
+    )
+    pipe.frame(fc)
+    assert pipe._stab_accel is not a1  # rebuilt after deform
+    pipe.sync()
