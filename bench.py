@@ -81,13 +81,13 @@ def main() -> int:
         return dt
 
     # ---- voxelize kernel (work queue) ---------------------------------------
-    coefs, ct, cf, stats = build_queue(verts, tris, n, k_chunk=256)
-    ct_h, cf_h = np.asarray(ct), np.asarray(cf)
+    coefs, ct, cf, cl, stats = build_queue(verts, tris, n, k_chunk=64)
+    ct_h, cf_h, cl_h = np.asarray(ct), np.asarray(cf), np.asarray(cl)
 
     def vox_body(carry, _):
         # opaque no-op dependence: + x*1e-38 never changes f32 coefficients
         c2 = coefs + carry * 1e-38
-        words = voxelize_parity_queue_run(c2, ct_h, cf_h, n, k_chunk=256)
+        words = voxelize_parity_queue_run(c2, ct_h, cf_h, cl_h, n, k_chunk=64)
         return jnp.float32(words[0, 0, 0] % 2), None
 
     vox_s = slope(vox_body, (r1, r2), f"dragon {n}^3 voxelize kernel")
@@ -100,7 +100,7 @@ def main() -> int:
     # ---- binning (acceleration-structure rebuild, incl. one host sync) ------
     t0 = time.perf_counter()
     for _ in range(3):
-        c3, _, _, _ = build_queue(verts, tris, n, k_chunk=256)
+        c3, _, _, _, _ = build_queue(verts, tris, n, k_chunk=64)
     _ = float(c3[0, 0])
     bin_s = (time.perf_counter() - t0) / 3
     print(f"# binning rebuild: {bin_s*1e3:.1f} ms (incl. dispatch overhead)",
@@ -157,14 +157,14 @@ def main() -> int:
     if not quick:
         # ---- hi-res 512^3 (stress config, BASELINE.json) --------------------
         s512 = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=512))
-        c512, ct5, cf5, _ = build_queue(
-            s512.buffers.positions_norm, s512.buffers.tris, 512, k_chunk=256
+        c512, ct5, cf5, cl5, _ = build_queue(
+            s512.buffers.positions_norm, s512.buffers.tris, 512, k_chunk=64
         )
-        ct5h, cf5h = np.asarray(ct5), np.asarray(cf5)
+        ct5h, cf5h, cl5h = np.asarray(ct5), np.asarray(cf5), np.asarray(cl5)
 
         def vox512_body(carry, _):
             c2 = c512 + carry * 1e-38
-            words = voxelize_parity_queue_run(c2, ct5h, cf5h, 512, k_chunk=256)
+            words = voxelize_parity_queue_run(c2, ct5h, cf5h, cl5h, 512, k_chunk=64)
             return jnp.float32(words[0, 0, 0] % 2), None
 
         slope(vox512_body, (10, 40), "dragon 512^3 voxelize kernel")

@@ -58,8 +58,9 @@ class QueueStats:
     overflow: int  # triangles appended to every tile
 
 
-def _queue_kernel(tile_ref, nsub_ref, coef_ref, out_ref, *, n: int,
-                  nty: int, k_chunk: int, tile_off: int = 0):
+def _queue_kernel(tile_ref, nsub_ref, last_ref, coef_ref, out_ref, *, n: int,
+                  nty: int, k_chunk: int, tile_off: int = 0,
+                  static_trip: bool = False):
     """One queue chunk: XOR this chunk's parity masks into its tile.
 
     tile_ref/nsub_ref: scalar-prefetch [num_chunks] int32 — the chunk's
@@ -111,33 +112,76 @@ def _queue_kernel(tile_ref, nsub_ref, coef_ref, out_ref, *, n: int,
         z = zx * px + zy * py + zo
         cutoff = jnp.clip(jnp.ceil(z), 0.0, float(n)).astype(jnp.int32)
 
+        # suffix-bit formulation: a crossing with cutoff m flips voxels
+        # k < m, i.e. contributes ONE bit at position m-1 of the
+        # crossing-bit field; occupancy = suffix parity of that field,
+        # recovered by suffix_parity_words() after the launch. One bit
+        # means one masked select per word instead of a full prefix mask.
+        ci = cutoff - 1  # -1 (no crossing below any voxel) matches no word
+        pw = ci >> 5  # arithmetic shift: -1 -> -1
+        bitsel = (jnp.int32(1) << (ci & 31)) & cov_mask  # (SUB,128)
+
         new_acc = []
         for w in range(w_words):
-            cbits = jnp.clip(cutoff - 32 * w, 0, 32)
-            word = jnp.where(
-                cbits >= 32,
-                jnp.int32(-1),
-                (jnp.int32(1) << cbits) - jnp.int32(1),
-            )
-            word = word & cov_mask  # (SUB,128)
+            word = jnp.where(pw == w, bitsel, jnp.int32(0))
             f4 = word[0:4] ^ word[4:8]
             f2 = f4[0:2] ^ f4[2:4]
             new_acc.append(acc[w] ^ (f2[0:1] ^ f2[1:2]))  # (1,128)
         return tuple(new_acc)
 
-    acc = jax.lax.fori_loop(
-        0,
-        nsub_ref[c],
-        step,
-        tuple(jnp.zeros((1, 128), jnp.int32) for _ in range(w_words)),
-    )
+    init = tuple(jnp.zeros((1, 128), jnp.int32) for _ in range(w_words))
+    if static_trip:
+        # fully unrolled: queue-padding slots have zero coefficients
+        # (valid=0 -> no coverage -> XOR of 0), so skipping them is purely
+        # an optimization — a dynamic while-loop's per-iteration overhead
+        # can cost more than the padded compute it avoids
+        acc = jax.lax.fori_loop(0, k_chunk // SUB, step, init, unroll=True)
+    else:
+        acc = jax.lax.fori_loop(0, nsub_ref[c], step, init)
     upd = jnp.concatenate(acc, axis=0)  # [W, 128]
     row = pl.ds(tile_id, 1)
     out_ref[row] ^= upd[None]
 
+    @pl.when(last_ref[c] == 1)
+    def _():
+        # all of this tile's crossings are in: convert the crossing-bit
+        # field to occupancy in place (suffix parity within + across words)
+        u = out_ref[row][0]  # [W, 128]
+        s = u
+        for sh in (1, 2, 4, 8, 16):
+            s = s ^ jax.lax.shift_right_logical(s, jnp.int32(sh))
+        par = s & jnp.int32(1)  # full-word parity, [W, 128]
+        carry = jnp.zeros((1, 128), jnp.int32)
+        outw = [None] * w_words
+        for w in range(w_words - 1, -1, -1):
+            outw[w] = s[w : w + 1] ^ (jnp.int32(0) - carry)
+            carry = carry ^ par[w : w + 1]
+        out_ref[row] = jnp.concatenate(outw, axis=0)[None]
+
+
+def suffix_parity_words(words: jnp.ndarray) -> jnp.ndarray:
+    """Crossing-bit field -> occupancy: bit k := parity of bits >= k.
+
+    ``words``: int32 [..., W, lanes] with the word axis second-to-last
+    (z-minor packing). Exact integer parity — no rounding anywhere.
+    """
+    u = words.astype(jnp.uint32)
+    s = u
+    for sh in (1, 2, 4, 8, 16):  # within-word suffix parity
+        s = s ^ (s >> jnp.uint32(sh))
+    # carry: parity of all bits in strictly-higher words, spread to 32 bits
+    par = (s & jnp.uint32(1)).astype(jnp.int32)  # full-word parity
+    rev = par[..., ::-1, :]
+    carry = (jnp.cumsum(rev, axis=-2)[..., ::-1, :] - par) & 1
+    return (s ^ (jnp.uint32(0) - carry.astype(jnp.uint32))).astype(jnp.int32)
+
 
 def _tiles_to_grid(out: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[n_tiles, W, 128] -> packed occupancy words [N, N, W]."""
+    """Occupancy tiles [n_tiles, W, 128] -> packed occupancy [N, N, W].
+
+    The suffix-parity conversion already happened in-kernel on each tile's
+    last chunk; this is pure layout.
+    """
     w_words = n // 32
     ntx, nty = n // TILE_X, n // TILE_Y
     x = out.reshape(ntx, nty, w_words, TILE_X, TILE_Y)
@@ -219,7 +263,7 @@ def build_queue(
     verts_norm: jnp.ndarray,
     tris: jnp.ndarray,
     n: int,
-    k_chunk: int = 256,
+    k_chunk: int = 64,
     max_span_x: int = 4,
     max_span_y: int = 8,
 ):
@@ -250,10 +294,12 @@ def build_queue(
     real_chunks = int(chunks_per_tile.sum())
     num_chunks = max(-(-real_chunks // 128) * 128, 128)
 
-    # padding chunks: last tile, zero sub-blocks (a zero-trip XOR is a no-op;
-    # using the last tile keeps chunk_tile ascending for group splitting)
+    # padding chunks: last tile, zero sub-blocks (a zero-trip XOR is a no-op
+    # and the tile is already converted; using the last tile keeps
+    # chunk_tile ascending for group splitting)
     chunk_tile = np.full(num_chunks, n_tiles - 1, dtype=np.int32)
     chunk_nsub = np.zeros(num_chunks, dtype=np.int32)  # dynamic trip bounds
+    chunk_last = np.zeros(num_chunks, dtype=np.int32)  # tile-final flags
 
     tile_ids = np.repeat(
         np.arange(n_tiles, dtype=np.int32), chunks_per_tile
@@ -267,6 +313,8 @@ def build_queue(
     chunk_nsub[:real_chunks] = (
         (np.minimum(remaining, k_chunk) + SUB - 1) // SUB
     )
+    has_run = chunks_per_tile > 0
+    chunk_last[(first_pos + chunks_per_tile - 1)[has_run]] = 1
 
     # rows of the virtual [sorted_tris | ov_ids | sentinel] concatenation
     slot = np.arange(num_chunks * k_chunk, dtype=np.int64)
@@ -299,6 +347,7 @@ def build_queue(
         coefs,
         jnp.asarray(chunk_tile),
         jnp.asarray(chunk_nsub),
+        jnp.asarray(chunk_last),
         stats,
     )
 
@@ -308,17 +357,21 @@ VMEM_OUT_BUDGET = 4 * 1024 * 1024  # resident-output budget per launch (bytes)
 
 @partial(
     jax.jit,
-    static_argnames=("n", "k_chunk", "n_tiles_grp", "tile_off", "interpret"),
+    static_argnames=(
+        "n", "k_chunk", "n_tiles_grp", "tile_off", "interpret", "static_trip",
+    ),
 )
 def _queue_run_group(
     coefs: jnp.ndarray,
     chunk_tile: jnp.ndarray,
     chunk_nsub: jnp.ndarray,
+    chunk_last: jnp.ndarray,
     n: int,
     k_chunk: int,
     n_tiles_grp: int,
     tile_off: int = 0,
     interpret: bool = False,
+    static_trip: bool = False,
 ) -> jnp.ndarray:
     """Run the queue kernel over one tile group -> [n_tiles_grp, W, 128].
 
@@ -331,7 +384,7 @@ def _queue_run_group(
     w_words = n // 32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec(
@@ -348,21 +401,24 @@ def _queue_run_group(
     )
     return pl.pallas_call(
         partial(
-            _queue_kernel, n=n, nty=nty, k_chunk=k_chunk, tile_off=tile_off
+            _queue_kernel, n=n, nty=nty, k_chunk=k_chunk, tile_off=tile_off,
+            static_trip=static_trip,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles_grp, w_words, 128), jnp.int32),
         interpret=interpret,
-    )(chunk_tile, chunk_nsub, coefs)
+    )(chunk_tile, chunk_nsub, chunk_last, coefs)
 
 
 def voxelize_parity_queue_run(
     coefs: jnp.ndarray,
     chunk_tile_host: np.ndarray,
     chunk_nsub_host: np.ndarray,
+    chunk_last_host: np.ndarray,
     n: int,
-    k_chunk: int = 256,
+    k_chunk: int = 64,
     interpret: bool = False,
+    static_trip: bool = True,
 ) -> jnp.ndarray:
     """Run the queue kernel -> packed occupancy words [N, N, N//32].
 
@@ -381,6 +437,7 @@ def voxelize_parity_queue_run(
 
     ct = np.asarray(chunk_tile_host)
     cn = np.asarray(chunk_nsub_host)
+    cl = np.asarray(chunk_last_host)
     outs = []
     for g in range(n_groups):
         lo, hi = g * tiles_grp, (g + 1) * tiles_grp
@@ -388,8 +445,10 @@ def voxelize_parity_queue_run(
         nc = max(-(-(c1 - c0) // 128) * 128, 128)
         tile_g = np.full(nc, tiles_grp - 1, dtype=np.int32)
         nsub_g = np.zeros(nc, dtype=np.int32)
+        last_g = np.zeros(nc, dtype=np.int32)
         tile_g[: c1 - c0] = ct[c0:c1] - lo
         nsub_g[: c1 - c0] = cn[c0:c1]
+        last_g[: c1 - c0] = cl[c0:c1]
         start, end = c0 * k_chunk, (c0 + nc) * k_chunk
         coef_g = coefs[start : min(end, coefs.shape[0])]
         if end > coefs.shape[0]:
@@ -399,7 +458,8 @@ def voxelize_parity_queue_run(
         outs.append(
             _queue_run_group(
                 coef_g, jnp.asarray(tile_g), jnp.asarray(nsub_g),
-                n, k_chunk, tiles_grp, tile_off=lo, interpret=interpret,
+                jnp.asarray(last_g), n, k_chunk, tiles_grp,
+                tile_off=lo, interpret=interpret, static_trip=static_trip,
             )
         )
     out = outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=0)
@@ -410,17 +470,17 @@ def voxelize_parity_queue(
     verts_norm: jnp.ndarray,
     tris: jnp.ndarray,
     n: int,
-    k_chunk: int = 256,
+    k_chunk: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Bin + run: the hi-res (>= 128^3) production parity voxelizer."""
     assert n % 32 == 0, f"grid size must be a multiple of 32, got {n}"
     if tris.shape[0] == 0:
         return jnp.zeros((n, n, n // 32), dtype=jnp.int32)
-    coefs, chunk_tile, chunk_nsub, _ = build_queue(
+    coefs, chunk_tile, chunk_nsub, chunk_last, _ = build_queue(
         verts_norm, tris, n, k_chunk=k_chunk
     )
     return voxelize_parity_queue_run(
-        coefs, np.asarray(chunk_tile), np.asarray(chunk_nsub), n,
-        k_chunk=k_chunk, interpret=interpret,
+        coefs, np.asarray(chunk_tile), np.asarray(chunk_nsub),
+        np.asarray(chunk_last), n, k_chunk=k_chunk, interpret=interpret,
     )

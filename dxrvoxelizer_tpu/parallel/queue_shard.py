@@ -36,7 +36,7 @@ def voxelize_parity_multichip(
     tris: jnp.ndarray,
     n: int,
     devices: list | None = None,
-    k_chunk: int = 256,
+    k_chunk: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Data-parallel parity voxelization -> packed words [N,N,N//32] on
@@ -50,11 +50,12 @@ def voxelize_parity_multichip(
     n_tiles = ntx * nty
     tiles_grp = n_tiles // n_dev
 
-    coefs, chunk_tile, chunk_nsub, _ = build_queue(
+    coefs, chunk_tile, chunk_nsub, chunk_last, _ = build_queue(
         verts_norm, tris, n, k_chunk=k_chunk
     )
     ct = np.asarray(chunk_tile)
     cn = np.asarray(chunk_nsub)
+    cl = np.asarray(chunk_last)
 
     outs = []
     for g, dev in enumerate(devices):
@@ -63,8 +64,10 @@ def voxelize_parity_multichip(
         nc = max(-(-(c1 - c0) // 128) * 128, 128)
         tile_g = np.full(nc, tiles_grp - 1, dtype=np.int32)
         nsub_g = np.zeros(nc, dtype=np.int32)
+        last_g = np.zeros(nc, dtype=np.int32)
         tile_g[: c1 - c0] = ct[c0:c1] - lo
         nsub_g[: c1 - c0] = cn[c0:c1]
+        last_g[: c1 - c0] = cl[c0:c1]
         start, end = c0 * k_chunk, (c0 + nc) * k_chunk
         coef_g = coefs[start : min(end, coefs.shape[0])]
         if end > coefs.shape[0]:
@@ -76,10 +79,11 @@ def voxelize_parity_multichip(
         coef_d = jax.device_put(coef_g, dev)
         tile_d = jax.device_put(jnp.asarray(tile_g), dev)
         nsub_d = jax.device_put(jnp.asarray(nsub_g), dev)
+        last_d = jax.device_put(jnp.asarray(last_g), dev)
         outs.append(
             _queue_run_group(
-                coef_d, tile_d, nsub_d, n, k_chunk, tiles_grp,
-                tile_off=lo, interpret=interpret,
+                coef_d, tile_d, nsub_d, last_d, n, k_chunk, tiles_grp,
+                tile_off=lo, interpret=interpret, static_trip=True,
             )
         )
     # the frame's one cross-chip transfer: gather group outputs

@@ -61,9 +61,10 @@ def test_queue_overflow_path():
     n = 128
     # shrink the span caps so the box faces overflow
     ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
-    coefs, ct, cf, stats = vq.build_queue(v, t, n, max_span_x=1, max_span_y=1)
+    coefs, ct, cf, cl, stats = vq.build_queue(v, t, n, max_span_x=1, max_span_y=1)
     assert stats.overflow > 0
     got = vq.voxelize_parity_queue_run(
-        coefs, np.asarray(ct), np.asarray(cf), n, interpret=True
+        coefs, np.asarray(ct), np.asarray(cf), np.asarray(cl), n,
+        interpret=True,
     )
     assert (np.asarray(ref) == np.asarray(got)).all()
