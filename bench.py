@@ -170,25 +170,26 @@ def main() -> int:
         slope(vox512_body, (10, 40), "dragon 512^3 voxelize kernel")
 
         # ---- reference-rule ray-stab (binned TraceRay analog) ---------------
-        from dxrvoxelizer_tpu.ops.raystab_fast import (
-            _raystab_query_all,
-            build_raystab_accel,
-        )
+        from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel
 
         accel = build_raystab_accel(
             scene64.buffers.positions_norm, scene64.buffers.tris, 64
         )
 
+        from dxrvoxelizer_tpu.ops.raystab_fast import _raystab_query_pallas
+
+        ks = tuple(int(cl[1].shape[1]) for cl in accel.dense)
+
         def stab_body(carry, _):
-            occ, _ = _raystab_query_all(
+            occ, _ = _raystab_query_pallas(
                 scene64.buffers.positions_norm + carry * 1e-38,
                 scene64.buffers.normals, scene64.buffers.tris,
-                accel.classes, accel.ov_ids, 64, 0.12, 32,
-                accel.stats.overflow > 0,
+                accel.dense, accel.ov_dense, 64, 0.12, ks,
+                accel.stats.overflow > 0, False,
             )
             return occ.reshape(-1)[0].astype(jnp.float32), None
 
-        slope(stab_body, (2, 8), "dragon ray-stab query 64^3")
+        slope(stab_body, (2, 8), "dragon ray-stab pallas query 64^3")
 
     value = vox_s * 1e3
     print(

@@ -30,18 +30,33 @@ def mt_hit(o, d, v0, e1, e2):
     on their leading axes (last axis = xyz). No backface culling; t >= 0
     (TMin = 0, TMax = 1e4, DXRVoxelizer.hlsl:76-77). t = +inf on miss.
 
-    Every caller (the oracle's brute-force scan and the binned fast path)
-    shares this exact expression sequence so closest-hit results agree
-    bit-for-bit.
+    Every implementation (the oracle's brute-force scan, the binned XLA
+    query, and the Pallas streaming kernel ops/raystab_pallas.py) shares
+    this exact SCALARIZED expression sequence — component-wise cross/dot
+    expansions, not jnp.cross/sum — so closest-hit results agree
+    bit-for-bit even on boundary-exact hits where a different
+    fused-multiply-add contraction would flip a comparison.
     """
-    p = jnp.cross(d, e2)
-    det = jnp.sum(e1 * p, axis=-1)
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    v0x, v0y, v0z = v0[..., 0], v0[..., 1], v0[..., 2]
+    e1x, e1y, e1z = e1[..., 0], e1[..., 1], e1[..., 2]
+    e2x, e2y, e2z = e2[..., 0], e2[..., 1], e2[..., 2]
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(jnp.abs(det) > EPS_DET, 1.0 / det, 0.0)
-    tvec = o - v0
-    u = jnp.sum(tvec * p, axis=-1) * inv_det
-    q = jnp.cross(tvec, e1)
-    v = jnp.sum(d * q, axis=-1) * inv_det
-    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     hit = (
         (jnp.abs(det) > EPS_DET)
         & (u >= 0.0)

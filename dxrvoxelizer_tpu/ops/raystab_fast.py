@@ -232,13 +232,14 @@ def bin_triangles_radial(
     while cap < max(max_bin, 1):
         cap *= 2
     table = _cell_table(sorted_tris, starts, counts, cap)
-    o_cap = 8
-    while o_cap < max(n_ov, 1):
-        o_cap *= 2
+    o_cap = max(-(-max(n_ov, 1) // 64) * 64, 8) if n_ov > 8 else 8
+    ov = ov_ids
+    if ov.shape[0] < o_cap:  # tiny meshes: pad the list up to the capacity
+        ov = jnp.pad(ov, (0, o_cap - ov.shape[0]), constant_values=-1)
     stats = RadialBinStats(
         n_cells=6 * g * g, capacity=cap, max_bin=max_bin, overflow=n_ov
     )
-    return table, counts_h, ov_ids[:o_cap], stats
+    return table, counts_h, ov[:o_cap], stats
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -370,6 +371,10 @@ class RaystabAccel:
 
     ``classes``: per capacity class, (cell_table [Cc,K], ray_table [Cc,R],
     scatter [Cc,R]) with the class's cells padded to a cell_chunk multiple.
+    ``dense``: per class, (rays [Cc,8,128], coefs [Cc,K,12], ids [Cc,K],
+    scatter128 [Cc,128]) pre-gathered for the Pallas streaming query, plus
+    ``ov_dense`` = (rays [V/128,8,128], coefs [O,12], ids [O]) for the
+    overflow brute pass. None when the grid's rays-per-cell exceed 128.
     """
 
     n: int
@@ -377,6 +382,48 @@ class RaystabAccel:
     classes: tuple
     ov_ids: jnp.ndarray
     stats: RadialBinStats
+    dense: tuple | None = None
+    ov_dense: tuple | None = None
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _dense_rays(ray_table128, n: int):
+    """Gather ray origins/dirs into the kernel layout [Cc, 8, 128]."""
+    pos, dirs = voxel_rays(n)
+    posp = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
+    dirsp = jnp.concatenate([dirs, jnp.zeros((1, 3), dirs.dtype)])
+    idx = jnp.where(ray_table128 >= 0, ray_table128, n * n * n)
+    o = posp[idx]  # [Cc, 128, 3]
+    d = dirsp[idx]
+    valid = (ray_table128 >= 0).astype(jnp.float32)[:, None, :]  # [Cc,1,128]
+    rows = jnp.concatenate(
+        [
+            jnp.swapaxes(o, 1, 2),  # [Cc, 3, 128]
+            jnp.swapaxes(d, 1, 2),
+            valid,
+            jnp.zeros_like(valid),
+        ],
+        axis=1,
+    )
+    return rows.astype(jnp.float32)
+
+
+@jax.jit
+def _dense_coefs(verts_norm, tris, ids):
+    """Gather candidate soups into [<ids shape>, 12].
+
+    Row layout: v0(3), e1(3), e2(3), global id as f32 (exact below 2^24;
+    padding slots get BIG so they lose every lexicographic tie), pad(2).
+    """
+    assert tris.shape[0] < 2**24, "triangle ids must be exact in f32"
+    v0, e1, e2 = intersect.triangle_soup(verts_norm, tris)
+    idf = jnp.arange(tris.shape[0], dtype=jnp.float32)[:, None]
+    cf = jnp.concatenate(
+        [v0, e1, e2, idf, jnp.zeros((tris.shape[0], 2), v0.dtype)], axis=-1
+    )  # [T, 12]
+    pad_row = jnp.zeros((1, 12), cf.dtype).at[0, 9].set(2.0**30)
+    cfp = jnp.concatenate([cf, pad_row])
+    return cfp[jnp.where(ids >= 0, ids, tris.shape[0])].astype(jnp.float32)
 
 
 def build_raystab_accel(
@@ -414,8 +461,45 @@ def build_raystab_accel(
         if pad:
             ct = jnp.concatenate([ct, jnp.full((pad, k), -1, ct.dtype)], axis=0)
         classes.append((ct, jnp.asarray(rt), jnp.asarray(sc)))
+
+    dense = None
+    ov_dense = None
+    r_cap = ray_table.shape[1]
+    if r_cap <= 128 and tris.shape[0] > 0:
+        dense = []
+        for ct, rt, sc in classes:
+            cc = ct.shape[0]
+            rt128 = np.full((cc, 128), -1, np.int32)
+            rt128[:, :r_cap] = np.asarray(rt)
+            sc128 = np.full((cc, 128), v, np.int32)
+            sc128[:, :r_cap] = np.asarray(sc)
+            dense.append((
+                _dense_rays(jnp.asarray(rt128), n),
+                _dense_coefs(verts_norm, tris, ct),
+                ct,
+                jnp.asarray(sc128),
+            ))
+        dense = tuple(dense)
+        n_ov_cap = int(ov_ids.shape[0])
+        pos, dirs = voxel_rays(n)
+        strips = v // 128
+        rays_ov = jnp.concatenate(
+            [
+                jnp.swapaxes(pos.reshape(strips, 128, 3), 1, 2),
+                jnp.swapaxes(dirs.reshape(strips, 128, 3), 1, 2),
+                jnp.ones((strips, 1, 128), jnp.float32),
+                jnp.zeros((strips, 1, 128), jnp.float32),
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        ov_dense = (
+            rays_ov,
+            _dense_coefs(verts_norm, tris, ov_ids),
+            jnp.where(ov_ids >= 0, ov_ids, jnp.int32(2**30)),
+        )
     return RaystabAccel(
-        n=n, g=g, classes=tuple(classes), ov_ids=ov_ids, stats=stats
+        n=n, g=g, classes=tuple(classes), ov_ids=ov_ids, stats=stats,
+        dense=dense, ov_dense=ov_dense,
     )
 
 
@@ -453,6 +537,48 @@ def _raystab_query_all(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n", "threshold", "ks", "with_overflow", "interpret"),
+)
+def _raystab_query_pallas(
+    verts_norm, normals, tris, dense, ov_dense, n: int, threshold: float,
+    ks: tuple, with_overflow: bool, interpret: bool,
+):
+    """One-dispatch Pallas query: streaming closest hit, zero gathers."""
+    from dxrvoxelizer_tpu.ops.raystab_pallas import stab_closest_hit
+
+    v = n * n * n
+    big = jnp.int32(2**30)
+    best_t = jnp.full((v + 1,), jnp.inf, jnp.float32)
+    best_i = jnp.full((v + 1,), big, jnp.int32)
+
+    for (rays, coefs, ids, scatter128), k in zip(dense, ks):
+        t_c, i_c = stab_closest_hit(
+            rays, coefs, k, shared=False, interpret=interpret
+        )
+        flat = scatter128.reshape(-1)
+        best_t = best_t.at[flat].set(t_c.reshape(-1), mode="drop")
+        best_i = best_i.at[flat].set(i_c.reshape(-1), mode="drop")
+    best_t, best_i = best_t[:v], best_i[:v]
+
+    pos, dirs = voxel_rays(n)
+    if with_overflow:
+        rays_ov, cf_ov, id_ov = ov_dense
+        t_ov, i_ov = stab_closest_hit(
+            rays_ov, cf_ov, int(cf_ov.shape[0]), shared=True,
+            interpret=interpret,
+        )
+        t_ov = t_ov.reshape(-1)
+        i_ov = i_ov.reshape(-1)
+        closer = (t_ov < best_t) | ((t_ov == best_t) & (i_ov < best_i))
+        best_t = jnp.where(closer, t_ov, best_t)
+        best_i = jnp.where(closer, i_ov, best_i)
+    return _finalize(
+        verts_norm, normals, tris, pos, dirs, best_t, best_i, n, threshold
+    )
+
+
 def raystab_query(
     verts_norm: jnp.ndarray,
     normals: jnp.ndarray,
@@ -460,8 +586,27 @@ def raystab_query(
     accel: RaystabAccel,
     threshold: float = INSIDE_THRESHOLD,
     cell_chunk: int = 32,
+    impl: str = "auto",
+    interpret: bool = False,
 ):
-    """Per-frame trace against a built accel -> (occupancy, rgba)."""
+    """Per-frame trace against a built accel -> (occupancy, rgba).
+
+    ``impl``: "pallas" (streaming kernel, TPU production path), "xla"
+    (gather-based), or "auto" (pallas when dense tables exist and the
+    backend supports it).
+    """
+    if impl == "auto":
+        use_pallas = accel.dense is not None and (
+            interpret or jax.default_backend() != "cpu"
+        )
+    else:
+        use_pallas = impl == "pallas" and accel.dense is not None
+    if use_pallas:
+        ks = tuple(int(c[1].shape[1]) for c in accel.dense)
+        return _raystab_query_pallas(
+            verts_norm, normals, tris, accel.dense, accel.ov_dense,
+            accel.n, threshold, ks, accel.stats.overflow > 0, interpret,
+        )
     return _raystab_query_all(
         verts_norm, normals, tris, accel.classes, accel.ov_ids, accel.n,
         threshold, cell_chunk, accel.stats.overflow > 0,

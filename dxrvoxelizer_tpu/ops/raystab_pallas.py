@@ -1,0 +1,171 @@
+"""Pallas closest-hit kernel for the binned ray-stab query.
+
+The XLA query (ops/raystab_fast.py) is gather-bound: every cell block
+re-gathers ray origins/directions and triangle soups. Here both are
+**pre-gathered into dense per-cell tables once at accel-build time** (the
+ray->cell grouping is static per grid size, the candidates static per mesh),
+so the per-frame query streams with zero gathers:
+
+- grid step = 8 direction cells x one candidate chunk; per cell, rays live
+  on the 128 lanes and candidates stream 8-at-a-time on the sublane axis
+  (one [8,128] Moller-Trumbore block per sub-step, the same scalarized
+  expression order as ops/intersect.py mt_hit, so results are bit-identical
+  to the oracle);
+- the global triangle id rides in the coefficient table as a float row
+  (exact for ids < 2^24), so the winner fold is a pure [8,128] lexicographic
+  (closest t, then lowest id) min — order-independent, matching the
+  oracle's scan-order rule — with no integer relayouts;
+- candidate chunks revisit their output block across the minor grid axis,
+  bounding VMEM for large capacity classes;
+- a shared-candidate variant (``shared=True``) runs the brute-force pass
+  over the overflow triangles: the grid walks 128-ray strips and every step
+  streams the same candidate block.
+
+Outputs (t, global id) per ray feed ops/raystab_fast.py's finalize stage.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dxrvoxelizer_tpu.ops.intersect import EPS_DET, T_MAX
+
+CELLS_PER_STEP = 8
+K_BLOCK = 256  # candidate chunk per grid step (VMEM bound)
+BIG_ID = 2**30  # exactly representable in f32
+NCF = 12  # v0(3) e1(3) e2(3) id(1) pad(2)
+ID_ROW = 9
+
+
+def _lexmin(t1, i1, t2, i2):
+    take = (t2 < t1) | ((t2 == t1) & (i2 < i1))
+    return jnp.where(take, t2, t1), jnp.where(take, i2, i1)
+
+
+def _stab_kernel(ray_ref, coef_ref, t_ref, i_ref, *, kblk: int, shared: bool):
+    """One grid step: 8 cells' rays vs one chunk of their candidates.
+
+    ray_ref: [8, 8, 128] f32 — per cell, rows (ox,oy,oz,dx,dy,dz,valid,pad)
+    coef_ref: [8, kblk, 12] (or [kblk, 12] when shared) — v0,e1,e2,id,pad
+    t_ref/i_ref: [8, 128] f32 — closest t (+inf miss) and its id (as float),
+        accumulated across the candidate-chunk grid axis
+    """
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        t_ref[...] = jnp.full_like(t_ref, jnp.inf)
+        i_ref[...] = jnp.full_like(i_ref, float(BIG_ID))
+
+    for ci in range(CELLS_PER_STEP):
+        ox = ray_ref[ci, 0:1, :]
+        oy = ray_ref[ci, 1:2, :]
+        oz = ray_ref[ci, 2:3, :]
+        dx = ray_ref[ci, 3:4, :]
+        dy = ray_ref[ci, 4:5, :]
+        dz = ray_ref[ci, 5:6, :]
+
+        def step(g, carry, ci=ci, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz):
+            bt, bi = carry
+            if shared:
+                cf = coef_ref[pl.ds(g * 8, 8), :]  # [8, 12]
+            else:
+                cf = coef_ref[ci, pl.ds(g * 8, 8), :]
+
+            def col(j):
+                return cf[:, j : j + 1]  # [8,1]
+
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            ids = col(ID_ROW)  # [8,1] f32
+
+            # scalarized mt_hit expression order (ops/intersect.py)
+            px = dy * e2z - dz * e2y  # [8,128]
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = jnp.where(jnp.abs(det) > EPS_DET, 1.0 / det, 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * px + tvy * py + tvz * pz) * inv
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = (
+                (jnp.abs(det) > EPS_DET)
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= 0.0) & (t <= T_MAX)
+            )
+            tt = jnp.where(hit, t, jnp.inf)
+            ii = jnp.where(hit, ids, float(BIG_ID))  # [8,1] -> broadcast
+
+            t4, i4 = _lexmin(tt[0:4], ii[0:4], tt[4:8], ii[4:8])
+            t2, i2 = _lexmin(t4[0:2], i4[0:2], t4[2:4], i4[2:4])
+            t1, i1 = _lexmin(t2[0:1], i2[0:1], t2[1:2], i2[1:2])
+            return _lexmin(bt, bi, t1, i1)
+
+        init = (t_ref[ci : ci + 1, :], i_ref[ci : ci + 1, :])
+        bt, bi = jax.lax.fori_loop(0, kblk // 8, step, init, unroll=True)
+        t_ref[ci : ci + 1, :] = bt
+        i_ref[ci : ci + 1, :] = bi
+
+
+@partial(jax.jit, static_argnames=("k", "shared", "interpret"))
+def stab_closest_hit(
+    rays: jnp.ndarray,  # [C, 8, 128] f32
+    coefs: jnp.ndarray,  # [C, K, 12] f32 (or [K, 12] when shared)
+    k: int,
+    shared: bool = False,
+    interpret: bool = False,
+):
+    """Closest hit per ray slot -> (t [C,128] f32, id [C,128] i32)."""
+    c = rays.shape[0]
+    assert c % CELLS_PER_STEP == 0 and k % 8 == 0
+    steps = c // CELLS_PER_STEP
+    kblk = min(k, K_BLOCK)
+    k_steps = k // kblk
+    if shared:
+        coef_spec = pl.BlockSpec(
+            (kblk, NCF), lambda i, kc: (kc, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        coef_spec = pl.BlockSpec(
+            (CELLS_PER_STEP, kblk, NCF), lambda i, kc: (i, kc, 0),
+            memory_space=pltpu.VMEM,
+        )
+    t_out, i_out = pl.pallas_call(
+        partial(_stab_kernel, kblk=kblk, shared=shared),
+        grid=(steps, k_steps),
+        in_specs=[
+            pl.BlockSpec(
+                (CELLS_PER_STEP, 8, 128), lambda i, kc: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            coef_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, coefs)
+    return t_out, i_out.astype(jnp.int32)

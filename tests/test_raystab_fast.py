@@ -104,3 +104,18 @@ def test_pipeline_caches_accel_and_rebuilds_on_deform():
     pipe.frame(fc)
     assert pipe._stab_accel is not a1  # rebuilt after deform
     pipe.sync()
+
+
+@pytest.mark.parametrize("name", ["tet", "box", "ico"])
+def test_pallas_query_matches_oracle(name):
+    """The streaming Pallas kernel (interpret mode) is bit-exact too."""
+    v, nr, t = _cases()[name]
+    v, nr, t = jnp.asarray(v), jnp.asarray(nr), jnp.asarray(t, jnp.int32)
+    n = 32
+    occ_r, rgba_r = voxelize_raystab_ref(v, nr, t, n=n, ray_chunk=2048)
+    accel = build_raystab_accel(v, t, n=n)
+    occ_p, rgba_p = raystab_query(
+        v, nr, t, accel, impl="pallas", interpret=True
+    )
+    assert (np.asarray(occ_r) == np.asarray(occ_p)).all()
+    np.testing.assert_array_equal(np.asarray(rgba_r), np.asarray(rgba_p))
