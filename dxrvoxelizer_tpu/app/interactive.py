@@ -88,6 +88,10 @@ def run_interactive(engine: Engine, cam: OrbitCamera, max_frames: int | None,
                     p = engine.pipeline
                     p.vox_impl = "xla" if p.vox_impl != "xla" else "auto"
                     print(f"voxelizer path -> {p.vox_impl}")
+                elif k in ("+", "="):
+                    cam.zoom(1.0)  # OnMouseWheel analog
+                elif k == "-":
+                    cam.zoom(-1.0)
                 elif k in ("q", "\x1b"):
                     break
             if paused:

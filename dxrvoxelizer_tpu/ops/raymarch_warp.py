@@ -150,6 +150,7 @@ def light_sweep_host(density: jnp.ndarray, light_local: np.ndarray,
     jax.jit,
     static_argnames=(
         "n", "m", "width", "height", "axis", "flip", "swap", "use_pallas",
+        "res_win",
     ),
 )
 def _shearwarp_core(
@@ -166,6 +167,7 @@ def _shearwarp_core(
     flip: bool,
     swap: bool,
     use_pallas: bool,
+    res_win: int = 32,
 ):
     perm = _perm_for_axis(axis)
     inv_scale = jnp.asarray(TEX_SCALE)[jnp.asarray(perm)]
@@ -251,10 +253,15 @@ def _shearwarp_core(
     sx = jnp.arange(width, dtype=jnp.float32) + 0.5
     sy = jnp.arange(height, dtype=jnp.float32) + 0.5
     px, py = jnp.meshgrid(sx, sy, indexing="xy")
-    screen = jnp.stack([px, py, jnp.zeros_like(px), jnp.ones_like(px)], axis=-1)
-    h4 = jnp.matmul(
-        screen.reshape(-1, 4), screen_to_local,
-        precision=jax.lax.Precision.HIGHEST,
+    # screen point is (px, py, 0, 1): the matmul row-combination is a pure
+    # elementwise affine — f32 exact and ~10x cheaper than a [2M,4]@[4,4]
+    # HIGHEST-precision matmul on the MXU
+    pxf = px.reshape(-1, 1)
+    pyf = py.reshape(-1, 1)
+    h4 = (
+        pxf * screen_to_local[0][None, :]
+        + pyf * screen_to_local[1][None, :]
+        + screen_to_local[3][None, :]
     )
     pos_n = h4[:, :3] / h4[:, 3:4]
     d_n = pos_n - eye_local
@@ -295,7 +302,8 @@ def _shearwarp_core(
         bx, by = _to_blocks(gi_x, width, height), _to_blocks(gi_y, width, height)
         bm = _to_blocks(ok.astype(jnp.float32), width, height)
         sc_b, tr_b = bilinear_resolve(
-            scatter_i, transmit_i, bx, by, mask=bm.astype(jnp.int32)
+            scatter_i, transmit_i, bx, by, mask=bm.astype(jnp.int32),
+            win=res_win,
         )
         sc = _from_blocks(sc_b, width, height)
         tr = _from_blocks(tr_b, width, height)
@@ -391,8 +399,13 @@ def raymarch_shearwarp(
     axis, flip, swap = _tex_params(eye_np, s2l_np, width, height)
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    # a 32x32-pixel tile's source rows span about 32 * 1.2 * m / box_px
+    # intermediate rows (+2 guard); halve the resolver window when that
+    # bound proves 16 suffices
+    box_px = _box_screen_px(s2l_np, width, height)
+    res_win = 16 if 32 * 1.2 * m / box_px + 2.0 <= 16.0 else 32
     return _shearwarp_core(
         density, light_vol, jnp.asarray(s2l_np), jnp.asarray(eye_np),
         jnp.asarray(np.asarray(clear_color, np.float32)),
-        n, m, width, height, axis, flip, swap, use_pallas,
+        n, m, width, height, axis, flip, swap, use_pallas, res_win=res_win,
     )

@@ -32,66 +32,84 @@ M_SUPPORTED = 128  # intermediate resolution with native lane width
 WIN = 32
 
 
+TILES_PER_STEP = 8  # pixel tiles per grid step (amortizes step plumbing)
+
+
 def _resolve_kernel(
-    sc_ref, tr_ref, gx_ref, gy_ref, mask_ref, osc_ref, otr_ref, *, m: int
+    sc_ref, tr_ref, gx_ref, gy_ref, mask_ref, osc_ref, otr_ref, *, m: int,
+    win: int,
 ):
-    gx = gx_ref[0]  # (8,128) source row coordinate (x index of intermediate)
-    gy = gy_ref[0]  # (8,128) source column coordinate
-    mask = mask_ref[0] > 0  # lanes whose result is consumed
-    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, m - 1)
-    x1 = jnp.clip(x0 + 1, 0, m - 1)
-    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, m - 1)
-    y1 = jnp.clip(y0 + 1, 0, m - 1)
-    # fractions from the *clamped* base texel (edge-clamp semantics)
-    fx = jnp.clip(gx - x0.astype(jnp.float32), 0.0, 1.0)
-    fy = jnp.clip(gy - y0.astype(jnp.float32), 0.0, 1.0)
+    for b in range(TILES_PER_STEP):
+        mask = mask_ref[b] > 0  # lanes whose result is consumed
+        any_hit = jnp.sum(mask_ref[b]) > 0
 
-    # window from consumed lanes only (miss pixels may point anywhere)
-    rmin = jnp.clip(jnp.min(jnp.where(mask, x0, m - 1)), 0, m - WIN)
-    rr0 = jnp.clip(x0 - rmin, 0, WIN - 1)
-    rr1 = jnp.clip(x1 - rmin, 0, WIN - 1)
+        @pl.when(jnp.logical_not(any_hit))
+        def _(b=b):
+            # pure-background tile (most of a 1080p frame): nothing to do
+            osc_ref[b] = jnp.zeros_like(osc_ref[b])
+            otr_ref[b] = jnp.ones_like(otr_ref[b])
 
-    def sample(img_ref):
-        win = img_ref[pl.ds(rmin, WIN), :]  # (WIN, m)
-        zero = jnp.zeros(gx.shape, jnp.float32)
-        v00 = v01 = v10 = v11 = zero
-        for k in range(WIN):
-            rowb = jnp.broadcast_to(win[k : k + 1, :], gx.shape)
-            g0 = jnp.take_along_axis(rowb, y0, axis=1)
-            g1 = jnp.take_along_axis(rowb, y1, axis=1)
-            v00 = jnp.where(rr0 == k, g0, v00)
-            v10 = jnp.where(rr1 == k, g0, v10)
-            v01 = jnp.where(rr0 == k, g1, v01)
-            v11 = jnp.where(rr1 == k, g1, v11)
-        return (
-            v00 * (1 - fx) * (1 - fy)
-            + v10 * fx * (1 - fy)
-            + v01 * (1 - fx) * fy
-            + v11 * fx * fy
-        )
+        @pl.when(any_hit)
+        def _(b=b, mask=mask):
+            gx = gx_ref[b]  # (8,128) source row coordinate (intermediate x)
+            gy = gy_ref[b]  # (8,128) source column coordinate
+            x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, m - 1)
+            x1 = jnp.clip(x0 + 1, 0, m - 1)
+            y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, m - 1)
+            y1 = jnp.clip(y0 + 1, 0, m - 1)
+            # fractions from the *clamped* base texel (edge-clamp semantics)
+            fx = jnp.clip(gx - x0.astype(jnp.float32), 0.0, 1.0)
+            fy = jnp.clip(gy - y0.astype(jnp.float32), 0.0, 1.0)
 
-    osc_ref[0] = sample(sc_ref)
-    otr_ref[0] = sample(tr_ref)
+            # window from consumed lanes only (misses may point anywhere)
+            rmin = jnp.clip(jnp.min(jnp.where(mask, x0, m - 1)), 0, m - win)
+            rr0 = jnp.clip(x0 - rmin, 0, win - 1)
+            rr1 = jnp.clip(x1 - rmin, 0, win - 1)
+
+            def sample(img_ref):
+                w = img_ref[pl.ds(rmin, win), :]  # (win, m)
+                zero = jnp.zeros(gx.shape, jnp.float32)
+                v00 = v01 = v10 = v11 = zero
+                for k in range(win):
+                    rowb = jnp.broadcast_to(w[k : k + 1, :], gx.shape)
+                    g0 = jnp.take_along_axis(rowb, y0, axis=1)
+                    g1 = jnp.take_along_axis(rowb, y1, axis=1)
+                    v00 = jnp.where(rr0 == k, g0, v00)
+                    v10 = jnp.where(rr1 == k, g0, v10)
+                    v01 = jnp.where(rr0 == k, g1, v01)
+                    v11 = jnp.where(rr1 == k, g1, v11)
+                return (
+                    v00 * (1 - fx) * (1 - fy)
+                    + v10 * fx * (1 - fy)
+                    + v01 * (1 - fx) * fy
+                    + v11 * fx * fy
+                )
+
+            osc_ref[b] = sample(sc_ref)
+            otr_ref[b] = sample(tr_ref)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("win", "interpret"))
 def bilinear_resolve(
     scatter_i: jnp.ndarray,
     transmit_i: jnp.ndarray,
     gi_x: jnp.ndarray,
     gi_y: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    win: int = WIN,
     interpret: bool = False,
 ):
     """Bilinear-sample both intermediates at (gi_x, gi_y) -> (sc, tr) [P].
 
     ``mask``: lanes whose results are consumed (miss pixels excluded from the
-    coherence-window computation; their outputs are garbage).
+    coherence-window computation; their outputs are garbage). ``win`` is the
+    static per-tile row window; callers may halve it when the magnification
+    bound proves a 32x32-pixel tile can't span more rows.
     """
     m = scatter_i.shape[0]
     assert m == M_SUPPORTED, f"pallas resolve supports M={M_SUPPORTED}, got {m}"
     p = gi_x.shape[0]
-    pad = (-p) % 1024
+    pad = (-p) % (1024 * TILES_PER_STEP)
     if mask is None:
         mask = jnp.ones((p,), jnp.int32)
     # edge-pad: zero-padding would break the last tile's row coherence
@@ -102,20 +120,21 @@ def bilinear_resolve(
     gx = gx.reshape(tiles, 8, 128)
     gy = gy.reshape(tiles, 8, 128)
     mk = mk.reshape(tiles, 8, 128)
+    ts = TILES_PER_STEP
 
     sc, tr = pl.pallas_call(
-        partial(_resolve_kernel, m=m),
-        grid=(tiles,),
+        partial(_resolve_kernel, m=m, win=win),
+        grid=(tiles // ts,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scatter (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # transmit (full)
-            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((tiles, 8, 128), jnp.float32),

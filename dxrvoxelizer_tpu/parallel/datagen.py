@@ -91,3 +91,36 @@ def voxelize_batch(
     mesh i.
     """
     return [voxelize_mesh_file(p, n=n, impl=impl, out_dir=out_dir) for p in paths]
+
+
+def main(argv=None) -> int:
+    """CLI: ``python -m dxrvoxelizer_tpu.parallel.datagen mesh1.obj ...``
+
+    The Thingi10K throughput config (BASELINE.json): voxelize a mesh list at
+    128^3 and write packed ``.npy`` grids.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("meshes", nargs="+", help="OBJ files to voxelize")
+    ap.add_argument("-grid", type=int, default=128)
+    ap.add_argument("-out", default="datagen_out")
+    ap.add_argument("-impl", default="auto",
+                    choices=["auto", "queue", "pallas", "xla"])
+    args = ap.parse_args(argv)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    results = voxelize_batch(
+        args.meshes, n=args.grid, impl=args.impl, out_dir=args.out
+    )
+    dt = _time.perf_counter() - t0
+    for r in results:
+        print(f"{r.path}: {r.occupied} occupied -> {r.out_file}")
+    print(f"{len(results)} meshes at {args.grid}^3 in {dt:.2f}s "
+          f"({len(results)/max(dt,1e-9):.2f} mesh/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
