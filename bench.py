@@ -191,6 +191,18 @@ def main() -> int:
 
         slope(stab_body, (2, 8), "dragon ray-stab pallas query 64^3")
 
+        # ---- deforming mesh: re-bin + re-voxelize every frame ----------------
+        from dxrvoxelizer_tpu.ops.voxelize_queue import DeformingVoxelizer
+
+        dv = DeformingVoxelizer(verts, tris, n)
+
+        def deform_body(carry, _):
+            words = dv(verts * (1.0 + carry * 1e-12))
+            return jnp.float32(words[0, 0, 0] % 2), None
+
+        slope(deform_body, (10, 40),
+              f"dragon deforming re-bin+voxelize {n}^3 (device layout)")
+
     value = vox_s * 1e3
     print(
         json.dumps(

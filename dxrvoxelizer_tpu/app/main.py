@@ -83,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg,
         vox_impl=extras["vox_impl"],
         render_impl=extras["render_impl"],
+        deforming=extras["deform"],
     )
     cam = OrbitCamera(cfg.width, cfg.height)
     timer = StepTimer()

@@ -213,14 +213,17 @@ class FramePipeline:
     """
 
     def __init__(self, cfg: VoxelizerConfig, mesh: MeshBuffers,
-                 vox_impl: str = "auto", render_impl: str = "warp"):
+                 vox_impl: str = "auto", render_impl: str = "warp",
+                 deforming: bool = False):
         self.cfg = cfg
         self.mesh = mesh
         self.vox_impl = vox_impl
         self.render_impl = render_impl
+        self.deforming = deforming
         self._inflight: list[jax.Array] = []
         self._stab_accel = None
         self._stab_mesh = None  # identity of the mesh the accel was built for
+        self._deformer = None  # lazy DeformingVoxelizer (fixed topology)
 
     def _raystab_accel(self):
         """Build-once direction-space accel; rebuilt when ``self.mesh`` is
@@ -242,11 +245,32 @@ class FramePipeline:
         if self.cfg.inside_mode == "raystab" and self.vox_impl != "xla":
             accel = self._raystab_accel()
         with jax.named_scope("voxelize"):
-            grid = voxelize(
-                self.mesh, self.cfg.grid_size, mode=self.cfg.inside_mode,
-                impl=self.vox_impl, quantize=not self.cfg.use_mutex,
-                accel=accel,
-            )
+            if (
+                self.deforming
+                and self.cfg.inside_mode == "parity"
+                and self.vox_impl in ("auto", "queue")
+                and _pallas_ok(self.cfg.grid_size)
+            ):
+                # fixed-topology deforming path: device-only queue rebuild,
+                # zero host syncs per frame (ops/voxelize_queue.py)
+                if self._deformer is None:
+                    from dxrvoxelizer_tpu.ops.voxelize_queue import (
+                        DeformingVoxelizer,
+                    )
+
+                    self._deformer = DeformingVoxelizer(
+                        self.mesh.positions_norm, self.mesh.tris,
+                        self.cfg.grid_size,
+                    )
+                grid = VoxelGrid(
+                    words=self._deformer(self.mesh.positions_norm)
+                )
+            else:
+                grid = voxelize(
+                    self.mesh, self.cfg.grid_size, mode=self.cfg.inside_mode,
+                    impl=self.vox_impl, quantize=not self.cfg.use_mutex,
+                    accel=accel,
+                )
         with jax.named_scope("raycast"):
             img = render(grid, consts, self.cfg, impl=self.render_impl)
         self._inflight.append(img)

@@ -27,11 +27,13 @@ class Engine:
     """Load once, then per frame: ``update_frame`` + ``render``."""
 
     def __init__(self, cfg: VoxelizerConfig, scene: Scene | None = None,
-                 vox_impl: str = "auto", render_impl: str = "warp"):
+                 vox_impl: str = "auto", render_impl: str = "warp",
+                 deforming: bool = False):
         self.cfg = cfg
         self.scene = scene if scene is not None else Scene.load(cfg)
         self.pipeline = FramePipeline(
-            cfg, self.scene.buffers, vox_impl=vox_impl, render_impl=render_impl
+            cfg, self.scene.buffers, vox_impl=vox_impl,
+            render_impl=render_impl, deforming=deforming,
         )
         self._consts: list[FrameConstants | None] = [None] * FRAME_COUNT
         self.last_grid: VoxelGrid | None = None

@@ -190,9 +190,11 @@ def _cone_phase_a(verts_norm, tris, g: int, span: int):
         jnp.arange(t_count, dtype=jnp.int32)[None, :],
         (6 * span * span, t_count),
     ).reshape(-1)
-    order = jnp.argsort(keys, stable=True)
-    sorted_keys = keys[order]
-    sorted_tris = tri_ids[order]
+    # payload-carrying sort (see ops/voxelize_queue.py: post-sort gathers
+    # cost several times the sort itself on TPU)
+    sorted_keys, sorted_tris = jax.lax.sort(
+        (keys, tri_ids), dimension=0, is_stable=True, num_keys=1
+    )
     starts = jnp.searchsorted(
         sorted_keys, jnp.arange(n_cells + 1, dtype=jnp.int32)
     )

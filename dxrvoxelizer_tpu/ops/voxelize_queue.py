@@ -227,9 +227,11 @@ def _queue_phase_a(verts_norm, tris, n: int, max_span_x: int, max_span_y: int):
         (max_span_x * max_span_y, t_count),
     ).reshape(-1)
 
-    order = jnp.argsort(keys, stable=True)
-    sorted_keys = keys[order]
-    sorted_tris = tri_ids[order]
+    # payload-carrying sort: `keys[argsort]`-style post-gathers cost ~3x the
+    # sort itself on TPU
+    sorted_keys, sorted_tris = jax.lax.sort(
+        (keys, tri_ids), dimension=0, is_stable=True, num_keys=1
+    )
     starts = jnp.searchsorted(sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32))
     counts = starts[1:] - starts[:-1]
     ov_ids = jnp.nonzero(overflow_mask, size=t_count, fill_value=-1)[0]
@@ -484,3 +486,117 @@ def voxelize_parity_queue(
         coefs, np.asarray(chunk_tile), np.asarray(chunk_nsub),
         np.asarray(chunk_last), n, k_chunk=k_chunk, interpret=interpret,
     )
+
+
+# ---- deforming-mesh path: device-only queue build ---------------------------
+
+@partial(jax.jit, static_argnames=("n", "num_chunks", "k_chunk", "max_span_x",
+                                   "max_span_y"))
+def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
+                        k_chunk: int, max_span_x: int, max_span_y: int):
+    """Fully-on-device queue build (no host sync) for per-frame rebinning.
+
+    ``num_chunks`` is a static capacity (see :func:`deforming_voxelizer`);
+    frames whose queue exceeds it raise via the checked overflow word.
+    Returns (coefs, chunk_tile, chunk_nsub, chunk_last, ok) — the prefetch
+    arrays are traced device values, which PrefetchScalarGridSpec accepts.
+    """
+    ntx, nty = n // TILE_X, n // TILE_Y
+    n_tiles = ntx * nty
+    coef, sorted_tris, starts, counts, ov_ids, n_ov = _queue_phase_a(
+        verts_norm, tris, n, max_span_x, max_span_y
+    )
+    s_total = sorted_tris.shape[0]
+    t_count = coef.shape[0]
+
+    per_tile = jnp.where((counts > 0) | (n_ov > 0), counts + n_ov, 0)
+    cpt = (per_tile + k_chunk - 1) // k_chunk  # chunks per tile
+    first_chunk = jnp.concatenate(
+        [jnp.zeros((1,), cpt.dtype), jnp.cumsum(cpt)[:-1]]
+    )
+    total_chunks = first_chunk[-1] + cpt[-1]
+    ok = total_chunks <= num_chunks
+
+    # chunk j -> tile: repeat-via-searchsorted on the chunk cumsum
+    bounds = first_chunk + cpt  # end chunk (exclusive) per tile
+    j = jnp.arange(num_chunks, dtype=jnp.int32)
+    tile_of = jnp.searchsorted(bounds, j, side="right").astype(jnp.int32)
+    valid_chunk = j < total_chunks
+    tile_of = jnp.where(valid_chunk, jnp.minimum(tile_of, n_tiles - 1),
+                        n_tiles - 1)
+    within = j - first_chunk[tile_of]
+    remaining = per_tile[tile_of] - within * k_chunk
+    nsub = jnp.where(
+        valid_chunk,
+        (jnp.clip(remaining, 0, k_chunk) + SUB - 1) // SUB,
+        0,
+    ).astype(jnp.int32)
+    last = (valid_chunk & (within == cpt[tile_of] - 1)).astype(jnp.int32)
+
+    # slot -> row of [sorted_tris | ov_ids | sentinel]
+    slot = jnp.arange(num_chunks * k_chunk, dtype=jnp.int32)
+    cs = slot // k_chunk
+    t_of = tile_of[cs]
+    t_idx = slot - (first_chunk[t_of] * k_chunk).astype(jnp.int32)
+    t_idx = jnp.where(cs < total_chunks, t_idx, -1)
+    cnt = counts[t_of]
+    in_run = (t_idx >= 0) & (t_idx < cnt)
+    in_ov = (t_idx >= cnt) & (t_idx < cnt + n_ov)
+    rows = jnp.where(
+        in_run,
+        starts[:-1][t_of] + t_idx,
+        jnp.where(in_ov, s_total + (t_idx - cnt), -1),
+    )
+    combined = jnp.concatenate(
+        [sorted_tris, ov_ids.astype(jnp.int32), jnp.full((1,), -1, jnp.int32)]
+    )
+    tri_id = combined[jnp.clip(rows, 0, combined.shape[0] - 1)]
+    tri_id = jnp.where(rows < 0, -1, tri_id)
+    coef_padded = jnp.concatenate(
+        [coef, jnp.zeros((1, NCOEF), dtype=coef.dtype)], axis=0
+    )
+    coefs = coef_padded[jnp.where(tri_id < 0, t_count, tri_id)]
+    return coefs.reshape(num_chunks * k_chunk, NCOEF), tile_of, nsub, last, ok
+
+
+class DeformingVoxelizer:
+    """Per-frame re-bin + voxelize with zero host syncs after warmup.
+
+    The reference rebuilds nothing per frame (static AS) but re-voxelizes;
+    the BASELINE.json deforming config re-bins too. The chunk capacity is
+    sized from the rest mesh (x ``headroom``); a frame that overflows it
+    raises (grow and retry by constructing a new instance).
+    """
+
+    def __init__(self, verts_norm, tris, n: int, k_chunk: int = 64,
+                 headroom: float = 1.5):
+        ntx, nty = n // TILE_X, n // TILE_Y
+        bytes_full = ntx * nty * (n // 32) * 128 * 4
+        assert bytes_full <= VMEM_OUT_BUDGET, (
+            "deforming path needs a single resident tile group "
+            f"(grid {n} exceeds it; use the host-layout builder)"
+        )
+        _, _, _, _, stats = build_queue(verts_norm, tris, n, k_chunk=k_chunk)
+        cap = int(stats.real_chunks * headroom) + 8
+        self.num_chunks = -(-cap // 128) * 128
+        self.n = n
+        self.n_tiles = ntx * nty
+        self.k_chunk = k_chunk
+        self.tris = tris
+
+    def __call__(self, verts_norm, check: bool = False):
+        """Deformed vertices -> packed occupancy words [N,N,N//32]."""
+        coefs, tile_of, nsub, last, ok = _build_queue_device(
+            verts_norm, self.tris, self.n, self.num_chunks, self.k_chunk,
+            4, 8,
+        )
+        if check and not bool(ok):  # host sync only when asked
+            raise RuntimeError(
+                "deforming queue overflowed its capacity; rebuild with more "
+                "headroom"
+            )
+        out = _queue_run_group(
+            coefs, tile_of, nsub, last, self.n, self.k_chunk, self.n_tiles,
+            tile_off=0, static_trip=False,
+        )
+        return _tiles_to_grid(out, self.n)

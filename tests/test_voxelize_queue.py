@@ -68,3 +68,29 @@ def test_queue_overflow_path():
         interpret=True,
     )
     assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+def test_deforming_voxelizer_device_layout():
+    """The no-host-sync device queue build matches the oracle across
+    deformed frames (the BASELINE deforming-mesh config)."""
+    v, t = _cases()["tet"]
+    v = jnp.asarray(v, jnp.float32)
+    t = jnp.asarray(t, jnp.int32)
+    n = 64
+    from dxrvoxelizer_tpu.ops.voxelize_queue import (
+        _build_queue_device, _queue_run_group, _tiles_to_grid,
+    )
+
+    for scale in (1.0, 1.05, 0.93):
+        vv = v * scale
+        ref = pack_bits_z(voxelize_parity_ref(vv, t, n=n))
+        coefs, tile_of, nsub, last, ok = _build_queue_device(
+            vv, t, n, 128, 64, 4, 8
+        )
+        assert bool(ok)
+        out = _queue_run_group(
+            coefs, tile_of, nsub, last, n, 64, 32,
+            tile_off=0, static_trip=False, interpret=True,
+        )
+        got = _tiles_to_grid(out, n)
+        assert (np.asarray(ref) == np.asarray(got)).all(), scale
