@@ -10,12 +10,14 @@ kernel removes both costs; same math, bit-identical output:
   tests instead of 1024 — binning granularity matches the VPU register shape;
 - **an exact work queue instead of padded bins**: chunks of ``k_chunk``
   triangles are laid out back-to-back per tile in one flat array; the Pallas
-  grid runs over *chunks*, and two scalar-prefetch arrays map each chunk to
-  its output tile and give its real sub-block count (the dynamic inner trip
-  bound — queue padding costs zero compute). Tiles with many triangles get
+  grid runs over *chunks*, and three scalar-prefetch arrays map each chunk
+  to its output tile, give its sub-block count, and flag a tile's final
+  chunk (which converts the tile in place). Tiles with many triangles get
   many chunks, empty tiles get none (the DXR analog: rays traverse only
   their own BVH subtree, reference Voxelizer.cpp:313-323 builds exactly
-  that);
+  that). The inner loop is statically unrolled over zero-padded slots — a
+  dynamic trip bound costs more in while-loop overhead than the padded
+  no-op compute it skips (use static_trip=False only for traced layouts);
 - **VMEM-resident output**: per-grid-step output traffic (dynamic output
   blocks or per-tile writeback DMA) measures ~1 us/step of scalar plumbing —
   more than the compute itself. The whole packed grid (2 MB at 256^3)
@@ -115,8 +117,9 @@ def _queue_kernel(tile_ref, nsub_ref, last_ref, coef_ref, out_ref, *, n: int,
         # suffix-bit formulation: a crossing with cutoff m flips voxels
         # k < m, i.e. contributes ONE bit at position m-1 of the
         # crossing-bit field; occupancy = suffix parity of that field,
-        # recovered by suffix_parity_words() after the launch. One bit
-        # means one masked select per word instead of a full prefix mask.
+        # recovered in place on the tile's last chunk (below) — see also
+        # suffix_parity_words(), the jnp reference of the conversion. One
+        # bit means one masked select per word instead of a prefix mask.
         ci = cutoff - 1  # -1 (no crossing below any voxel) matches no word
         pw = ci >> 5  # arithmetic shift: -1 -> -1
         bitsel = (jnp.int32(1) << (ci & 31)) & cov_mask  # (SUB,128)

@@ -94,3 +94,19 @@ def test_deforming_voxelizer_device_layout():
         )
         got = _tiles_to_grid(out, n)
         assert (np.asarray(ref) == np.asarray(got)).all(), scale
+
+
+def test_suffix_parity_reference():
+    """The jnp suffix-parity reference matches a brute-force bit loop (the
+    in-kernel conversion implements the same recurrence)."""
+    rng = np.random.default_rng(3)
+    words = jnp.asarray(rng.integers(-2**31, 2**31, size=(4, 2, 8), dtype=np.int64).astype(np.int32))
+    got = np.asarray(vq.suffix_parity_words(words)).astype(np.uint32)
+    w = np.asarray(words).astype(np.uint32)
+    for i in range(4):
+        for lane in range(8):
+            bits = np.concatenate([(w[i, t, lane] >> np.arange(32)) & 1 for t in range(2)])
+            suf = np.cumsum(bits[::-1])[::-1] & 1  # parity of bits >= k
+            expect = np.concatenate([suf[:32], suf[32:]])
+            got_bits = np.concatenate([(got[i, t, lane] >> np.arange(32)) & 1 for t in range(2)])
+            assert (got_bits == expect).all()
