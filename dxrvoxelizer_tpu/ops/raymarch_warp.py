@@ -168,6 +168,7 @@ def _shearwarp_core(
     swap: bool,
     use_pallas: bool,
     res_win: int = 32,
+    y_off: jnp.ndarray | None = None,
 ):
     perm = _perm_for_axis(axis)
     inv_scale = jnp.asarray(TEX_SCALE)[jnp.asarray(perm)]
@@ -250,8 +251,11 @@ def _shearwarp_core(
     )
 
     # ---- screen resolve ----------------------------------------------------
+    # y_off: first screen row of this band (traced; multi-chip row sharding)
     sx = jnp.arange(width, dtype=jnp.float32) + 0.5
     sy = jnp.arange(height, dtype=jnp.float32) + 0.5
+    if y_off is not None:
+        sy = sy + y_off.astype(jnp.float32)
     px, py = jnp.meshgrid(sx, sy, indexing="xy")
     # screen point is (px, py, 0, 1): the matmul row-combination is a pure
     # elementwise affine — f32 exact and ~10x cheaper than a [2M,4]@[4,4]

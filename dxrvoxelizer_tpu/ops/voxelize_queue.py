@@ -60,8 +60,8 @@ class QueueStats:
     overflow: int  # triangles appended to every tile
 
 
-def _queue_kernel(tile_ref, nsub_ref, last_ref, coef_ref, out_ref, *, n: int,
-                  nty: int, k_chunk: int, tile_off: int = 0,
+def _queue_kernel(tile_ref, nsub_ref, last_ref, off_ref, coef_ref, out_ref,
+                  *, n: int, nty: int, k_chunk: int,
                   static_trip: bool = False):
     """One queue chunk: XOR this chunk's parity masks into its tile.
 
@@ -83,7 +83,7 @@ def _queue_kernel(tile_ref, nsub_ref, last_ref, coef_ref, out_ref, *, n: int,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     tile_id = tile_ref[c]
-    tile_global = tile_id + tile_off
+    tile_global = tile_id + off_ref[0]  # group/slab base (prefetch scalar)
     tx = tile_global // nty
     ty = tile_global - tx * nty
 
@@ -363,7 +363,7 @@ VMEM_OUT_BUDGET = 4 * 1024 * 1024  # resident-output budget per launch (bytes)
 @partial(
     jax.jit,
     static_argnames=(
-        "n", "k_chunk", "n_tiles_grp", "tile_off", "interpret", "static_trip",
+        "n", "k_chunk", "n_tiles_grp", "interpret", "static_trip",
     ),
 )
 def _queue_run_group(
@@ -371,17 +371,18 @@ def _queue_run_group(
     chunk_tile: jnp.ndarray,
     chunk_nsub: jnp.ndarray,
     chunk_last: jnp.ndarray,
+    chunk_off: jnp.ndarray,
     n: int,
     k_chunk: int,
     n_tiles_grp: int,
-    tile_off: int = 0,
     interpret: bool = False,
     static_trip: bool = False,
 ) -> jnp.ndarray:
     """Run the queue kernel over one tile group -> [n_tiles_grp, W, 128].
 
     ``chunk_tile`` must already be rebased to the group (0-based);
-    ``tile_off`` restores global column coordinates inside the kernel.
+    ``chunk_off`` ([1] int32, may be traced — e.g. a shard_map axis index)
+    restores global column coordinates inside the kernel.
     """
     num_chunks = chunk_tile.shape[0]
     assert coefs.shape == (num_chunks * k_chunk, NCOEF)
@@ -389,7 +390,7 @@ def _queue_run_group(
     w_words = n // 32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec(
@@ -406,13 +407,14 @@ def _queue_run_group(
     )
     return pl.pallas_call(
         partial(
-            _queue_kernel, n=n, nty=nty, k_chunk=k_chunk, tile_off=tile_off,
+            _queue_kernel, n=n, nty=nty, k_chunk=k_chunk,
             static_trip=static_trip,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles_grp, w_words, 128), jnp.int32),
         interpret=interpret,
-    )(chunk_tile, chunk_nsub, chunk_last, coefs)
+    )(chunk_tile, chunk_nsub, chunk_last,
+      chunk_off.astype(jnp.int32).reshape(1), coefs)
 
 
 def voxelize_parity_queue_run(
@@ -463,8 +465,9 @@ def voxelize_parity_queue_run(
         outs.append(
             _queue_run_group(
                 coef_g, jnp.asarray(tile_g), jnp.asarray(nsub_g),
-                jnp.asarray(last_g), n, k_chunk, tiles_grp,
-                tile_off=lo, interpret=interpret, static_trip=static_trip,
+                jnp.asarray(last_g), jnp.asarray([lo], jnp.int32),
+                n, k_chunk, tiles_grp,
+                interpret=interpret, static_trip=static_trip,
             )
         )
     out = outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=0)
@@ -496,7 +499,8 @@ def voxelize_parity_queue(
 @partial(jax.jit, static_argnames=("n", "num_chunks", "k_chunk", "max_span_x",
                                    "max_span_y"))
 def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
-                        k_chunk: int, max_span_x: int, max_span_y: int):
+                        k_chunk: int, max_span_x: int, max_span_y: int,
+                        tile_lo=0, tile_hi=None):
     """Fully-on-device queue build (no host sync) for per-frame rebinning.
 
     ``num_chunks`` is a static capacity (see :func:`deforming_voxelizer`);
@@ -512,7 +516,12 @@ def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
     s_total = sorted_tris.shape[0]
     t_count = coef.shape[0]
 
-    per_tile = jnp.where((counts > 0) | (n_ov > 0), counts + n_ov, 0)
+    tile_hi = n_tiles if tile_hi is None else tile_hi
+    tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    in_slab = (tile_idx >= tile_lo) & (tile_idx < tile_hi)
+    per_tile = jnp.where(
+        in_slab & ((counts > 0) | (n_ov > 0)), counts + n_ov, 0
+    )
     cpt = (per_tile + k_chunk - 1) // k_chunk  # chunks per tile
     first_chunk = jnp.concatenate(
         [jnp.zeros((1,), cpt.dtype), jnp.cumsum(cpt)[:-1]]
@@ -559,7 +568,13 @@ def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
         [coef, jnp.zeros((1, NCOEF), dtype=coef.dtype)], axis=0
     )
     coefs = coef_padded[jnp.where(tri_id < 0, t_count, tri_id)]
-    return coefs.reshape(num_chunks * k_chunk, NCOEF), tile_of, nsub, last, ok
+    # rebase to the slab for the group runner; clamp padding chunks (which
+    # point at the global last tile) into the slab so their no-op RMW stays
+    # in bounds
+    tile_out = jnp.clip(
+        tile_of - tile_lo, 0, (tile_hi - tile_lo) - 1
+    ).astype(jnp.int32)
+    return coefs.reshape(num_chunks * k_chunk, NCOEF), tile_out, nsub, last, ok
 
 
 class DeformingVoxelizer:
@@ -599,7 +614,7 @@ class DeformingVoxelizer:
                 "headroom"
             )
         out = _queue_run_group(
-            coefs, tile_of, nsub, last, self.n, self.k_chunk, self.n_tiles,
-            tile_off=0, static_trip=False,
+            coefs, tile_of, nsub, last, jnp.zeros((1,), jnp.int32),
+            self.n, self.k_chunk, self.n_tiles, static_trip=False,
         )
         return _tiles_to_grid(out, self.n)

@@ -80,10 +80,11 @@ def voxelize_parity_multichip(
         tile_d = jax.device_put(jnp.asarray(tile_g), dev)
         nsub_d = jax.device_put(jnp.asarray(nsub_g), dev)
         last_d = jax.device_put(jnp.asarray(last_g), dev)
+        off_d = jax.device_put(jnp.asarray([lo], jnp.int32), dev)
         outs.append(
             _queue_run_group(
-                coef_d, tile_d, nsub_d, last_d, n, k_chunk, tiles_grp,
-                tile_off=lo, interpret=interpret, static_trip=True,
+                coef_d, tile_d, nsub_d, last_d, off_d, n, k_chunk,
+                tiles_grp, interpret=interpret, static_trip=True,
             )
         )
     # the frame's one cross-chip transfer: gather group outputs

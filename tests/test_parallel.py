@@ -74,3 +74,44 @@ def test_multichip_queue_voxelize_matches_oracle():
     ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
     got = voxelize_parity_multichip(v, t, n, interpret=True)
     assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+def test_sharded_frame_fast_matches_single_path():
+    """Production shard_map frame (Pallas kernels, interpret mode) == the
+    single-device queue voxelize + shear-warp render."""
+    from dxrvoxelizer_tpu.models.scene import FrameConstants
+    from dxrvoxelizer_tpu.ops.packing import unpack_bits_z
+    from dxrvoxelizer_tpu.ops import raymarch_warp as rw
+    from dxrvoxelizer_tpu.ops.voxelize_queue import voxelize_parity_queue
+    from dxrvoxelizer_tpu.parallel.shard import sharded_frame_fast
+    from tests.meshes import icosphere_mesh
+
+    n, w, h = 32, 64, 64
+    verts, _, tris = icosphere_mesh(2, radius=0.6)
+    v = jnp.asarray(verts, jnp.float32)
+    t = jnp.asarray(tris, jnp.int32)
+    s2l, eye_l, light_l = _frame_consts(w, h)
+    consts = FrameConstants(
+        local_space_light_pt=light_l, local_space_eye_pt=eye_l,
+        screen_to_local=s2l,
+    )
+
+    mesh = make_device_mesh(8)
+    frame = sharded_frame_fast(
+        mesh, n, w, h, t.shape[0], consts, num_chunks_cap=128,
+        interpret=True,
+    )
+    img_sh = np.asarray(frame(
+        v, t, jnp.asarray(s2l), jnp.asarray(eye_l), jnp.asarray(light_l),
+        jnp.asarray(CLEAR),
+    ))
+    assert img_sh.shape == (h, w, 3)
+
+    words = voxelize_parity_queue(v, t, n, interpret=True)
+    density = unpack_bits_z(words, n).astype(jnp.float32)
+    lv = rw.light_sweep_host(density, light_l, n)
+    img_1 = np.asarray(rw.raymarch_shearwarp(
+        density, lv, s2l, eye_l, CLEAR, w, h, use_pallas=False,
+    ))
+    assert np.isfinite(img_sh).all()
+    np.testing.assert_allclose(img_sh, img_1, atol=2e-2)

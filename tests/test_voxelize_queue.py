@@ -89,8 +89,8 @@ def test_deforming_voxelizer_device_layout():
         )
         assert bool(ok)
         out = _queue_run_group(
-            coefs, tile_of, nsub, last, n, 64, 32,
-            tile_off=0, static_trip=False, interpret=True,
+            coefs, tile_of, nsub, last, jnp.zeros((1,), jnp.int32),
+            n, 64, 32, static_trip=False, interpret=True,
         )
         got = _tiles_to_grid(out, n)
         assert (np.asarray(ref) == np.asarray(got)).all(), scale
