@@ -20,7 +20,7 @@ import numpy as np
 
 from dxrvoxelizer_tpu.ez import Engine
 from dxrvoxelizer_tpu.models.camera import OrbitCamera
-from dxrvoxelizer_tpu.utils.config import VoxelizerConfig, parse_args
+from dxrvoxelizer_tpu.utils.config import parse_args
 from dxrvoxelizer_tpu.utils.image import save_grid_npy, screenshot_name, write_png
 from dxrvoxelizer_tpu.utils.timer import StepTimer
 
@@ -38,6 +38,7 @@ def _parse_extras(argv: list[str]) -> dict:
         "ab": False,
         "deform": False,
         "interactive": False,
+        "load_grid": None,
     }
     i = 0
     while i < len(argv):
@@ -63,6 +64,8 @@ def _parse_extras(argv: list[str]) -> dict:
             out["deform"] = True
         elif key == "interactive":
             out["interactive"] = True
+        elif key == "loadgrid" and i + 1 < len(argv):
+            out["load_grid"] = argv[i + 1]
         i += 1
     return out
 
@@ -105,6 +108,30 @@ def main(argv: list[str] | None = None) -> int:
             engine, cam, extras["frames"], orbit=extras["orbit"]
         )
         print(f"rendered {frames} frames")
+        return 0
+
+    if extras["load_grid"]:
+        # checkpoint/resume analog (SURVEY.md section 5): render a saved
+        # occupancy grid without re-voxelizing
+        import jax.numpy as jnp
+
+        from dxrvoxelizer_tpu.core.pipeline import VoxelGrid, render
+        from dxrvoxelizer_tpu.ops.packing import pack_bits_z
+
+        occ = np.load(extras["load_grid"])
+        if occ.dtype == np.int32 and occ.ndim == 3 and (
+            occ.shape[2] * 32 == occ.shape[0]
+        ):
+            grid = VoxelGrid(words=jnp.asarray(occ))  # packed words
+        else:
+            grid = VoxelGrid(words=pack_bits_z(jnp.asarray(occ.astype(bool))))
+        consts = engine.scene.update_frame(
+            cam.eye, cam.view_proj, cfg.width, cfg.height
+        )
+        img = render(grid, consts, cfg, impl=extras["render_impl"])
+        out = extras["out"] or screenshot_name()
+        write_png(out, np.asarray(img))
+        print(f"rendered saved grid {extras['load_grid']} -> {out}")
         return 0
 
     base_mesh = engine.pipeline.mesh

@@ -11,7 +11,6 @@ host reads a frame back.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -78,9 +77,10 @@ def voxelize(
     ``mode``: "parity" (axis-parity fill, TPU-native default) or "raystab"
     (the reference's radial back-face rule, DXRVoxelizer.hlsl:132-140).
     ``impl``: "auto" | "queue" | "pallas" | "pallas_bruteforce" | "xla" —
-    "auto" picks the work-queue Pallas kernel (ops/voxelize_queue.py) at
-    >= 128^3, the gen-1 tiled kernel at 64^3, and the jnp oracle on CPU
-    backends/for raystab.
+    for parity, "auto" picks the work-queue Pallas kernel
+    (ops/voxelize_queue.py) at >= 128^3, the gen-1 tiled kernel at 64^3,
+    and the jnp oracle on CPU backends; for raystab it picks the binned
+    fast path ("xla" selects the brute-force oracle).
     """
     from dxrvoxelizer_tpu.ops.packing import pack_bits_z
 

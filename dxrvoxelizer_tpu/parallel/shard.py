@@ -16,8 +16,6 @@ so XLA overlaps the collective with compute where possible.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -103,3 +103,24 @@ def test_rotation_roll_pitch_yaw_matches_axis_composition():
 
     expect = v @ rot_z(roll) @ rot_x(pitch) @ rot_y(yaw)
     np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+def test_dispatch_2d_to_3d_reconstruction_identity():
+    """The reference folds its 3D voxel dispatch into (N, N*N, 1) because
+    the DXR fallback layer lacks a depth dimension, then reconstructs
+    index.z = y // N; y %= N (DXRVoxelizer.hlsl:64-67, Voxelizer.cpp:367).
+    The TPU build never folds (Pallas grids are index math), but the
+    identity the reference relies on must hold for every voxel."""
+    n = 64
+    x = np.arange(n)
+    yz = np.arange(n * n)
+    xx, yy = np.meshgrid(x, yz, indexing="ij")
+    z = yy // n
+    y = yy % n
+    # forward fold: (x, y, z) -> dispatch (x, y + z*N)
+    refold = y + z * n
+    assert (refold == yy).all()
+    assert ((0 <= z) & (z < n)).all() and ((0 <= y) & (y < n)).all()
+    # every (x, y, z) voxel is hit exactly once
+    flat = (xx * n * n + y * n + z).ravel()
+    assert len(np.unique(flat)) == n * n * n

@@ -127,3 +127,34 @@ def test_obj_mesh_roundtrip_to_buffers():
                 verts.min(0), verts.max(0))
     b = MeshBuffers.from_obj(m)
     assert b.num_triangles == 4
+
+
+def test_app_loadgrid_roundtrip(tmp_path, monkeypatch):
+    """Checkpoint/resume: -savegrid then -loadgrid renders the saved grid."""
+    import numpy as np
+
+    from dxrvoxelizer_tpu.app.main import main
+    from dxrvoxelizer_tpu.utils.image import read_png
+    from tests.meshes import tetrahedron_mesh
+    from dxrvoxelizer_tpu.utils import assets
+
+    # point the asset loader at a temp OBJ of the tet
+    v, _, t = tetrahedron_mesh()
+    obj = tmp_path / "tet.obj"
+    with open(obj, "w") as f:
+        for p in v:
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for a, b, c in t:
+            f.write(f"f {a+1} {b+1} {c+1}\n")
+    grid = tmp_path / "g.npy"
+    png = tmp_path / "r.png"
+    rc = main(["-mesh", str(obj), "-grid", "32", "-width", "64",
+               "-height", "64", "-frames", "1", "-renderimpl", "gather",
+               "-savegrid", str(grid), "-out", str(tmp_path / "first.png")])
+    assert rc == 0 and grid.exists()
+    rc = main(["-mesh", str(obj), "-grid", "32", "-width", "64",
+               "-height", "64", "-renderimpl", "gather",
+               "-loadgrid", str(grid), "-out", str(png)])
+    assert rc == 0
+    img = read_png(png)
+    assert img.shape == (64, 64, 3)
