@@ -199,7 +199,7 @@ def render(
     return raymarch_shearwarp(
         density, light_volume, consts.screen_to_local,
         consts.local_space_eye_pt, np.array(cfg.clear_color, np.float32),
-        cfg.width, cfg.height,
+        cfg.width, cfg.height, m_cap=cfg.intermediate_cap,
     )
 
 

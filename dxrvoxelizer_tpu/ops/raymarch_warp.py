@@ -291,14 +291,15 @@ def _shearwarp_core(
     ok = is_hit & valid
     if use_pallas:
         from dxrvoxelizer_tpu.ops.screen_warp_pallas import (
-            M_SUPPORTED,
+            M_BUCKETS,
             bilinear_resolve,
         )
 
         # edge-pad the intermediates up to the resolver's native size (the
         # render resolution m may be smaller to keep magnification ~1)
-        if m < M_SUPPORTED:
-            pads = ((0, M_SUPPORTED - m), (0, M_SUPPORTED - m))
+        m_pad = next(b for b in M_BUCKETS if b >= m)
+        if m < m_pad:
+            pads = ((0, m_pad - m), (0, m_pad - m))
             scatter_i = jnp.pad(scatter_i, pads, mode="edge")
             transmit_i = jnp.pad(transmit_i, pads, mode="edge")
         # tile pixels as 32x32 screen blocks: bounded 2D extent per tile is
@@ -389,6 +390,7 @@ def raymarch_shearwarp(
     height: int,
     m: int | None = None,
     use_pallas: bool | None = None,
+    m_cap: int = 128,
 ) -> jnp.ndarray:
     """Render via the shear-warp path. Host wrapper: picks the static axis/
     flip/orientation and the intermediate resolution, then calls the jitted
@@ -398,16 +400,19 @@ def raymarch_shearwarp(
     s2l_np = np.asarray(screen_to_local)
     eye_np = np.asarray(eye_local)
     if m is None:
+        # track the volume's screen footprint (magnification ~1) up to
+        # ``m_cap``; the resolver supports intermediates to 512^2 (larger
+        # caps sharpen hi-res renders at ~linear resolver cost)
         box_px = _box_screen_px(s2l_np, width, height)
-        m = int(np.clip(16 * round(0.9 * box_px / 16), 32, 128))
+        m = int(np.clip(16 * round(0.9 * box_px / 16), 32, min(m_cap, 512)))
     axis, flip, swap = _tex_params(eye_np, s2l_np, width, height)
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     # a 32x32-pixel tile's source rows span about 32 * 1.2 * m / box_px
-    # intermediate rows (+2 guard); halve the resolver window when that
-    # bound proves 16 suffices
+    # intermediate rows (+2 guard +7 window-alignment slack); halve the
+    # resolver window when that bound proves 16 suffices
     box_px = _box_screen_px(s2l_np, width, height)
-    res_win = 16 if 32 * 1.2 * m / box_px + 2.0 <= 16.0 else 32
+    res_win = 16 if 32 * 1.2 * m / box_px + 9.0 <= 16.0 else 32
     return _shearwarp_core(
         density, light_vol, jnp.asarray(s2l_np), jnp.asarray(eye_np),
         jnp.asarray(np.asarray(clear_color, np.float32)),

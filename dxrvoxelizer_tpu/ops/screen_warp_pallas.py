@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-M_SUPPORTED = 128  # intermediate resolution with native lane width
+M_BUCKETS = (128, 256, 512)  # supported intermediate resolutions
+M_SUPPORTED = 128  # smallest bucket (kept for callers that pad up to it)
 # Row window per tile: the resolver chooses the intermediate orientation so
 # rows track screen-y (raymarch_warp host logic); 32 covers rolled cameras.
 WIN = 32
@@ -61,23 +62,46 @@ def _resolve_kernel(
             fx = jnp.clip(gx - x0.astype(jnp.float32), 0.0, 1.0)
             fy = jnp.clip(gy - y0.astype(jnp.float32), 0.0, 1.0)
 
-            # window from consumed lanes only (misses may point anywhere)
+            # window from consumed lanes only (misses may point anywhere);
+            # the start is floored to a sublane multiple (Mosaic requires a
+            # provably 8-aligned dynamic offset for wide-row vector loads),
+            # which costs up to 7 rows of the window — the win selection
+            # formula budgets for it
             rmin = jnp.clip(jnp.min(jnp.where(mask, x0, m - 1)), 0, m - win)
+            rmin = pl.multiple_of((rmin // 8) * 8, 8)
             rr0 = jnp.clip(x0 - rmin, 0, win - 1)
             rr1 = jnp.clip(x1 - rmin, 0, win - 1)
+
+            # Mosaic's native lane gather (take_along_axis) needs the
+            # source row to match the 128-lane index width, so rows wider
+            # than 128 texels (m = 256/512 intermediates) gather per
+            # 128-lane segment with a segment-select
+            segs = m // 128
+            ys0 = y0 >> 7
+            ys1 = y1 >> 7
+            yl0 = y0 & 127
+            yl1 = y1 & 127
 
             def sample(img_ref):
                 w = img_ref[pl.ds(rmin, win), :]  # (win, m)
                 zero = jnp.zeros(gx.shape, jnp.float32)
                 v00 = v01 = v10 = v11 = zero
                 for k in range(win):
-                    rowb = jnp.broadcast_to(w[k : k + 1, :], gx.shape)
-                    g0 = jnp.take_along_axis(rowb, y0, axis=1)
-                    g1 = jnp.take_along_axis(rowb, y1, axis=1)
-                    v00 = jnp.where(rr0 == k, g0, v00)
-                    v10 = jnp.where(rr1 == k, g0, v10)
-                    v01 = jnp.where(rr0 == k, g1, v01)
-                    v11 = jnp.where(rr1 == k, g1, v11)
+                    for sg in range(segs):
+                        rowb = jnp.broadcast_to(
+                            w[k : k + 1, sg * 128 : (sg + 1) * 128],
+                            gx.shape,
+                        )
+                        g0 = jnp.take_along_axis(rowb, yl0, axis=1)
+                        g1 = jnp.take_along_axis(rowb, yl1, axis=1)
+                        s0 = (rr0 == k) & (ys0 == sg)
+                        s1 = (rr1 == k) & (ys0 == sg)
+                        t0 = (rr0 == k) & (ys1 == sg)
+                        t1 = (rr1 == k) & (ys1 == sg)
+                        v00 = jnp.where(s0, g0, v00)
+                        v10 = jnp.where(s1, g0, v10)
+                        v01 = jnp.where(t0, g1, v01)
+                        v11 = jnp.where(t1, g1, v11)
                 return (
                     v00 * (1 - fx) * (1 - fy)
                     + v10 * fx * (1 - fy)
@@ -107,7 +131,7 @@ def bilinear_resolve(
     bound proves a 32x32-pixel tile can't span more rows.
     """
     m = scatter_i.shape[0]
-    assert m == M_SUPPORTED, f"pallas resolve supports M={M_SUPPORTED}, got {m}"
+    assert m in M_BUCKETS, f"pallas resolve supports M in {M_BUCKETS}, got {m}"
     p = gi_x.shape[0]
     pad = (-p) % (1024 * TILES_PER_STEP)
     if mask is None:

@@ -42,6 +42,9 @@ class VoxelizerConfig:
     # float density channel instead of the R10G10B10A2 alpha
     show_mip: int = 0
     use_mutex: bool = False
+    # shear-warp intermediate resolution cap (128 = speed, up to 512 =
+    # sharper hi-res renders; the -quality flag raises it)
+    intermediate_cap: int = 128
 
     def replace(self, **kw) -> "VoxelizerConfig":
         return dataclasses.replace(self, **kw)
@@ -108,5 +111,9 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
                 kw["show_mip"] = int(argv[i])
         elif is_flag(a, "usemutex"):
             kw["use_mutex"] = True
+        elif is_flag(a, "quality"):
+            kw["intermediate_cap"] = int(argv[i + 1]) if has_value(i) else 512
+            if has_value(i):
+                i += 1
         i += 1
     return cfg.replace(**kw)

@@ -172,3 +172,31 @@ def test_shearwarp_tet_close_to_reference():
         jnp.float32
     )
     _compare_vs_ref(density, 48, 48, 32, atol_mean=0.03)
+
+
+def test_resolver_wide_intermediates():
+    """The segmented-gather resolver matches the jnp bilinear fallback for
+    m in {128, 256, 512} (interpret mode)."""
+    import jax.numpy as jnp
+
+    from dxrvoxelizer_tpu.ops.raymarch_warp import _bilinear_take
+    from dxrvoxelizer_tpu.ops.screen_warp_pallas import bilinear_resolve
+
+    rng = np.random.default_rng(11)
+    for m in (128, 256, 512):
+        sc = jnp.asarray(rng.random((m, m)), jnp.float32)
+        tr = jnp.asarray(rng.random((m, m)), jnp.float32)
+        p = 4096
+        # per-tile-coherent rows: each 1024-pixel tile's source rows must fit
+        # the resolver's window (the shear-warp geometry guarantees this;
+        # random rows would be clamped by design)
+        base = np.repeat(rng.uniform(0, m - 24, size=p // 1024), 1024)
+        gx = jnp.asarray(base + rng.uniform(0, 20, size=p), jnp.float32)
+        gy = jnp.asarray(rng.uniform(-1, m, size=p), jnp.float32)
+        got_sc, got_tr = bilinear_resolve(sc, tr, gx, gy, interpret=True)
+        exp_sc = _bilinear_take(sc, gx, gy, m)
+        exp_tr = _bilinear_take(tr, gx, gy, m)
+        np.testing.assert_allclose(np.asarray(got_sc), np.asarray(exp_sc),
+                                   atol=1e-5, err_msg=f"m={m}")
+        np.testing.assert_allclose(np.asarray(got_tr), np.asarray(exp_tr),
+                                   atol=1e-5, err_msg=f"m={m}")
