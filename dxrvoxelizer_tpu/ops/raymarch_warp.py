@@ -409,10 +409,12 @@ def raymarch_shearwarp(
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     # a 32x32-pixel tile's source rows span about 32 * 1.2 * m / box_px
-    # intermediate rows (+2 guard +7 window-alignment slack); halve the
-    # resolver window when that bound proves 16 suffices
+    # intermediate rows (+2 guard +7 window-alignment slack); pick the
+    # smallest resolver window that covers it (48 handles magnification < 1,
+    # i.e. a volume tiny on screen)
     box_px = _box_screen_px(s2l_np, width, height)
-    res_win = 16 if 32 * 1.2 * m / box_px + 9.0 <= 16.0 else 32
+    span = 32 * 1.2 * m / box_px + 9.0
+    res_win = 16 if span <= 16.0 else (32 if span <= 32.0 else min(48, m))
     return _shearwarp_core(
         density, light_vol, jnp.asarray(s2l_np), jnp.asarray(eye_np),
         jnp.asarray(np.asarray(clear_color, np.float32)),

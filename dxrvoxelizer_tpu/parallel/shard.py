@@ -144,7 +144,8 @@ def sharded_frame_fast(
     waxis, wflip, wswap = rw._tex_params(eye_np, s2l_np, width, height)
     box_px = rw._box_screen_px(s2l_np, width, height)
     m = int(np.clip(16 * round(0.9 * box_px / 16), 32, 128))
-    res_win = 16 if 32 * 1.2 * m / box_px + 9.0 <= 16.0 else 32
+    span = 32 * 1.2 * m / box_px + 9.0
+    res_win = 16 if span <= 16.0 else (32 if span <= 32.0 else min(48, m))
     from dxrvoxelizer_tpu.ops.raymarch_ref import TEX_SCALE
 
     ld = np.asarray(TEX_SCALE) * (light_np / np.linalg.norm(light_np))
