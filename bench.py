@@ -169,27 +169,30 @@ def main() -> int:
 
         slope(vox512_body, (10, 40), "dragon 512^3 voxelize kernel")
 
-        # ---- reference-rule ray-stab (binned TraceRay analog) ---------------
-        from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel
-
-        accel = build_raystab_accel(
-            scene64.buffers.positions_norm, scene64.buffers.tris, 64
+        # ---- reference-rule ray-stab (binned TraceRay analog, gen-2) --------
+        from dxrvoxelizer_tpu.ops.raystab_fast import (
+            _raystab_query2,
+            build_raystab_accel2,
         )
 
-        from dxrvoxelizer_tpu.ops.raystab_fast import _raystab_query_pallas
-
-        ks = tuple(int(cl[1].shape[1]) for cl in accel.dense)
+        accel = build_raystab_accel2(
+            scene64.buffers.positions_norm, scene64.buffers.tris,
+            scene64.buffers.normals, 64,
+        )
+        ks = tuple(
+            tuple(int(c[1].shape[1]) for c in lv) for lv in accel.levels
+        )
+        ovk = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+        tc = int(scene64.buffers.tris.shape[0])
 
         def stab_body(carry, _):
-            occ, _ = _raystab_query_pallas(
-                scene64.buffers.positions_norm + carry * 1e-38,
-                scene64.buffers.normals, scene64.buffers.tris,
-                accel.dense, accel.ov_dense, 64, 0.12, ks,
-                accel.stats.overflow > 0, False,
+            occ, _ = _raystab_query2(
+                accel.ftab + carry * 1e-38, accel.levels, accel.sort_keys,
+                accel.ov_dense, 64, 0.12, ks, ovk, tc, False,
             )
             return occ.reshape(-1)[0].astype(jnp.float32), None
 
-        slope(stab_body, (2, 8), "dragon ray-stab pallas query 64^3")
+        slope(stab_body, (2, 8), "dragon ray-stab gen-2 query 64^3")
 
         # ---- deforming mesh: re-bin + re-voxelize every frame ----------------
         from dxrvoxelizer_tpu.ops.voxelize_queue import DeformingVoxelizer

@@ -229,11 +229,25 @@ class FramePipeline:
         """Build-once direction-space accel; rebuilt when ``self.mesh`` is
         replaced (the deforming-geometry path swaps the buffers object)."""
         if self._stab_accel is None or self._stab_mesh is not self.mesh:
-            from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel
+            if jax.default_backend() == "cpu":
+                # CPU fallback keeps the gather-based XLA query (gen-1)
+                from dxrvoxelizer_tpu.ops.raystab_fast import (
+                    build_raystab_accel,
+                )
 
-            self._stab_accel = build_raystab_accel(
-                self.mesh.positions_norm, self.mesh.tris, self.cfg.grid_size
-            )
+                self._stab_accel = build_raystab_accel(
+                    self.mesh.positions_norm, self.mesh.tris,
+                    self.cfg.grid_size,
+                )
+            else:
+                from dxrvoxelizer_tpu.ops.raystab_fast import (
+                    build_raystab_accel2,
+                )
+
+                self._stab_accel = build_raystab_accel2(
+                    self.mesh.positions_norm, self.mesh.tris,
+                    self.mesh.normals, self.cfg.grid_size,
+                )
             self._stab_mesh = self.mesh
         return self._stab_accel
 

@@ -69,6 +69,135 @@ def mt_hit(o, d, v0, e1, e2):
     return t, u, v, hit
 
 
+def radial_setup(verts: jnp.ndarray, tris: jnp.ndarray):
+    """Per-triangle coefficients for rays through the grid origin.
+
+    The reference's voxelize rays all satisfy ``origin = s0 * direction``
+    (generateRay, DXRVoxelizer.hlsl:44-53: the ray starts at the voxel
+    center and travels radially outward), so the line carrying every ray
+    passes through the origin. Intersection with triangle (v0, v1, v2) then
+    needs only three signed volumes that are LINEAR in the direction d:
+
+        w_i = d . g_i,   g_0 = v1 x v2,  g_1 = v2 x v0,  g_2 = v0 x v1
+
+    The unnormalized barycentrics of the hit point are w_i / (w0+w1+w2),
+    the plane equation gives the hit parameter s = c / (w0+w1+w2) with
+    ``c = det(v0, v1, v2) = g_0 . v0``, and the ray-relative t = s - s0.
+    (w0+w1+w2 equals n . d with n = e1 x e2 because the three g_i sum to n.)
+
+    Returns (g0, g1, g2 [T,3], c [T]) — 10 floats/triangle vs mt's 9, but
+    the per-pair test drops from ~60 to ~35 VPU ops. Expressions are
+    scalarized; :func:`radial_hit` must see these exact values.
+    """
+    v0 = verts[tris[:, 0]]
+    v1 = verts[tris[:, 1]]
+    v2 = verts[tris[:, 2]]
+
+    def cross(a, b):
+        ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+        bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+        return jnp.stack(
+            [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
+        )
+
+    g0 = cross(v1, v2)
+    g1 = cross(v2, v0)
+    g2 = cross(v0, v1)
+    c = (
+        g0[..., 0] * v0[..., 0]
+        + g0[..., 1] * v0[..., 1]
+        + g0[..., 2] * v0[..., 2]
+    )
+    return g0, g1, g2, c
+
+
+def radial_hit(dx, dy, dz, s0, g0x, g0y, g0z, g1x, g1y, g1z,
+               g2x, g2y, g2z, c):
+    """Radial-ray/triangle test -> (t, hit); t = +inf on miss.
+
+    All operands must be broadcast-compatible. This SCALARIZED expression
+    sequence is shared verbatim by the radial oracle
+    (ops/voxelize_ref.voxelize_raystab_radial_ref) and the gen-2 Pallas
+    streaming kernel (ops/raystab_pallas._stab_kernel2) so closest-hit
+    winners agree bit-for-bit (same FMA contraction, same boundary
+    comparisons). Inclusive w_i >= 0 / <= 0 bounds match mt_hit's
+    u >= 0, v >= 0, u + v <= 1 (hits on edges/vertices count).
+    """
+    w0 = dx * g0x + dy * g0y + dz * g0z
+    w1 = dx * g1x + dy * g1y + dz * g1z
+    w2 = dx * g2x + dy * g2y + dz * g2z
+    den = (w0 + w1) + w2  # = (e1 x e2) . d, the mt determinant (sign-flipped)
+    wmin = jnp.minimum(w0, jnp.minimum(w1, w2))
+    wmax = jnp.maximum(w0, jnp.maximum(w1, w2))
+    t = c / den - s0
+    hit = (
+        (jnp.abs(den) > EPS_DET)
+        & ((wmin >= 0.0) | (wmax <= 0.0))
+        & (t >= 0.0)
+        & (t <= T_MAX)
+    )
+    return jnp.where(hit, t, jnp.inf), hit
+
+
+def radial_closest_hit(dirs, s0, g0, g1, g2, c, tri_chunk: int = 2048):
+    """Radial-form closest hit over the whole soup -> (t, tri_idx).
+
+    ``dirs`` [R,3], ``s0`` [R]; ties resolved to the lowest triangle index
+    (matching the binned query's lexicographic (t, id) fold).
+    """
+    num_tris = c.shape[0]
+    pad = (-num_tris) % tri_chunk
+    if pad:
+        z3 = jnp.zeros((pad, 3), dtype=g0.dtype)
+        g0 = jnp.concatenate([g0, z3])
+        g1 = jnp.concatenate([g1, z3])
+        g2 = jnp.concatenate([g2, z3])
+        c = jnp.concatenate([c, jnp.zeros((pad,), dtype=c.dtype)])
+    n_chunks = c.shape[0] // tri_chunk
+    chunks = (
+        g0.reshape(n_chunks, tri_chunk, 3),
+        g1.reshape(n_chunks, tri_chunk, 3),
+        g2.reshape(n_chunks, tri_chunk, 3),
+        c.reshape(n_chunks, tri_chunk),
+        jnp.arange(n_chunks, dtype=jnp.int32) * tri_chunk,
+    )
+    r = dirs.shape[0]
+    dx, dy, dz = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+    s0c = s0[:, None]
+    init = (
+        jnp.full((r,), jnp.inf, dtype=dirs.dtype),
+        jnp.full((r,), 2**30, dtype=jnp.int32),
+    )
+
+    def body(carry, chunk):
+        bt, bi = carry
+        cg0, cg1, cg2, cc, off = chunk
+        t, _ = radial_hit(
+            dx, dy, dz, s0c,
+            cg0[None, :, 0], cg0[None, :, 1], cg0[None, :, 2],
+            cg1[None, :, 0], cg1[None, :, 1], cg1[None, :, 2],
+            cg2[None, :, 0], cg2[None, :, 1], cg2[None, :, 2],
+            cc[None, :],
+        )  # [R, Tc]
+        t_min = jnp.min(t, axis=1)
+        i_min = jnp.min(
+            jnp.where(
+                t == t_min[:, None],
+                jnp.arange(t.shape[1], dtype=jnp.int32)[None, :] + off,
+                2**30,
+            ),
+            axis=1,
+        )
+        closer = (t_min < bt) | ((t_min == bt) & (i_min < bi))
+        return (
+            jnp.where(closer, t_min, bt),
+            jnp.where(closer, i_min, bi),
+        ), None
+
+    (bt, bi), _ = jax.lax.scan(body, init, chunks)
+    return bt, bi
+
+
 def _closest_hit_chunk(origins, dirs, v0, e1, e2, tri_offset):
     """Closest hit of rays [R,3] against one triangle chunk [Tc,3].
 

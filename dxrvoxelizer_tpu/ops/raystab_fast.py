@@ -595,8 +595,13 @@ def raystab_query(
 
     ``impl``: "pallas" (streaming kernel, TPU production path), "xla"
     (gather-based), or "auto" (pallas when dense tables exist and the
-    backend supports it).
+    backend supports it). A :class:`RaystabAccel2` routes to the gen-2
+    radial query regardless of ``impl``.
     """
+    if isinstance(accel, RaystabAccel2):
+        return raystab_query2(
+            verts_norm, normals, tris, accel, threshold, interpret
+        )
     if impl == "auto":
         use_pallas = accel.dense is not None and (
             interpret or jax.default_backend() != "cpu"
@@ -612,6 +617,380 @@ def raystab_query(
     return _raystab_query_all(
         verts_norm, normals, tris, accel.classes, accel.ov_ids, accel.n,
         threshold, cell_chunk, accel.stats.overflow > 0,
+    )
+
+
+# ---- gen-2: mip-level cubemap + radial-form kernel -------------------------
+#
+# Two structural upgrades over the gen-1 accel above, driven by measured
+# padding (dragon 64^3, g=32: 17 M real ray-triangle pairs vs 211 M padded):
+#
+# 1. **Cubemap mip levels instead of a global overflow list.** Gen-1 sends
+#    every triangle whose direction cone spans more than ``span`` cells per
+#    face to a brute-force pass over ALL rays — 263 dragon triangles cost
+#    69 M of the 211 M pairs. Here those triangles are re-binned into
+#    coarser cubemaps (g = 32 -> 8); at g=8 with span=8 a face rectangle
+#    always fits, so only cones whose bounding ball contains the origin
+#    remain truly global (zero for typical closed meshes). This is the
+#    TLAS analog with interior levels (reference: Voxelizer.cpp:264-326
+#    delegates the same long-tail problem to the driver's BVH).
+# 2. **Radial-form intersection + finer capacity classes.** The per-pair
+#    test is intersect.radial_hit (see radial_setup for the math) and class
+#    boundaries are every power of two, with cells split into 128-ray
+#    strips so any (grid, cubemap) combination gets the streaming kernel.
+
+CLASS_CAPS2 = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+LEVELS2 = (32, 8)  # cubemap sizes, fine -> coarse
+CELLS_PER_STEP = 8  # virtual cells per kernel grid step (raystab_pallas)
+
+
+@dataclass
+class Raystab2Stats:
+    levels: tuple  # per level: (g, live_cells, capacity, max_bin, virtual_cells)
+    near_origin: int  # triangles tested against every ray
+
+
+@dataclass
+class RaystabAccel2:
+    """Gen-2 acceleration structure (mip-level direction-space cubemaps).
+
+    ``levels``: per cubemap level, a tuple of capacity classes
+    (rays [VC,8,128] with rows dx dy dz s0, coefs [VC,K,12] with rows
+    g0 g1 g2 c id, scatter [VC,128] int32 into a V+1 buffer). ``ov_dense``:
+    (rays [V/128,8,128], coefs [O,12]) for near-origin triangles, or None.
+
+    ``sort_keys``: per level, the int32 ray id of every kernel output slot
+    (concatenated class streams + a filler for rays the level doesn't
+    cover; padding slots get V). The query applies the slot->ray
+    permutation by SORTING (key, t, id) and slicing the first V rows —
+    measured 6x faster than an XLA gather and 25x faster than scatter for
+    this size. ``ftab`` [T+1, 18] packs (v0, e1, e2, n0, n1, n2) per
+    triangle so the finalize pass pays ONE row gather by winner id.
+    """
+
+    n: int
+    levels: tuple
+    ov_dense: tuple | None
+    stats: Raystab2Stats
+    sort_keys: tuple = ()
+    ftab: jnp.ndarray | None = None
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _dense_rays2(ray_table128, n: int):
+    """Gather radial-row ray blocks [VC, 8, 128]: dx dy dz s0 + 4 pad rows.
+
+    Padding slots (id -1) give d = 0, s0 = 0 -> den == 0 -> guaranteed miss.
+    ``s0`` is the same jnp.linalg.norm expression as the oracle's
+    (voxelize_raystab_radial_ref) so t = c/den - s0 matches bit-for-bit.
+    """
+    pos, dirs = voxel_rays(n)
+    s0 = jnp.linalg.norm(pos, axis=-1)
+    dirsp = jnp.concatenate([dirs, jnp.zeros((1, 3), dirs.dtype)])
+    s0p = jnp.concatenate([s0, jnp.zeros((1,), s0.dtype)])
+    idx = jnp.where(ray_table128 >= 0, ray_table128, n * n * n)
+    d = dirsp[idx]  # [VC, 128, 3]
+    s = s0p[idx][:, None, :]  # [VC, 1, 128]
+    rows = jnp.concatenate(
+        [
+            jnp.swapaxes(d, 1, 2),  # [VC, 3, 128]
+            s,
+            jnp.zeros((idx.shape[0], 4, 128), jnp.float32),
+        ],
+        axis=1,
+    )
+    return rows.astype(jnp.float32)
+
+
+@jax.jit
+def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
+    """Radial coefficient rows [Ts+1, 12]: g0 g1 g2 c id pad; the appended
+    padding row is all-zero with id BIG (den == 0 -> miss, loses ties)."""
+    g0, g1, g2, c = intersect.radial_setup(verts_norm, tris_subset)
+    idf = global_ids.astype(jnp.float32)[:, None]
+    cf = jnp.concatenate(
+        [g0, g1, g2, c[:, None], idf, jnp.zeros_like(idf)], axis=-1
+    )  # [Ts, 12]
+    pad_row = jnp.zeros((1, 12), cf.dtype).at[0, 10].set(2.0**30)
+    return jnp.concatenate([cf, pad_row]).astype(jnp.float32)
+
+
+def _level_classes2(table_np, counts, ray_table, coef_mat, n):
+    """Partition one level's cells into capacity classes of virtual cells.
+
+    A virtual cell is a (cell, 128-ray strip) pair: cells with more rays
+    than one lane strip (coarse cubemaps / hi-res grids) replicate their
+    candidate row across strips. Returns a list of (rays, coefs, scatter)
+    device tuples plus the total virtual-cell count.
+    """
+    v = n * n * n
+    r_cap = ray_table.shape[1]
+    n_strips = -(-r_cap // 128)
+    rc = (ray_table >= 0).sum(axis=1)
+    classes = []
+    total_vc = 0
+    caps = [k for k in CLASS_CAPS2 if k < table_np.shape[1]]
+    caps.append(table_np.shape[1])
+    lo = 0
+    for k in caps:
+        cls = np.nonzero((counts > lo) & (counts <= k))[0]
+        lo = k
+        if cls.size == 0:
+            continue
+        cls = cls[np.argsort(-counts[cls], kind="stable")]
+        rt_rows = []
+        tab_rows = []
+        for cell in cls:
+            if rc[cell] == 0:
+                continue  # no voxel direction falls in this cell
+            strips = int(-(-rc[cell] // 128))
+            for s in range(strips):
+                row = np.full((128,), -1, np.int32)
+                seg = ray_table[cell, s * 128 : min((s + 1) * 128, r_cap)]
+                row[: seg.shape[0]] = seg
+                rt_rows.append(row)
+                tab_rows.append(cell)
+        if not rt_rows:
+            continue
+        vc = len(rt_rows)
+        pad = (-vc) % CELLS_PER_STEP
+        for _ in range(pad):
+            rt_rows.append(np.full((128,), -1, np.int32))
+            tab_rows.append(-1)
+        rt128 = np.stack(rt_rows)
+        sc128 = np.where(rt128 >= 0, rt128, v).astype(np.int32)
+        tab = np.full((len(tab_rows), k), -1, np.int64)
+        owner = np.asarray(tab_rows)
+        live = owner >= 0
+        tab[live] = table_np[owner[live]][:, :k]
+        ids = jnp.asarray(tab)
+        coefs = coef_mat[jnp.where(ids >= 0, ids, coef_mat.shape[0] - 1)]
+        classes.append((
+            _dense_rays2(jnp.asarray(rt128), n),
+            coefs,
+            jnp.asarray(sc128),
+        ))
+        total_vc += len(rt_rows)
+    return classes, total_vc
+
+
+def build_raystab_accel2(
+    verts_norm: jnp.ndarray,
+    tris: jnp.ndarray,
+    normals: jnp.ndarray,
+    n: int = 64,
+    gs: tuple = LEVELS2,
+    span: int = 8,
+) -> RaystabAccel2:
+    """Build the gen-2 accel: bin each triangle at the finest cubemap level
+    whose ``span``-cell rectangle covers its direction cone; only cones
+    containing the origin fall through to the global list. ``normals`` are
+    baked into the finalize table — like the reference's AS, the accel is
+    built once per geometry (Voxelizer.cpp:264-326); deforming meshes
+    rebuild it."""
+    t_count = int(tris.shape[0])
+    v = n * n * n
+    sub_ids = np.arange(t_count, dtype=np.int32)
+    cur_tris = tris
+    levels = []
+    stat_levels = []
+    for g in gs:
+        if sub_ids.size == 0:
+            break
+        sorted_tris, starts, counts, ov_ids, _, _ = _cone_phase_a(
+            verts_norm, cur_tris, g, span
+        )
+        counts_h = np.asarray(counts)
+        max_bin = int(counts_h.max()) if counts_h.size else 0
+        cls = ()
+        total_vc = 0
+        cap = 8
+        if max_bin > 0:
+            while cap < max_bin:
+                cap *= 2
+            table = np.asarray(_cell_table(sorted_tris, starts, counts, cap))
+            # table holds subset-local candidate ids == rows of this
+            # level's (subset-indexed) coefficient matrix; -1 pads
+            ray_table, _ = ray_tables(n, g)
+            coef_mat = _radial_coef_matrix(
+                verts_norm, cur_tris, jnp.asarray(sub_ids)
+            )
+            cls, total_vc = _level_classes2(
+                table, counts_h, ray_table, coef_mat, n
+            )
+        levels.append(tuple(cls))
+        stat_levels.append((g, int((counts_h > 0).sum()), cap, max_bin,
+                            total_vc))
+        ov = np.asarray(ov_ids)
+        ov = ov[ov >= 0]
+        sub_ids = sub_ids[ov]
+        cur_tris = tris[jnp.asarray(sub_ids)] if ov.size else tris[:0]
+
+    ov_dense = None
+    if sub_ids.size > 0:
+        o_cap = max(-(-int(sub_ids.size) // 8) * 8, 8)
+        ids = np.full((o_cap,), -1, np.int32)
+        ids[: sub_ids.size] = sub_ids
+        strips = v // 128
+        assert strips % CELLS_PER_STEP == 0
+        all_rays = np.arange(v, dtype=np.int32).reshape(strips, 128)
+        coef_mat = _radial_coef_matrix(
+            verts_norm, tris[jnp.asarray(np.maximum(ids, 0))],
+            jnp.asarray(np.where(ids >= 0, ids, 2**30)),
+        )[:-1]
+        # padding rows (-1) must be inert: zero coefficients, id BIG
+        coef_mat = jnp.where(
+            (jnp.asarray(ids) < 0)[:, None],
+            jnp.zeros((1, 12), jnp.float32).at[0, 10].set(2.0**30),
+            coef_mat,
+        )
+        ov_dense = (_dense_rays2(jnp.asarray(all_rays), n), coef_mat)
+
+    # slot -> ray sort keys per level: class scatter streams already hold
+    # the ray id per slot (V for padding); append a filler so every ray
+    # appears exactly once, making row r of the sorted stream ray r.
+    sort_keys = []
+    for level in levels:
+        if not level:
+            sort_keys.append(None)
+            continue
+        covered = np.zeros((v + 1,), bool)
+        parts = []
+        for (_, _, scatter) in level:
+            sc = np.asarray(scatter).reshape(-1)
+            covered[sc] = True
+            parts.append(sc)
+        filler = np.nonzero(~covered[:v])[0].astype(np.int32)
+        parts.append(filler)
+        sort_keys.append(jnp.asarray(np.concatenate(parts)))
+
+    # packed finalize table (v0 e1 e2 n0 n1 n2 + all-zero miss row); the
+    # finalize pass pays ONE [V,18] row gather instead of eight separate
+    # per-voxel gathers (measured 2.6 ms vs 27 ms at 64^3 on v5e)
+    v0_, e1_, e2_ = intersect.triangle_soup(verts_norm, tris)
+    ftab = jnp.concatenate(
+        [v0_, e1_, e2_, normals[tris[:, 0]], normals[tris[:, 1]],
+         normals[tris[:, 2]]], axis=-1,
+    ).astype(jnp.float32)
+    ftab = jnp.concatenate([ftab, jnp.zeros((1, 18), jnp.float32)])
+
+    return RaystabAccel2(
+        n=n,
+        levels=tuple(levels),
+        ov_dense=ov_dense,
+        stats=Raystab2Stats(
+            levels=tuple(stat_levels), near_origin=int(sub_ids.size)
+        ),
+        sort_keys=tuple(sort_keys),
+        ftab=ftab,
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "threshold"))
+def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
+               threshold: float):
+    """Packed-table finalize: ONE [V,18] row gather by winner id, then the
+    same mt_hit (u, v) + normal-interp expressions as the oracles."""
+    hit = jnp.isfinite(best_t) & (best_i < t_count)
+    idx = jnp.where(hit, best_i, t_count)
+    rows = ftab[idx]  # [V, 18]
+    v0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    n0 = rows[:, 9:12]
+    n1 = rows[:, 12:15]
+    n2 = rows[:, 15:18]
+    _, u, v, _ = intersect.mt_hit(pos, dirs, v0, e1, e2)
+    nrm = n0 + u[:, None] * (n1 - n0) + v[:, None] * (n2 - n0)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    inside = hit & (jnp.sum(nrm * dirs, axis=-1) > threshold)
+    rgba = jnp.where(
+        inside[:, None],
+        jnp.concatenate([nrm, jnp.ones_like(u)[:, None]], axis=-1),
+        0.0,
+    )
+    return inside.reshape(n, n, n), rgba.reshape(n, n, n, 4)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "threshold", "ks", "ov_k", "t_count", "interpret"),
+)
+def _raystab_query2(
+    ftab, levels, sort_keys, ov_dense, n: int, threshold: float,
+    ks: tuple, ov_k: int, t_count: int, interpret: bool,
+):
+    """One-dispatch gen-2 query: stream kernels -> sort-merge -> finalize.
+
+    The slot->ray permutation rides the sort engine: lax.sort of
+    (ray key, t, id) then slicing the first V rows puts every ray in
+    natural order (keys are unique reals + V-sentinel padding). Measured
+    1.6 ns/row vs 10/40 ns/row for the XLA gather/scatter equivalents.
+    """
+    from dxrvoxelizer_tpu.ops.raystab_pallas import stab_closest_hit2
+
+    v = n * n * n
+    big = jnp.int32(2**30)
+    best_t = jnp.full((v,), jnp.inf, jnp.float32)
+    best_i = jnp.full((v,), big, jnp.int32)
+
+    for level, level_ks, keys in zip(levels, ks, sort_keys):
+        if not level:
+            continue
+        tparts, iparts = [], []
+        for (rays, coefs, scatter), k in zip(level, level_ks):
+            t_c, i_c = stab_closest_hit2(rays, coefs, k, interpret=interpret)
+            tparts.append(t_c.reshape(-1))
+            iparts.append(i_c.reshape(-1))
+        filler = keys.shape[0] - sum(p.shape[0] for p in tparts)
+        tparts.append(jnp.full((filler,), jnp.inf, jnp.float32))
+        iparts.append(jnp.full((filler,), big, jnp.int32))
+        _, lt, li = jax.lax.sort(
+            (keys, jnp.concatenate(tparts), jnp.concatenate(iparts)),
+            dimension=0, is_stable=False, num_keys=1,
+        )
+        lt, li = lt[:v], li[:v]
+        closer = (lt < best_t) | ((lt == best_t) & (li < best_i))
+        best_t = jnp.where(closer, lt, best_t)
+        best_i = jnp.where(closer, li, best_i)
+
+    pos, dirs = voxel_rays(n)
+    if ov_dense is not None:
+        rays_ov, cf_ov = ov_dense
+        t_ov, i_ov = stab_closest_hit2(
+            rays_ov, cf_ov, ov_k, shared=True, interpret=interpret
+        )
+        t_ov = t_ov.reshape(-1)  # natural ray order already
+        i_ov = i_ov.reshape(-1)
+        closer = (t_ov < best_t) | ((t_ov == best_t) & (i_ov < best_i))
+        best_t = jnp.where(closer, t_ov, best_t)
+        best_i = jnp.where(closer, i_ov, best_i)
+    return _finalize2(ftab, pos, dirs, best_t, best_i, t_count, n, threshold)
+
+
+def raystab_query2(
+    verts_norm: jnp.ndarray,
+    normals: jnp.ndarray,
+    tris: jnp.ndarray,
+    accel: RaystabAccel2,
+    threshold: float = INSIDE_THRESHOLD,
+    interpret: bool = False,
+):
+    """Per-frame gen-2 trace -> (occupancy, rgba); ground truth is the
+    radial oracle (ops/voxelize_ref.voxelize_raystab_radial_ref).
+
+    ``verts_norm``/``normals`` must be the geometry the accel was built
+    from (the coefficient tables and finalize table are baked in — the
+    DXR-analog contract: rebuild the AS when geometry changes).
+    """
+    del verts_norm, normals  # baked into the accel (kept for API parity)
+    ks = tuple(
+        tuple(int(c[1].shape[1]) for c in level) for level in accel.levels
+    )
+    ov_k = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+    return _raystab_query2(
+        accel.ftab, accel.levels, accel.sort_keys, accel.ov_dense,
+        accel.n, threshold, ks, ov_k, int(tris.shape[0]), interpret,
     )
 
 

@@ -92,6 +92,81 @@ def voxelize_raystab_ref(
     )
 
 
+@partial(jax.jit, static_argnames=("n", "ray_chunk", "tri_chunk"))
+def voxelize_raystab_radial_ref(
+    verts_norm: jnp.ndarray,
+    normals: jnp.ndarray,
+    tris: jnp.ndarray,
+    n: int = 64,
+    threshold: float = INSIDE_THRESHOLD,
+    ray_chunk: int = 4096,
+    tri_chunk: int = 2048,
+):
+    """Reference-rule voxelization via the radial-form intersection.
+
+    Ground truth for the gen-2 binned/Pallas ray-stab path
+    (ops/raystab_fast.build_raystab_accel2): same ray set and inside rule as
+    :func:`voxelize_raystab_ref`, but the closest-hit winner is picked with
+    the radial-form test (intersect.radial_hit — exploits origin = s0 * dir,
+    DXRVoxelizer.hlsl:44-53) instead of Moller-Trumbore. The two agree
+    everywhere except fp-boundary near-ties between two triangles (shared
+    edges crossed within 1 ulp); normals for the winner are interpolated
+    with the same mt_hit (u, v) as the mt oracle.
+    """
+    cx, cy, cz = (jnp.asarray(t) for t in voxel_centers_norm(n))
+    px = cx[:, None, None]
+    py = cy[None, :, None]
+    pz = cz[None, None, :]
+    pos = jnp.stack(jnp.broadcast_arrays(px, py, pz), axis=-1).reshape(-1, 3)
+    length = jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    dirs = pos / jnp.maximum(length, 1e-20)
+    s0 = length[:, 0]
+
+    g0, g1, g2, c = intersect.radial_setup(verts_norm, tris)
+    v0, e1, e2 = intersect.triangle_soup(verts_norm, tris)
+    n0 = normals[tris[:, 0]]
+    n1 = normals[tris[:, 1]]
+    n2 = normals[tris[:, 2]]
+    t_count = tris.shape[0]
+
+    def process(chunk):
+        o, d, s = chunk
+        t, idx = intersect.radial_closest_hit(
+            d, s, g0, g1, g2, c, tri_chunk=tri_chunk
+        )
+        hit = jnp.isfinite(t) & (idx < t_count)
+        idx = jnp.where(hit, idx, 0)
+        _, u, v, _ = intersect.mt_hit(o, d, v0[idx], e1[idx], e2[idx])
+        nrm = (
+            n0[idx]
+            + u[:, None] * (n1[idx] - n0[idx])
+            + v[:, None] * (n2[idx] - n0[idx])
+        )
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20
+        )
+        inside = hit & (jnp.sum(nrm * d, axis=-1) > threshold)
+        rgba = jnp.where(
+            inside[:, None],
+            jnp.concatenate([nrm, jnp.ones_like(t)[:, None]], axis=-1),
+            0.0,
+        )
+        return inside, rgba
+
+    num_rays = pos.shape[0]
+    assert num_rays % ray_chunk == 0
+    chunks = (
+        pos.reshape(-1, ray_chunk, 3),
+        dirs.reshape(-1, ray_chunk, 3),
+        s0.reshape(-1, ray_chunk),
+    )
+    inside, rgba = jax.lax.map(process, chunks)
+    return (
+        inside.reshape(n, n, n),
+        rgba.reshape(n, n, n, 4),
+    )
+
+
 @partial(jax.jit, static_argnames=("n", "tri_chunk", "x_slab"))
 def voxelize_parity_ref(
     verts_norm: jnp.ndarray,

@@ -1,0 +1,129 @@
+"""Gen-2 ray-stab path (mip-level cubemap + radial-form kernel).
+
+Ground-truth chain: the radial oracle (voxelize_raystab_radial_ref) defines
+the gen-2 contract bit-for-bit; the radial oracle itself must agree with the
+Moller-Trumbore oracle everywhere except fp-boundary near-ties (shared
+edges hit within 1 ulp — only the axis-aligned box fixture, whose faces
+align with voxel rays, produces any).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxrvoxelizer_tpu.ops import intersect
+from dxrvoxelizer_tpu.ops.raystab_fast import (
+    LEVELS2,
+    build_raystab_accel2,
+    raystab_query,
+    raystab_query2,
+)
+from dxrvoxelizer_tpu.ops.voxelize_ref import (
+    voxelize_raystab_radial_ref,
+    voxelize_raystab_ref,
+)
+
+from meshes import box_mesh, icosphere_mesh, tetrahedron_mesh
+
+
+def _jx(mesh):
+    v, n, t = mesh[:3]
+    return jnp.asarray(v), jnp.asarray(n), jnp.asarray(t)
+
+
+def test_radial_hit_matches_mt_on_radial_rays():
+    """The radial-form test agrees with Moller-Trumbore (up to fp noise in
+    t) for rays through the origin — the only rays the voxelizer shoots."""
+    rng = np.random.default_rng(7)
+    tris_v = rng.standard_normal((64, 3, 3)).astype(np.float32)
+    pos = rng.standard_normal((256, 3)).astype(np.float32)
+    length = np.linalg.norm(pos, axis=-1, keepdims=True)
+    dirs = (pos / length).astype(np.float32)
+
+    verts = jnp.asarray(tris_v.reshape(-1, 3))
+    tris = jnp.arange(64 * 3, dtype=jnp.int32).reshape(64, 3)
+    v0, e1, e2 = intersect.triangle_soup(verts, tris)
+    t_mt, _, _, hit_mt = intersect.mt_hit(
+        jnp.asarray(pos)[:, None, :], jnp.asarray(dirs)[:, None, :],
+        v0[None], e1[None], e2[None],
+    )
+    g0, g1, g2, c = intersect.radial_setup(verts, tris)
+    d = jnp.asarray(dirs)
+    t_rad, hit_rad = intersect.radial_hit(
+        d[:, None, 0], d[:, None, 1], d[:, None, 2],
+        jnp.asarray(length),
+        g0[None, :, 0], g0[None, :, 1], g0[None, :, 2],
+        g1[None, :, 0], g1[None, :, 1], g1[None, :, 2],
+        g2[None, :, 0], g2[None, :, 1], g2[None, :, 2],
+        c[None, :],
+    )
+    agree = np.asarray(hit_mt) == np.asarray(hit_rad)
+    assert agree.mean() > 0.999  # fp-boundary disagreements only
+    both = np.asarray(hit_mt & hit_rad)
+    tm, tr = np.asarray(t_mt)[both], np.asarray(t_rad)[both]
+    assert np.allclose(tm, tr, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("subdiv,n", [(1, 32), (2, 32)])
+def test_radial_oracle_matches_mt_oracle_icosphere(subdiv, n):
+    v, nr, t = _jx(icosphere_mesh(subdiv))
+    occ_mt, rgba_mt = voxelize_raystab_ref(v, nr, t, n=n, ray_chunk=2048)
+    occ_rad, rgba_rad = voxelize_raystab_radial_ref(
+        v, nr, t, n=n, ray_chunk=2048
+    )
+    assert bool((occ_mt == occ_rad).all())
+    assert bool((rgba_mt == rgba_rad).all())
+
+
+def test_radial_oracle_near_mt_oracle_box():
+    """Axis-aligned box faces produce fp-boundary near-ties; the two
+    winner rules may differ on a handful of voxels, never more."""
+    v, nr, t = _jx(box_mesh((-0.55, -0.45, -0.5), (0.5, 0.6, 0.45)))
+    n = 32
+    occ_mt, _ = voxelize_raystab_ref(v, nr, t, n=n, ray_chunk=2048)
+    occ_rad, _ = voxelize_raystab_radial_ref(v, nr, t, n=n, ray_chunk=2048)
+    mism = int((occ_mt != occ_rad).sum())
+    assert mism <= 64, mism  # < 0.2% of the grid
+
+
+@pytest.mark.parametrize(
+    "mk,n",
+    [
+        (lambda: icosphere_mesh(2), 32),
+        (lambda: box_mesh((-0.55, -0.45, -0.5), (0.5, 0.6, 0.45)), 32),
+        (lambda: tetrahedron_mesh(), 32),
+    ],
+    ids=["icosphere", "box-near-origin", "tetrahedron"],
+)
+def test_accel2_query_bitexact_vs_radial_oracle(mk, n):
+    """Streaming kernel (interpret), sort-merge, and packed finalize agree
+    with the radial oracle bit-for-bit — occupancy AND normals."""
+    v, nr, t = _jx(mk())
+    occ_r, rgba_r = voxelize_raystab_radial_ref(v, nr, t, n=n, ray_chunk=2048)
+    accel = build_raystab_accel2(v, t, nr, n=n)
+    occ2, rgba2 = raystab_query2(v, nr, t, accel, interpret=True)
+    assert bool((occ2 == occ_r).all())
+    assert bool((rgba2 == rgba_r).all())
+
+
+def test_accel2_level_assignment_partitions_triangles():
+    """Every triangle lands in exactly one cubemap level (or the global
+    near-origin list); the box fixture exercises the global list."""
+    v, nr, t = _jx(box_mesh((-0.55, -0.45, -0.5), (0.5, 0.6, 0.45)))
+    accel = build_raystab_accel2(v, t, nr, n=32)
+    assert accel.stats.near_origin == int(t.shape[0])  # all contain origin
+    v2, nr2, t2 = _jx(icosphere_mesh(2))
+    accel2 = build_raystab_accel2(v2, t2, nr2, n=32)
+    assert accel2.stats.near_origin == 0
+    assert len(accel2.stats.levels) <= len(LEVELS2)
+
+
+def test_raystab_query_dispatches_accel2():
+    """raystab_query routes a RaystabAccel2 to the gen-2 radial path."""
+    v, nr, t = _jx(icosphere_mesh(1))
+    n = 32
+    accel = build_raystab_accel2(v, t, nr, n=n)
+    occ_a, rgba_a = raystab_query(v, nr, t, accel, interpret=True)
+    occ_b, rgba_b = raystab_query2(v, nr, t, accel, interpret=True)
+    assert bool((occ_a == occ_b).all())
+    assert bool((rgba_a == rgba_b).all())
