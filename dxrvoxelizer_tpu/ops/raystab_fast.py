@@ -154,6 +154,8 @@ def _cone_phase_a(verts_norm, tris, g: int, span: int):
 
     keys = []
     spans = []
+    du = jnp.arange(span, dtype=jnp.int32)[:, None, None]  # [span,1,1]
+    dv = jnp.arange(span, dtype=jnp.int32)[None, :, None]  # [1,span,1]
     for f in range(6):
         a = f >> 1
         s = 1.0 if f % 2 == 0 else -1.0
@@ -173,11 +175,17 @@ def _cone_phase_a(verts_norm, tris, g: int, span: int):
         sv = iv1 - iv0 + 1
         fits = face_ok & (su <= span) & (sv <= span)
         spans.append((face_ok, fits))
-        for du in range(span):
-            for dv in range(span):
-                cell = f * g * g + (iu0 + du) * g + (iv0 + dv)
-                ok = fits & (du < su) & (dv < sv)
-                keys.append(jnp.where(ok, cell, n_cells))
+        # one broadcast expression for the whole span x span rectangle
+        # (384 separately-stacked slices made the XLA graph so large that
+        # its compile dominated the accel build)
+        cell = f * g * g + (iu0[None, None, :] + du) * g + (
+            iv0[None, None, :] + dv
+        )  # [span, span, T]
+        ok = (
+            fits[None, None, :] & (du < su[None, None, :])
+            & (dv < sv[None, None, :])
+        )
+        keys.append(jnp.where(ok, cell, n_cells))
     # overflow: near-origin balls or any face whose rectangle exceeds span
     over = near_origin
     for face_ok, fits in spans:
@@ -676,30 +684,53 @@ class RaystabAccel2:
     ftab: jnp.ndarray | None = None
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _dense_rays2(ray_table128, n: int):
-    """Gather radial-row ray blocks [VC, 8, 128]: dx dy dz s0 + 4 pad rows.
+def _pow2cap(max_bin: int) -> int:
+    cap = 8
+    while cap < max_bin:
+        cap *= 2
+    return cap
 
-    Padding slots (id -1) give d = 0, s0 = 0 -> den == 0 -> guaranteed miss.
-    ``s0`` is the same jnp.linalg.norm expression as the oracle's
-    (voxelize_raystab_radial_ref) so t = c/den - s0 matches bit-for-bit.
+
+def _host_cpu():
+    """The local CPU device, or None when the platform exposes none.
+
+    The accel build runs its BINNING math there: local CPU compiles are
+    seconds where remote-TPU compiles of the same 38M-element sort graph
+    are minutes, and binning only decides conservative candidate SETS
+    (guard bands of 1e-4 rad dwarf any cross-backend fp difference). The
+    kernel-facing coefficient VALUES are still computed on the default
+    backend so they match the oracle bit-for-bit.
     """
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _ray_params(n: int):
+    """Per-voxel (dirs [V,3], s0 [V]) with the oracle's exact expressions
+    (voxelize_raystab_radial_ref) so t = c/den - s0 matches bit-for-bit."""
     pos, dirs = voxel_rays(n)
-    s0 = jnp.linalg.norm(pos, axis=-1)
-    dirsp = jnp.concatenate([dirs, jnp.zeros((1, 3), dirs.dtype)])
-    s0p = jnp.concatenate([s0, jnp.zeros((1,), s0.dtype)])
-    idx = jnp.where(ray_table128 >= 0, ray_table128, n * n * n)
-    d = dirsp[idx]  # [VC, 128, 3]
-    s = s0p[idx][:, None, :]  # [VC, 1, 128]
-    rows = jnp.concatenate(
-        [
-            jnp.swapaxes(d, 1, 2),  # [VC, 3, 128]
-            s,
-            jnp.zeros((idx.shape[0], 4, 128), jnp.float32),
-        ],
-        axis=1,
-    )
-    return rows.astype(jnp.float32)
+    return dirs, jnp.linalg.norm(pos, axis=-1)
+
+
+def _dense_rays_host(ray_table128, dirs_h, s0_h, n: int):
+    """Assemble radial-row ray blocks [VC, 8, 128] in host numpy.
+
+    Rows: dx dy dz s0 + 4 pad; padding slots (id -1) give d = 0, s0 = 0
+    -> den == 0 -> guaranteed miss. ``dirs_h``/``s0_h`` are host copies of
+    the device-computed values (bit-preserving round trip).
+    """
+    v = n * n * n
+    idx = np.where(ray_table128 >= 0, ray_table128, v)
+    dirs_p = np.concatenate([dirs_h, np.zeros((1, 3), np.float32)])
+    s0_p = np.concatenate([s0_h, np.zeros((1,), np.float32)])
+    vc = ray_table128.shape[0]
+    rows = np.zeros((vc, 8, 128), np.float32)
+    rows[:, 0:3, :] = dirs_p[idx].transpose(0, 2, 1)
+    rows[:, 3, :] = s0_p[idx]
+    return rows
 
 
 @jax.jit
@@ -715,17 +746,19 @@ def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
     return jnp.concatenate([cf, pad_row]).astype(jnp.float32)
 
 
-def _level_classes2(table_np, counts, ray_table, coef_mat, n):
+def _level_classes2(table_np, counts, ray_table, coef_h, dirs_h, s0_h, n):
     """Partition one level's cells into capacity classes of virtual cells.
 
     A virtual cell is a (cell, 128-ray strip) pair: cells with more rays
     than one lane strip (coarse cubemaps / hi-res grids) replicate their
-    candidate row across strips. Returns a list of (rays, coefs, scatter)
-    device tuples plus the total virtual-cell count.
+    candidate row across strips. All table assembly is host numpy over
+    device-computed coefficient values (one upload per class instead of a
+    lattice of shape-specialized device gathers, each of which costs a
+    remote compile on the tunnel). Returns (rays, coefs, scatter) device
+    tuples plus the total virtual-cell count.
     """
     v = n * n * n
     r_cap = ray_table.shape[1]
-    n_strips = -(-r_cap // 128)
     rc = (ray_table >= 0).sum(axis=1)
     classes = []
     total_vc = 0
@@ -763,11 +796,10 @@ def _level_classes2(table_np, counts, ray_table, coef_mat, n):
         owner = np.asarray(tab_rows)
         live = owner >= 0
         tab[live] = table_np[owner[live]][:, :k]
-        ids = jnp.asarray(tab)
-        coefs = coef_mat[jnp.where(ids >= 0, ids, coef_mat.shape[0] - 1)]
+        coefs = coef_h[np.where(tab >= 0, tab, coef_h.shape[0] - 1)]
         classes.append((
-            _dense_rays2(jnp.asarray(rt128), n),
-            coefs,
+            jnp.asarray(_dense_rays_host(rt128, dirs_h, s0_h, n)),
+            jnp.asarray(coefs),
             jnp.asarray(sc128),
         ))
         total_vc += len(rt_rows)
@@ -791,40 +823,68 @@ def build_raystab_accel2(
     t_count = int(tris.shape[0])
     v = n * n * n
     sub_ids = np.arange(t_count, dtype=np.int32)
-    cur_tris = tris
+    tris_h = np.asarray(tris)
     levels = []
     stat_levels = []
+
+    # binning on the local CPU backend (see _host_cpu); coefficient values
+    # for the kernel stay on the default backend (oracle bit-exactness)
+    cpu = _host_cpu()
+    verts_bin = verts_norm
+    if cpu is not None:
+        verts_h = np.asarray(verts_norm)
+        with jax.default_device(cpu):
+            verts_bin = jnp.asarray(verts_h)
+
+    # the full radial coefficient matrix once (device); host copy for the
+    # per-class numpy gathers — the round trip preserves every bit
+    coef_full = np.asarray(
+        _radial_coef_matrix(
+            verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
+        )
+    )
+    pad_row = coef_full[-1:]
+    dirs_d, s0_d = _ray_params(n)
+    dirs_h = np.asarray(dirs_d)
+    s0_h = np.asarray(s0_d)
+
+    import contextlib
+
+    bin_ctx = (
+        (lambda: jax.default_device(cpu)) if cpu is not None
+        else contextlib.nullcontext
+    )
     for g in gs:
         if sub_ids.size == 0:
             break
-        sorted_tris, starts, counts, ov_ids, _, _ = _cone_phase_a(
-            verts_norm, cur_tris, g, span
-        )
-        counts_h = np.asarray(counts)
-        max_bin = int(counts_h.max()) if counts_h.size else 0
+        with bin_ctx():
+            cur = jnp.asarray(tris_h[sub_ids])
+            sorted_tris, starts, counts, ov_ids, _, _ = _cone_phase_a(
+                verts_bin, cur, g, span
+            )
+            counts_h = np.asarray(counts)
+            max_bin = int(counts_h.max()) if counts_h.size else 0
+            table = (
+                np.asarray(_cell_table(sorted_tris, starts, counts,
+                                       _pow2cap(max_bin)))
+                if max_bin > 0 else None
+            )
         cls = ()
         total_vc = 0
-        cap = 8
-        if max_bin > 0:
-            while cap < max_bin:
-                cap *= 2
-            table = np.asarray(_cell_table(sorted_tris, starts, counts, cap))
-            # table holds subset-local candidate ids == rows of this
-            # level's (subset-indexed) coefficient matrix; -1 pads
+        if table is not None:
+            # table holds subset-local ids -> remap rows of the full
+            # coefficient matrix through the subset (host gather)
+            coef_sub = np.concatenate([coef_full[:-1][sub_ids], pad_row])
             ray_table, _ = ray_tables(n, g)
-            coef_mat = _radial_coef_matrix(
-                verts_norm, cur_tris, jnp.asarray(sub_ids)
-            )
             cls, total_vc = _level_classes2(
-                table, counts_h, ray_table, coef_mat, n
+                table, counts_h, ray_table, coef_sub, dirs_h, s0_h, n
             )
         levels.append(tuple(cls))
-        stat_levels.append((g, int((counts_h > 0).sum()), cap, max_bin,
-                            total_vc))
+        stat_levels.append((g, int((counts_h > 0).sum()),
+                            _pow2cap(max_bin), max_bin, total_vc))
         ov = np.asarray(ov_ids)
         ov = ov[ov >= 0]
         sub_ids = sub_ids[ov]
-        cur_tris = tris[jnp.asarray(sub_ids)] if ov.size else tris[:0]
 
     ov_dense = None
     if sub_ids.size > 0:
@@ -834,17 +894,15 @@ def build_raystab_accel2(
         strips = v // 128
         assert strips % CELLS_PER_STEP == 0
         all_rays = np.arange(v, dtype=np.int32).reshape(strips, 128)
-        coef_mat = _radial_coef_matrix(
-            verts_norm, tris[jnp.asarray(np.maximum(ids, 0))],
-            jnp.asarray(np.where(ids >= 0, ids, 2**30)),
-        )[:-1]
-        # padding rows (-1) must be inert: zero coefficients, id BIG
-        coef_mat = jnp.where(
-            (jnp.asarray(ids) < 0)[:, None],
-            jnp.zeros((1, 12), jnp.float32).at[0, 10].set(2.0**30),
-            coef_mat,
+        inert = np.zeros((1, 12), np.float32)
+        inert[0, 10] = 2.0**30
+        cf_ov = np.where(
+            (ids >= 0)[:, None], coef_full[:-1][np.maximum(ids, 0)], inert
+        ).astype(np.float32)
+        ov_dense = (
+            jnp.asarray(_dense_rays_host(all_rays, dirs_h, s0_h, n)),
+            jnp.asarray(cf_ov),
         )
-        ov_dense = (_dense_rays2(jnp.asarray(all_rays), n), coef_mat)
 
     # slot -> ray sort keys per level: class scatter streams already hold
     # the ray id per slot (V for padding); append a filler so every ray
