@@ -103,8 +103,13 @@ def ray_tables(n: int, g: int):
 
 
 @partial(jax.jit, static_argnames=("g", "span"))
-def _cone_phase_a(verts_norm, tris, g: int, span: int):
-    """Per-triangle direction cones -> sorted (cell, tri) pairs + overflow."""
+def _cone_keys(verts_norm, tris, g: int, span: int):
+    """Per-triangle direction cones -> cubemap cell keys + overflow mask.
+
+    Returns (keys [6, span, span, T] int32 with 6*g*g padding sentinel,
+    over [T] bool). The sort/segment phase runs on the host (numpy radix
+    sort) — a 38M-key stable sort is seconds there vs ~35 s as a
+    single-threaded XLA CPU comparison sort."""
     v0 = verts_norm[tris[:, 0]]
     v1 = verts_norm[tris[:, 1]]
     v2 = verts_norm[tris[:, 2]]
@@ -193,31 +198,46 @@ def _cone_phase_a(verts_norm, tris, g: int, span: int):
     valid_tri = jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1) > 0.0
     over = over & valid_tri
 
-    keys = jnp.stack(keys, axis=0).reshape(-1)
-    tri_ids = jnp.broadcast_to(
-        jnp.arange(t_count, dtype=jnp.int32)[None, :],
-        (6 * span * span, t_count),
-    ).reshape(-1)
-    # payload-carrying sort (see ops/voxelize_queue.py: post-sort gathers
-    # cost several times the sort itself on TPU)
-    sorted_keys, sorted_tris = jax.lax.sort(
-        (keys, tri_ids), dimension=0, is_stable=True, num_keys=1
-    )
-    starts = jnp.searchsorted(
-        sorted_keys, jnp.arange(n_cells + 1, dtype=jnp.int32)
-    )
-    counts = starts[1:] - starts[:-1]
-    ov_ids = jnp.nonzero(over, size=t_count, fill_value=-1)[0].astype(jnp.int32)
-    return sorted_tris, starts, counts, ov_ids, counts.max(), over.sum()
+    return jnp.stack(keys, axis=0), over
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _cell_table(sorted_tris, starts, counts, cap: int):
+def _cone_bins_host(keys_h: np.ndarray, over_h: np.ndarray, g: int):
+    """Host half of the cone binning: filter + stable radix sort + CSR.
+
+    Order contract: identical to stable-sorting the full padded key
+    stream (padding keys are the maximum, so dropping them first leaves
+    the relative order of every valid (cell, tri) pair unchanged).
+    Returns (sorted_tris, starts, counts, ov_ids) as numpy arrays.
+    """
+    n_cells = 6 * g * g
+    t_count = keys_h.shape[-1]
+    keys_f = keys_h.reshape(-1)
+    # flatten order is (face, du, dv, tri) with tri fastest
+    tri_ids = np.tile(
+        np.arange(t_count, dtype=np.int32), keys_f.shape[0] // max(t_count, 1)
+    )
+    mask = keys_f < n_cells
+    kv = keys_f[mask]
+    tv = tri_ids[mask]
+    order = np.argsort(kv, kind="stable")
+    sorted_keys = kv[order]
+    sorted_tris = tv[order]
+    starts = np.searchsorted(sorted_keys, np.arange(n_cells + 1)).astype(
+        np.int64
+    )
+    counts = (starts[1:] - starts[:-1]).astype(np.int32)
+    ov_ids = np.flatnonzero(over_h).astype(np.int32)
+    return sorted_tris, starts, counts, ov_ids
+
+
+def _cell_table_host(sorted_tris, starts, counts, cap: int) -> np.ndarray:
     """Padded per-cell candidate id table [C, cap] (-1 = empty slot)."""
-    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    j = np.arange(cap, dtype=np.int64)[None, :]
     in_run = j < counts[:, None]
-    run_idx = jnp.clip(starts[:-1][:, None] + j, 0, sorted_tris.shape[0] - 1)
-    return jnp.where(in_run, sorted_tris[run_idx], -1)
+    if sorted_tris.size == 0:
+        return np.full((counts.shape[0], cap), -1, np.int32)
+    run_idx = np.clip(starts[:-1][:, None] + j, 0, sorted_tris.shape[0] - 1)
+    return np.where(in_run, sorted_tris[run_idx], -1).astype(np.int32)
 
 
 def bin_triangles_radial(
@@ -232,24 +252,31 @@ def bin_triangles_radial(
     capacity classes from it (bin sizes are long-tailed: a handful of
     grazing-direction cells see 30x the median candidate count).
     """
-    sorted_tris, starts, counts, ov_ids, max_bin_d, n_ov_d = _cone_phase_a(
-        verts_norm, tris, g, span
-    )
-    counts_h = np.asarray(counts)  # host sync
-    max_bin = int(counts_h.max())
-    n_ov = int(n_ov_d)
+    cpu = _host_cpu()
+    if cpu is not None:
+        with jax.default_device(cpu):
+            keys_d, over_d = _cone_keys(
+                jnp.asarray(np.asarray(verts_norm)),
+                jnp.asarray(np.asarray(tris)), g, span,
+            )
+            keys_h, over_h = np.asarray(keys_d), np.asarray(over_d)
+    else:
+        keys_d, over_d = _cone_keys(verts_norm, tris, g, span)
+        keys_h, over_h = np.asarray(keys_d), np.asarray(over_d)
+    sorted_tris, starts, counts_h, ov_np = _cone_bins_host(keys_h, over_h, g)
+    max_bin = int(counts_h.max()) if counts_h.size else 0
+    n_ov = int(ov_np.size)
     cap = 8
     while cap < max(max_bin, 1):
         cap *= 2
-    table = _cell_table(sorted_tris, starts, counts, cap)
+    table = jnp.asarray(_cell_table_host(sorted_tris, starts, counts_h, cap))
     o_cap = max(-(-max(n_ov, 1) // 64) * 64, 8) if n_ov > 8 else 8
-    ov = ov_ids
-    if ov.shape[0] < o_cap:  # tiny meshes: pad the list up to the capacity
-        ov = jnp.pad(ov, (0, o_cap - ov.shape[0]), constant_values=-1)
+    ov = np.full((o_cap,), -1, np.int32)
+    ov[: min(n_ov, o_cap)] = ov_np[:o_cap]
     stats = RadialBinStats(
         n_cells=6 * g * g, capacity=cap, max_bin=max_bin, overflow=n_ov
     )
-    return table, counts_h, ov[:o_cap], stats
+    return table, counts_h, jnp.asarray(ov), stats
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -746,6 +773,19 @@ def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
     return jnp.concatenate([cf, pad_row]).astype(jnp.float32)
 
 
+@jax.jit
+def _finalize_table(verts_norm, tris, normals):
+    """Packed finalize table (v0 e1 e2 n0 n1 n2 + all-zero miss row); the
+    finalize pass pays ONE [V,18] row gather instead of eight separate
+    per-voxel gathers (measured 2.6 ms vs 27 ms at 64^3 on v5e)."""
+    v0_, e1_, e2_ = intersect.triangle_soup(verts_norm, tris)
+    ftab = jnp.concatenate(
+        [v0_, e1_, e2_, normals[tris[:, 0]], normals[tris[:, 1]],
+         normals[tris[:, 2]]], axis=-1,
+    ).astype(jnp.float32)
+    return jnp.concatenate([ftab, jnp.zeros((1, 18), jnp.float32)])
+
+
 def _level_classes2(table_np, counts, ray_table, coef_h, dirs_h, s0_h, n):
     """Partition one level's cells into capacity classes of virtual cells.
 
@@ -761,6 +801,7 @@ def _level_classes2(table_np, counts, ray_table, coef_h, dirs_h, s0_h, n):
     r_cap = ray_table.shape[1]
     rc = (ray_table >= 0).sum(axis=1)
     classes = []
+    sc_host = []
     total_vc = 0
     caps = [k for k in CLASS_CAPS2 if k < table_np.shape[1]]
     caps.append(table_np.shape[1])
@@ -802,8 +843,9 @@ def _level_classes2(table_np, counts, ray_table, coef_h, dirs_h, s0_h, n):
             jnp.asarray(coefs),
             jnp.asarray(sc128),
         ))
+        sc_host.append(sc128)
         total_vc += len(rt_rows)
-    return classes, total_vc
+    return classes, sc_host, total_vc
 
 
 def build_raystab_accel2(
@@ -825,6 +867,7 @@ def build_raystab_accel2(
     sub_ids = np.arange(t_count, dtype=np.int32)
     tris_h = np.asarray(tris)
     levels = []
+    scatters_host = []  # per-level host copies of the class scatter streams
     stat_levels = []
 
     # binning on the local CPU backend (see _host_cpu); coefficient values
@@ -837,16 +880,17 @@ def build_raystab_accel2(
             verts_bin = jnp.asarray(verts_h)
 
     # the full radial coefficient matrix once (device); host copy for the
-    # per-class numpy gathers — the round trip preserves every bit
-    coef_full = np.asarray(
-        _radial_coef_matrix(
-            verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
-        )
+    # per-class numpy gathers — the round trip preserves every bit. All
+    # three dispatches go out async and ONE device_get drains them: each
+    # separate blocking np.asarray of an in-flight tunnel array costs ~10 s
+    # of polling wait regardless of size.
+    coef_d = _radial_coef_matrix(
+        verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
     )
-    pad_row = coef_full[-1:]
     dirs_d, s0_d = _ray_params(n)
-    dirs_h = np.asarray(dirs_d)
-    s0_h = np.asarray(s0_d)
+    ftab = _finalize_table(verts_norm, tris, normals)  # stays on device
+    coef_full, dirs_h, s0_h = jax.device_get((coef_d, dirs_d, s0_d))
+    pad_row = coef_full[-1:]
 
     import contextlib
 
@@ -859,32 +903,31 @@ def build_raystab_accel2(
             break
         with bin_ctx():
             cur = jnp.asarray(tris_h[sub_ids])
-            sorted_tris, starts, counts, ov_ids, _, _ = _cone_phase_a(
-                verts_bin, cur, g, span
-            )
-            counts_h = np.asarray(counts)
-            max_bin = int(counts_h.max()) if counts_h.size else 0
-            table = (
-                np.asarray(_cell_table(sorted_tris, starts, counts,
-                                       _pow2cap(max_bin)))
-                if max_bin > 0 else None
-            )
+            keys_d, over_d = _cone_keys(verts_bin, cur, g, span)
+            keys_h, over_h = np.asarray(keys_d), np.asarray(over_d)
+        sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
+            keys_h, over_h, g
+        )
+        max_bin = int(counts_h.max()) if counts_h.size else 0
         cls = ()
+        sc_host = []
         total_vc = 0
-        if table is not None:
+        if max_bin > 0:
+            table = _cell_table_host(
+                sorted_tris, starts, counts_h, _pow2cap(max_bin)
+            )
             # table holds subset-local ids -> remap rows of the full
             # coefficient matrix through the subset (host gather)
             coef_sub = np.concatenate([coef_full[:-1][sub_ids], pad_row])
             ray_table, _ = ray_tables(n, g)
-            cls, total_vc = _level_classes2(
+            cls, sc_host, total_vc = _level_classes2(
                 table, counts_h, ray_table, coef_sub, dirs_h, s0_h, n
             )
         levels.append(tuple(cls))
+        scatters_host.append(sc_host)
         stat_levels.append((g, int((counts_h > 0).sum()),
                             _pow2cap(max_bin), max_bin, total_vc))
-        ov = np.asarray(ov_ids)
-        ov = ov[ov >= 0]
-        sub_ids = sub_ids[ov]
+        sub_ids = sub_ids[ov_np]
 
     ov_dense = None
     if sub_ids.size > 0:
@@ -908,29 +951,19 @@ def build_raystab_accel2(
     # the ray id per slot (V for padding); append a filler so every ray
     # appears exactly once, making row r of the sorted stream ray r.
     sort_keys = []
-    for level in levels:
+    for level, sc_host in zip(levels, scatters_host):
         if not level:
             sort_keys.append(None)
             continue
         covered = np.zeros((v + 1,), bool)
         parts = []
-        for (_, _, scatter) in level:
-            sc = np.asarray(scatter).reshape(-1)
+        for sc128 in sc_host:
+            sc = sc128.reshape(-1)
             covered[sc] = True
             parts.append(sc)
         filler = np.nonzero(~covered[:v])[0].astype(np.int32)
         parts.append(filler)
         sort_keys.append(jnp.asarray(np.concatenate(parts)))
-
-    # packed finalize table (v0 e1 e2 n0 n1 n2 + all-zero miss row); the
-    # finalize pass pays ONE [V,18] row gather instead of eight separate
-    # per-voxel gathers (measured 2.6 ms vs 27 ms at 64^3 on v5e)
-    v0_, e1_, e2_ = intersect.triangle_soup(verts_norm, tris)
-    ftab = jnp.concatenate(
-        [v0_, e1_, e2_, normals[tris[:, 0]], normals[tris[:, 1]],
-         normals[tris[:, 2]]], axis=-1,
-    ).astype(jnp.float32)
-    ftab = jnp.concatenate([ftab, jnp.zeros((1, 18), jnp.float32)])
 
     return RaystabAccel2(
         n=n,
