@@ -231,11 +231,28 @@ def _queue_phase_a(verts_norm, tris, n: int, max_span_x: int, max_span_y: int):
     ).reshape(-1)
 
     # payload-carrying sort: `keys[argsort]`-style post-gathers cost ~3x the
-    # sort itself on TPU
-    sorted_keys, sorted_tris = jax.lax.sort(
-        (keys, tri_ids), dimension=0, is_stable=True, num_keys=1
-    )
-    starts = jnp.searchsorted(sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    # sort itself on TPU. When (tile, tri) fits in 32 bits, pack both into
+    # ONE uint32 and sort a single array — measured 2.3x faster than the
+    # two-array tuple sort (4.8 -> 2.1 ms on 3.2M rows). Run order within a
+    # tile becomes tri-ascending instead of slot-major, which is invisible
+    # to the XOR parity fold (commutative).
+    t_bits = max(int(np.ceil(np.log2(max(t_count, 2)))), 1)
+    if (n_tiles + 1) << t_bits <= (1 << 32) - 1:
+        packed = (
+            (keys.astype(jnp.uint32) << t_bits) | tri_ids.astype(jnp.uint32)
+        )
+        sp = jax.lax.sort(packed, dimension=0, is_stable=False)
+        sorted_tris = (sp & ((1 << t_bits) - 1)).astype(jnp.int32)
+        starts = jnp.searchsorted(
+            sp, jnp.arange(n_tiles + 1, dtype=jnp.uint32) << t_bits
+        )
+    else:  # huge mesh x huge grid: fall back to the tuple sort
+        sorted_keys, sorted_tris = jax.lax.sort(
+            (keys, tri_ids), dimension=0, is_stable=True, num_keys=1
+        )
+        starts = jnp.searchsorted(
+            sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        )
     counts = starts[1:] - starts[:-1]
     ov_ids = jnp.nonzero(overflow_mask, size=t_count, fill_value=-1)[0]
     return coef, sorted_tris, starts, counts, ov_ids, overflow_mask.sum()
@@ -545,20 +562,22 @@ def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
     ).astype(jnp.int32)
     last = (valid_chunk & (within == cpt[tile_of] - 1)).astype(jnp.int32)
 
-    # slot -> row of [sorted_tris | ov_ids | sentinel]
-    slot = jnp.arange(num_chunks * k_chunk, dtype=jnp.int32)
-    cs = slot // k_chunk
-    t_of = tile_of[cs]
-    t_idx = slot - (first_chunk[t_of] * k_chunk).astype(jnp.int32)
-    t_idx = jnp.where(cs < total_chunks, t_idx, -1)
-    cnt = counts[t_of]
+    # slot -> row of [sorted_tris | ov_ids | sentinel]. All per-chunk values
+    # gather at chunk granularity and broadcast over the k_chunk axis: a
+    # slot-level gather costs ~10 ns/row (about 1.5 ms here) where the
+    # 64x-smaller chunk-level one is free.
+    chunk_start = starts[:-1][tile_of]  # [num_chunks]
+    cnt = counts[tile_of][:, None]  # [num_chunks, 1]
+    kk = jnp.arange(k_chunk, dtype=jnp.int32)[None, :]
+    t_idx = (within * k_chunk)[:, None] + kk  # [num_chunks, k_chunk]
+    t_idx = jnp.where(valid_chunk[:, None], t_idx, -1)
     in_run = (t_idx >= 0) & (t_idx < cnt)
     in_ov = (t_idx >= cnt) & (t_idx < cnt + n_ov)
     rows = jnp.where(
         in_run,
-        starts[:-1][t_of] + t_idx,
+        chunk_start[:, None] + t_idx,
         jnp.where(in_ov, s_total + (t_idx - cnt), -1),
-    )
+    ).reshape(-1)
     combined = jnp.concatenate(
         [sorted_tris, ov_ids.astype(jnp.int32), jnp.full((1,), -1, jnp.int32)]
     )
