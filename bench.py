@@ -169,6 +169,33 @@ def main() -> int:
 
         slope(vox512_body, (10, 40), "dragon 512^3 voxelize kernel")
 
+        # ---- hi-poly: subdivided dragon (the 871k-tri-class workload; the
+        # full Stanford dragon is not shipped — BASELINE.md says bench both,
+        # so this is the 400k-tri identical-surface equivalent) -------------
+        from dxrvoxelizer_tpu.utils.objloader import subdivide
+        from dxrvoxelizer_tpu.utils.assets import find_asset
+        from dxrvoxelizer_tpu.utils.objloader import load_obj
+        from dxrvoxelizer_tpu.models.mesh import MeshBuffers
+
+        mesh_hi = subdivide(load_obj(find_asset("dragon.obj")), 1)
+        buf_hi = MeshBuffers.from_obj(mesh_hi)
+        c_hi, ct_hi, cf_hi, cl_hi, _ = build_queue(
+            buf_hi.positions_norm, buf_hi.tris, n, k_chunk=64
+        )
+        ct_hih, cf_hih, cl_hih = (
+            np.asarray(ct_hi), np.asarray(cf_hi), np.asarray(cl_hi)
+        )
+
+        def vox_hi_body(carry, _):
+            c2 = c_hi + carry * 1e-38
+            words = voxelize_parity_queue_run(
+                c2, ct_hih, cf_hih, cl_hih, n, k_chunk=64
+            )
+            return jnp.float32(words[0, 0, 0] % 2), None
+
+        slope(vox_hi_body, (r1, r2),
+              f"dragon-subdiv 400k tri {n}^3 voxelize kernel")
+
         # ---- reference-rule ray-stab (binned TraceRay analog, gen-2) --------
         from dxrvoxelizer_tpu.ops.raystab_fast import (
             _raystab_query2,

@@ -43,6 +43,10 @@ class Scene:
     @classmethod
     def load(cls, cfg: VoxelizerConfig) -> "Scene":
         mesh = load_obj(find_asset(cfg.mesh))
+        if cfg.subdiv > 0:
+            from dxrvoxelizer_tpu.utils.objloader import subdivide
+
+            mesh = subdivide(mesh, cfg.subdiv)
         return cls(mesh, pos_scale=cfg.pos_scale, light_pt=cfg.light_pt)
 
     def world(self) -> np.ndarray:

@@ -45,6 +45,11 @@ class VoxelizerConfig:
     # shear-warp intermediate resolution cap (128 = speed, up to 512 =
     # sharper hi-res renders; the -quality flag raises it)
     intermediate_cap: int = 128
+    # midpoint-subdivision levels applied at load (4x tris per level) — the
+    # hi-poly bench configs (BASELINE.md: the 871k-tri full Stanford dragon
+    # is not shipped; the 100k decimation at -subdiv 1 is the 400k-tri
+    # equivalent workload over an identical surface)
+    subdiv: int = 0
 
     def replace(self, **kw) -> "VoxelizerConfig":
         return dataclasses.replace(self, **kw)
@@ -109,6 +114,10 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
             if has_value(i):
                 i += 1
                 kw["show_mip"] = int(argv[i])
+        elif is_flag(a, "subdiv"):
+            if has_value(i):
+                i += 1
+                kw["subdiv"] = int(argv[i])
         elif is_flag(a, "usemutex"):
             kw["use_mutex"] = True
         elif is_flag(a, "quality"):

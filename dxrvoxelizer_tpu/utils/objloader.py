@@ -322,3 +322,53 @@ def _recompute_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray
     np.add.at(out, tris[:, 2], n)
     lo = np.linalg.norm(out, axis=1, keepdims=True)
     return (out / np.maximum(lo, np.finfo(np.float32).tiny)).astype(np.float32)
+
+
+def subdivide(mesh: ObjMesh, levels: int = 1) -> ObjMesh:
+    """Midpoint 1->4 subdivision (shared edge midpoints deduplicated).
+
+    Each triangle splits into four co-planar children, so the surface —
+    and therefore any voxelization of it — is geometrically unchanged
+    while the triangle count scales 4x per level. Used to bench the
+    hi-poly configs BASELINE.md asks for (the full 871k-tri Stanford
+    dragon is not shipped with the reference; its 100k decimation
+    subdivided once gives a 400k-tri equivalent workload). Normals are
+    averaged per edge (the smooth-shading analog of the reference's
+    per-vertex normals, XUSGObjLoader.cpp:300-335).
+    """
+    pos = mesh.positions
+    nrm = mesh.normals
+    tris = mesh.indices.reshape(-1, 3).astype(np.int64)
+    for _ in range(levels):
+        v = pos.shape[0]
+        # canonical undirected edge keys -> unique midpoint vertices
+        e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+        e = np.sort(e, axis=1)
+        key = e[:, 0] * v + e[:, 1]
+        uniq, inv = np.unique(key, return_inverse=True)
+        ua, ub = uniq // v, uniq % v
+        mid_pos = 0.5 * (pos[ua] + pos[ub])
+        mn = nrm[ua] + nrm[ub]
+        mn = mn / np.maximum(
+            np.linalg.norm(mn, axis=1, keepdims=True),
+            np.finfo(np.float32).tiny,
+        )
+        t = tris.shape[0]
+        m01 = v + inv[:t]
+        m12 = v + inv[t : 2 * t]
+        m20 = v + inv[2 * t :]
+        pos = np.concatenate([pos, mid_pos.astype(np.float32)])
+        nrm = np.concatenate([nrm, mn.astype(np.float32)])
+        tris = np.concatenate([
+            np.stack([tris[:, 0], m01, m20], axis=1),
+            np.stack([m01, tris[:, 1], m12], axis=1),
+            np.stack([m20, m12, tris[:, 2]], axis=1),
+            np.stack([m01, m12, m20], axis=1),
+        ])
+    return ObjMesh(
+        positions=pos.astype(np.float32),
+        normals=nrm.astype(np.float32),
+        indices=tris.reshape(-1).astype(np.int32),
+        aabb_min=mesh.aabb_min,
+        aabb_max=mesh.aabb_max,
+    )

@@ -163,3 +163,43 @@ def test_turing_bowl_counts(reference_assets_available):
     assert m.num_vertices >= 15359
     lens = np.linalg.norm(m.normals, axis=1)
     np.testing.assert_allclose(lens[lens > 0], 1.0, atol=1e-3)
+
+
+class TestSubdivide:
+    def test_counts_and_surface(self):
+        from dxrvoxelizer_tpu.utils.objloader import subdivide
+
+        m = load_obj(find_asset("bunny.obj"))
+        s = subdivide(m, 1)
+        assert s.num_triangles == 4 * m.num_triangles
+        # midpoints dedup: V' = V + E; for a closed triangle mesh E = 3T/2
+        assert s.num_vertices <= m.num_vertices + 3 * m.num_triangles // 2 + 8
+        # children tile the parent: total area is preserved
+        def area(mesh):
+            t = mesh.triangles
+            p = mesh.positions
+            c = np.cross(p[t[:, 1]] - p[t[:, 0]], p[t[:, 2]] - p[t[:, 0]])
+            return float(np.linalg.norm(c, axis=1).sum())
+        np.testing.assert_allclose(area(s), area(m), rtol=1e-4)
+
+    def test_voxelization_invariant(self):
+        """Subdivision leaves the surface unchanged -> parity grids agree."""
+        from dxrvoxelizer_tpu.models.mesh import MeshBuffers
+        from dxrvoxelizer_tpu.ops.voxelize_ref import voxelize_parity_ref
+        from dxrvoxelizer_tpu.utils.objloader import subdivide
+
+        m = load_obj(find_asset("TuringBowl.obj"))
+        s = subdivide(m, 1)
+        b0 = MeshBuffers.from_obj(m)
+        b1 = MeshBuffers.from_obj(s, bound=m.bound())
+        g0 = np.asarray(voxelize_parity_ref(b0.positions_norm, b0.tris, n=32))
+        g1 = np.asarray(voxelize_parity_ref(b1.positions_norm, b1.tris, n=32))
+        # co-planar splits can flip boundary-exact crossings only
+        agree = (g0 == g1).mean()
+        assert agree > 0.999, agree
+
+    def test_cli_flag(self):
+        from dxrvoxelizer_tpu.utils.config import parse_args
+
+        cfg = parse_args(["-mesh", "dragon.obj", "-subdiv", "2"])
+        assert cfg.subdiv == 2
