@@ -29,6 +29,10 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from dxrvoxelizer_tpu.utils.backend import enable_compile_cache
+
+    enable_compile_cache()
+
     from dxrvoxelizer_tpu.models.camera import OrbitCamera
     from dxrvoxelizer_tpu.models.scene import Scene
     from dxrvoxelizer_tpu.ops.voxelize_queue import (

@@ -75,11 +75,15 @@ def main(argv: list[str] | None = None) -> int:
     cfg = parse_args(argv)
     extras = _parse_extras(argv)
 
-    from dxrvoxelizer_tpu.utils.backend import select_backend
+    from dxrvoxelizer_tpu.utils.backend import (
+        enable_compile_cache,
+        select_backend,
+    )
 
     # device ladder: preferred accelerator, else CPU — the reference's
     # discrete -> UMA -> WARP fallback analog (DXRVoxelizer.cpp:89-128);
     # -warp maps straight to CPU (DXRVoxelizer.cpp:392)
+    enable_compile_cache()
     platform = select_backend("cpu" if cfg.backend == "cpu" else "default")
 
     engine = Engine(

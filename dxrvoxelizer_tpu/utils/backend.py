@@ -8,7 +8,38 @@ up, possibly slower.
 
 from __future__ import annotations
 
+import os
 import sys
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache (opt-out via env).
+
+    Remote-TPU compiles of the big Pallas graphs take 20-120 s each; the
+    on-disk cache makes every process after the first skip them (the
+    shader-blob cache analog — the reference ships precompiled .cso blobs,
+    XUSG ShaderLib loads them, SURVEY.md §2b). Set
+    ``DXRVOX_NO_COMPILE_CACHE=1`` to disable; returns the directory in use
+    or None.
+    """
+    if os.environ.get("DXRVOX_NO_COMPILE_CACHE"):
+        return None
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("DXRVOX_COMPILE_CACHE") or os.path.join(
+            os.path.expanduser("~"), ".cache", "dxrvoxelizer_tpu", "xla"
+        )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"dxrvoxelizer_tpu: compile cache unavailable ({e})",
+              file=sys.stderr)
+        return None
+    return cache_dir
 
 
 def select_backend(prefer: str = "default") -> str:
