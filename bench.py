@@ -173,6 +173,22 @@ def main() -> int:
 
         slope(vox512_body, (10, 40), "dragon 512^3 voxelize kernel")
 
+        # ---- 1024^3 (the "long axis" scaling config: 1.07B voxels) ----------
+        s1k = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=1024))
+        c1k, ctk, cfk, clk, _ = build_queue(
+            s1k.buffers.positions_norm, s1k.buffers.tris, 1024, k_chunk=64
+        )
+        ctkh, cfkh, clkh = np.asarray(ctk), np.asarray(cfk), np.asarray(clk)
+
+        def vox1k_body(carry, _):
+            c2 = c1k + carry * 1e-38
+            words = voxelize_parity_queue_run(
+                c2, ctkh, cfkh, clkh, 1024, k_chunk=64
+            )
+            return jnp.float32(words[0, 0, 0] % 2), None
+
+        slope(vox1k_body, (2, 8), "dragon 1024^3 voxelize kernel")
+
         # ---- hi-poly: subdivided dragon (the 871k-tri-class workload; the
         # full Stanford dragon is not shipped — BASELINE.md says bench both,
         # so this is the 400k-tri identical-surface equivalent) -------------
