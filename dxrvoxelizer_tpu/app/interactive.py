@@ -10,6 +10,9 @@ raw single keys from a non-blocking TTY:
   s      screenshot PNG          (OnKeyUp VK_F11 -> m_screenShot)
   x      switch voxelizer path   (OnKeyUp 'X' -> m_useEZ: here the Pallas
                                   kernel vs the jnp oracle A/B)
+  hjkl   manual camera orbit     (OnMouseMove drag analog)
+  + / -  zoom                    (OnMouseWheel analog)
+  o      toggle auto-orbit
   q/Esc  quit
 
 Runs headless (no TTY / -frames exhausted) exactly like the batch loop.
@@ -92,6 +95,14 @@ def run_interactive(engine: Engine, cam: OrbitCamera, max_frames: int | None,
                     cam.zoom(1.0)  # OnMouseWheel analog
                 elif k == "-":
                     cam.zoom(-1.0)
+                elif k in "hjkl":
+                    # mouse-drag orbit analog: one keypress = a 24-px drag
+                    dx = {"h": 24.0, "l": -24.0}.get(k, 0.0)
+                    dy = {"k": 24.0, "j": -24.0}.get(k, 0.0)
+                    cam.orbit(dx, dy)
+                elif k == "o":
+                    orbit = not orbit
+                    print(f"auto-orbit {'on' if orbit else 'off'}")
                 elif k in ("q", "\x1b"):
                     break
             if paused:

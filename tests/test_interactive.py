@@ -69,3 +69,21 @@ def test_screenshot_key(monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)
     interactive.run_interactive(eng, OrbitCamera(64, 64), max_frames=2)
     assert list(tmp_path.glob("*.png"))
+
+
+def test_hotkeys_orbit_zoom(monkeypatch, capsys):
+    """hjkl orbit + o auto-orbit toggle move/steady the camera."""
+    eng = _tet_engine()
+    cam = OrbitCamera(64, 64)
+    eye0 = cam.eye.copy()
+    feed = _KeyFeed(["o", "h", "j", "+", None, "q"])
+    monkeypatch.setattr(interactive, "_RawTTY", lambda: feed)
+    interactive.run_interactive(eng, cam, max_frames=10)
+    out = capsys.readouterr().out
+    assert "auto-orbit off" in out
+    # the manual orbit + zoom moved the eye
+    assert not np.allclose(cam.eye, eye0)
+    # focus distance shrank (zoom in)
+    assert np.linalg.norm(cam.eye - cam.focus) < np.linalg.norm(
+        eye0 - cam.focus
+    )
