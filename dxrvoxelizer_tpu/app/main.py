@@ -39,6 +39,7 @@ def _parse_extras(argv: list[str]) -> dict:
         "deform": False,
         "interactive": False,
         "load_grid": None,
+        "profile": None,
     }
     i = 0
     while i < len(argv):
@@ -66,6 +67,8 @@ def _parse_extras(argv: list[str]) -> dict:
             out["interactive"] = True
         elif key == "loadgrid" and i + 1 < len(argv):
             out["load_grid"] = argv[i + 1]
+        elif key == "profile" and i + 1 < len(argv):
+            out["profile"] = argv[i + 1]
         i += 1
     return out
 
@@ -141,31 +144,42 @@ def main(argv: list[str] | None = None) -> int:
     base_mesh = engine.pipeline.mesh
     img = None
     last_fps = 0.0
-    for frame in range(extras["frames"]):
-        timer.tick()
-        if extras["orbit"] and frame:
-            cam.orbit(12.0, 0.0)  # slow yaw, the mouse-drag analog
-        if extras["deform"]:
-            # deforming-geometry config (BASELINE.json): per-frame vertex
-            # wobble along normals; re-bins + re-voxelizes every frame
-            import dataclasses
+    import contextlib
 
-            import jax.numpy as jnp
+    from dxrvoxelizer_tpu.utils.profiling import device_trace
 
-            t = frame / 15.0
-            amp = 0.04 * np.sin(
-                2 * np.pi * t + np.asarray(base_mesh.positions_norm)[:, :1] * 5.0
-            )
-            engine.pipeline.mesh = dataclasses.replace(
-                base_mesh,
-                positions_norm=base_mesh.positions_norm
-                + jnp.asarray(amp) * base_mesh.normals,
-            )
-        engine.update_frame(frame % 3, cam.eye, cam.view_proj)
-        img = engine.render(frame % 3)
-        if timer.frames_per_second != last_fps:
-            last_fps = timer.frames_per_second
-            print(f"fps: {last_fps:.1f}")
+    # -profile DIR: capture an XLA/TPU profiler trace of the frame loop
+    # (the PIX-capture analog; view with tensorboard --logdir DIR)
+    trace_ctx = (
+        device_trace(extras["profile"]) if extras["profile"]
+        else contextlib.nullcontext()
+    )
+    with trace_ctx:
+        for frame in range(extras["frames"]):
+            timer.tick()
+            if extras["orbit"] and frame:
+                cam.orbit(12.0, 0.0)  # slow yaw, the mouse-drag analog
+            if extras["deform"]:
+                # deforming-geometry config (BASELINE.json): per-frame vertex
+                # wobble along normals; re-bins + re-voxelizes every frame
+                import dataclasses
+
+                import jax.numpy as jnp
+
+                t = frame / 15.0
+                amp = 0.04 * np.sin(
+                    2 * np.pi * t + np.asarray(base_mesh.positions_norm)[:, :1] * 5.0
+                )
+                engine.pipeline.mesh = dataclasses.replace(
+                    base_mesh,
+                    positions_norm=base_mesh.positions_norm
+                    + jnp.asarray(amp) * base_mesh.normals,
+                )
+            engine.update_frame(frame % 3, cam.eye, cam.view_proj)
+            img = engine.render(frame % 3)
+            if timer.frames_per_second != last_fps:
+                last_fps = timer.frames_per_second
+                print(f"fps: {last_fps:.1f}")
     engine.sync()
 
     if extras["ab"]:
