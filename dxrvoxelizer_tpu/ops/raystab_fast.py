@@ -674,7 +674,14 @@ def raystab_query(
 #    boundaries are every power of two, with cells split into 128-ray
 #    strips so any (grid, cubemap) combination gets the streaming kernel.
 
-CLASS_CAPS2 = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+CLASS_CAPS2 = (
+    # ~1.5x steps: vs pure powers of two this cuts the mean candidate-
+    # padding ratio from ~1.4x to ~1.2x of each cell's true bin size.
+    # Constraint (stab_closest_hit2): k <= 256 must be a multiple of 8,
+    # k > 256 a multiple of K_BLOCK=256 (the grid chunks candidates by 256).
+    16, 24, 32, 48, 64, 96, 128, 192, 256, 512, 768, 1024, 1536,
+    2048, 3072, 4096, 6144, 8192,
+)
 LEVELS2 = (32, 8)  # cubemap sizes, fine -> coarse
 CELLS_PER_STEP = 8  # virtual cells per kernel grid step (raystab_pallas)
 
