@@ -196,6 +196,9 @@ def stab_closest_hit2(
     assert c % CELLS_PER_STEP == 0 and k % 8 == 0
     steps = c // CELLS_PER_STEP
     kblk = min(k, K_BLOCK)
+    # k > K_BLOCK must chunk evenly or the tail candidates are silently
+    # never tested (class caps above K_BLOCK must be multiples of it)
+    assert k % kblk == 0, f"k={k} not a multiple of K_BLOCK={K_BLOCK}"
     k_steps = k // kblk
     if shared:
         coef_spec = pl.BlockSpec(
@@ -248,6 +251,7 @@ def stab_closest_hit(
     assert c % CELLS_PER_STEP == 0 and k % 8 == 0
     steps = c // CELLS_PER_STEP
     kblk = min(k, K_BLOCK)
+    assert k % kblk == 0, f"k={k} not a multiple of K_BLOCK={K_BLOCK}"
     k_steps = k // kblk
     if shared:
         coef_spec = pl.BlockSpec(

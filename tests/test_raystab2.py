@@ -127,3 +127,14 @@ def test_raystab_query_dispatches_accel2():
     occ_b, rgba_b = raystab_query2(v, nr, t, accel, interpret=True)
     assert bool((occ_a == occ_b).all())
     assert bool((rgba_a == rgba_b).all())
+
+
+def test_class_caps_satisfy_kernel_chunking():
+    """Caps above K_BLOCK must chunk evenly or candidates are never tested."""
+    from dxrvoxelizer_tpu.ops.raystab_fast import CLASS_CAPS2
+    from dxrvoxelizer_tpu.ops.raystab_pallas import K_BLOCK
+
+    for k in CLASS_CAPS2:
+        assert k % 8 == 0, k
+        if k > K_BLOCK:
+            assert k % K_BLOCK == 0, k
