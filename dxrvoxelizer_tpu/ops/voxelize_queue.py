@@ -60,28 +60,49 @@ class QueueStats:
     overflow: int  # triangles appended to every tile
 
 
+CHUNKS_PER_STEP = 8  # queue chunks per grid step
+
+
 def _queue_kernel(tile_ref, nsub_ref, last_ref, off_ref, coef_ref, out_ref,
                   *, n: int, nty: int, k_chunk: int,
                   static_trip: bool = False):
-    """One queue chunk: XOR this chunk's parity masks into its tile.
+    """One grid step: CHUNKS_PER_STEP queue chunks, each XORing its parity
+    masks into its tile.
 
     tile_ref/nsub_ref: scalar-prefetch [num_chunks] int32 — the chunk's
         output tile and its real sub-block count (the dynamic trip bound:
         queue-padding slots cost zero compute)
-    coef_ref: [k_chunk, NCOEF] f32 (this chunk's triangles)
+    coef_ref: [CHUNKS_PER_STEP * k_chunk, NCOEF] f32 (this step's triangles)
     out_ref: [n_tiles, W, 128] int32 — the ENTIRE output, resident in VMEM
         for the whole launch (2 MB at 256^3). Grid-step plumbing measures
         ~1 us/step when the output block is dynamically indexed per step or
         written back by per-tile DMA; holding it resident removes all
         per-step output traffic and all first/last-chunk bookkeeping.
+        Batching chunks amortizes the remaining ~0.5 us/step grid plumbing
+        (1200 single-chunk steps ~ 0.6 ms at 256^3 — the kernel's dominant
+        cost before batching).
     """
-    c = pl.program_id(0)
+    c0 = pl.program_id(0) * CHUNKS_PER_STEP
     w_words = n // 32
 
-    @pl.when(c == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    for sc in range(CHUNKS_PER_STEP):
+        _queue_chunk(
+            tile_ref, nsub_ref, last_ref, off_ref, coef_ref, out_ref,
+            c0 + sc, sc, n=n, nty=nty, k_chunk=k_chunk,
+            static_trip=static_trip,
+        )
+
+
+def _queue_chunk(tile_ref, nsub_ref, last_ref, off_ref, coef_ref, out_ref,
+                 c, sc: int, *, n: int, nty: int, k_chunk: int,
+                 static_trip: bool):
+    """XOR one chunk's parity masks into its tile (sub-chunk ``sc`` of the
+    current grid step's coefficient block)."""
+    w_words = n // 32
     tile_id = tile_ref[c]
     tile_global = tile_id + off_ref[0]  # group/slab base (prefetch scalar)
     tx = tile_global // nty
@@ -93,7 +114,7 @@ def _queue_kernel(tile_ref, nsub_ref, last_ref, off_ref, coef_ref, out_ref,
     py = (ty * TILE_Y + lane % TILE_Y).astype(jnp.float32)
 
     def step(g, acc):
-        cf = coef_ref[pl.ds(g * SUB, SUB), :]  # (SUB, NCOEF)
+        cf = coef_ref[pl.ds(sc * k_chunk + g * SUB, SUB), :]  # (SUB, NCOEF)
 
         def col(row):
             return cf[:, row : row + 1]  # (SUB, 1)
@@ -406,12 +427,13 @@ def _queue_run_group(
     nty = n // TILE_Y
     w_words = n // 32
 
+    assert num_chunks % CHUNKS_PER_STEP == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(num_chunks,),
+        grid=(num_chunks // CHUNKS_PER_STEP,),
         in_specs=[
             pl.BlockSpec(
-                (k_chunk, NCOEF),
+                (CHUNKS_PER_STEP * k_chunk, NCOEF),
                 lambda c, *_: (c, 0),
                 memory_space=pltpu.VMEM,
             ),
