@@ -45,3 +45,37 @@ def test_binned_kernel_matches_golden_bunny(reference_assets_available):
         scene.buffers.positions_norm, scene.buffers.tris, n=64, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(words), golden)
+
+
+def test_golden_render_tet():
+    """Shear-warp render drift detector: fixed tet scene vs stored image.
+
+    Tolerance absorbs cross-version fp noise (the golden is float16); any
+    real renderer change shows up orders of magnitude above it.
+    """
+    import numpy as np
+
+    from dxrvoxelizer_tpu.core.pipeline import render, voxelize
+    from dxrvoxelizer_tpu.models.camera import OrbitCamera
+    from dxrvoxelizer_tpu.models.scene import Scene
+    from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
+    from dxrvoxelizer_tpu.utils.objloader import ObjMesh
+    from tests.meshes import tetrahedron_mesh
+
+    v, nrm, t = tetrahedron_mesh()
+    mesh = ObjMesh(
+        positions=np.asarray(v, np.float32),
+        normals=np.asarray(nrm, np.float32),
+        indices=np.asarray(t, np.int32).reshape(-1),
+        aabb_min=np.asarray(v, np.float32).min(axis=0),
+        aabb_max=np.asarray(v, np.float32).max(axis=0),
+    )
+    cfg = VoxelizerConfig(grid_size=32, width=96, height=64)
+    scene = Scene(mesh)
+    cam = OrbitCamera(cfg.width, cfg.height)
+    fc = scene.update_frame(cam.eye, cam.view_proj, cfg.width, cfg.height)
+    grid = voxelize(scene.buffers, cfg.grid_size, mode="parity", impl="xla")
+    img = np.asarray(render(grid, fc, cfg, impl="warp"))
+    gold = np.load(GOLDENS / "tet_32_render_96x64.npy").astype(np.float32)
+    assert img.shape == gold.shape
+    assert np.abs(img - gold).max() < 2e-3, float(np.abs(img - gold).max())
