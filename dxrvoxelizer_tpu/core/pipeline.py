@@ -103,10 +103,20 @@ def voxelize(
                 occ, rgba = voxelize_raystab_fast(
                     mesh.positions_norm, mesh.normals, mesh.tris, n=n
                 )
-        else:  # "xla": the brute-force oracle
-            occ, rgba = voxelize_ref.voxelize_raystab_ref(
-                mesh.positions_norm, mesh.normals, mesh.tris, n=n
-            )
+        else:  # "xla": the brute-force oracle OF THE FAST PATH'S CONTRACT
+            # (accelerated backends run the gen-2 radial-form query, whose
+            # bit-exact ground truth is the radial oracle; the CPU fallback
+            # runs the gen-1 Moller-Trumbore query, whose ground truth is
+            # the MT oracle — the two oracles agree except on fp-boundary
+            # near-ties, ops/voxelize_ref.py)
+            if jax.default_backend() != "cpu":
+                occ, rgba = voxelize_ref.voxelize_raystab_radial_ref(
+                    mesh.positions_norm, mesh.normals, mesh.tris, n=n
+                )
+            else:
+                occ, rgba = voxelize_ref.voxelize_raystab_ref(
+                    mesh.positions_norm, mesh.normals, mesh.tris, n=n
+                )
         if quantize:
             rgba = quantize_r10g10b10a2(rgba)
         return VoxelGrid(words=pack_bits_z(occ), rgba=rgba)

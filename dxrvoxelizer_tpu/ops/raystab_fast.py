@@ -1108,13 +1108,25 @@ def voxelize_raystab_fast(
     from T to the direction cell's bin, the DXR TraceRay analog. Cells are
     processed in capacity classes so the long tail of dense cells doesn't
     pad every cell's candidate list. Build-once/trace-per-frame callers use
-    :func:`build_raystab_accel` + :func:`raystab_query` directly.
+    :func:`build_raystab_accel2` + :func:`raystab_query2` directly.
+
+    Accelerated backends use the gen-2 scalarized Pallas query: the gen-1
+    XLA query evaluates mt_hit through shape-dependent broadcasts, and XLA
+    contracts its FMAs differently at some (R, K) shapes — measured 28 of
+    2M voxels flipping at 128^3 vs the oracle. The gen-2 kernel fixes the
+    expression order and stays bit-exact at every validated size (64^3 and
+    128^3 incl. normals). The CPU fallback keeps gen-1 (a Pallas interpret
+    run of gen-2 is far slower); its boundary exactness is only guaranteed
+    at the test sizes.
     """
     if tris.shape[0] == 0:
         return (
             jnp.zeros((n, n, n), bool),
             jnp.zeros((n, n, n, 4), jnp.float32),
         )
+    if jax.default_backend() != "cpu":
+        accel2 = build_raystab_accel2(verts_norm, tris, normals, n=n)
+        return raystab_query2(verts_norm, normals, tris, accel2, threshold)
     accel = build_raystab_accel(
         verts_norm, tris, n, g, span, cell_chunk=cell_chunk
     )

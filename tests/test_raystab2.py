@@ -138,3 +138,22 @@ def test_class_caps_satisfy_kernel_chunking():
         assert k % 8 == 0, k
         if k > K_BLOCK:
             assert k % K_BLOCK == 0, k
+
+
+def test_accel2_multistrip_bitexact_vs_radial_oracle():
+    """Cells with more rays than one 128-lane strip replicate their
+    candidate row across strips. A g=4 cubemap at 32^3 averages ~341
+    rays/cell (3 strips), exercising the strip replication + sort-merge
+    exactly-once contract that a default 64^3 build never reaches (its
+    cells all fit one strip)."""
+    v, nr, t = _jx(icosphere_mesh(2))
+    n = 32
+    accel = build_raystab_accel2(v, t, nr, n=n, gs=(4,))
+    from dxrvoxelizer_tpu.ops.raystab_fast import ray_tables
+
+    rt, _ = ray_tables(n, 4)
+    assert int((rt >= 0).sum(axis=1).max()) > 128  # multi-strip reached
+    occ2, rgba2 = raystab_query2(v, nr, t, accel, interpret=True)
+    occ_r, rgba_r = voxelize_raystab_radial_ref(v, nr, t, n=n)
+    np.testing.assert_array_equal(np.asarray(occ2), np.asarray(occ_r))
+    np.testing.assert_array_equal(np.asarray(rgba2), np.asarray(rgba_r))
