@@ -47,7 +47,6 @@ from dxrvoxelizer_tpu.ops.raymarch_ref import (
     ABSORPTION,
     TEX_SCALE,
     ZERO_THRESHOLD,
-    compute_start_point,
 )
 from dxrvoxelizer_tpu.ops.warp import interp_matrix, scale_offset_coords, warp2d
 
