@@ -501,6 +501,15 @@ def voxelize_parity_queue_run(
             coef_g = jnp.concatenate(
                 [coef_g, jnp.zeros((end - coefs.shape[0], NCOEF), coefs.dtype)]
             )
+        # rows past this group's real chunks are OTHER groups' live
+        # triangles (nc rounds the chunk range up to 128): static_trip
+        # unrolls every slot regardless of nsub, so they must be zeroed or
+        # they XOR into this group's last tile — 4 corrupted voxels per
+        # boundary measured before the fix
+        real_rows = (c1 - c0) * k_chunk
+        if real_rows < coef_g.shape[0]:
+            row = jnp.arange(coef_g.shape[0], dtype=jnp.int32)[:, None]
+            coef_g = jnp.where(row < real_rows, coef_g, 0.0)
         outs.append(
             _queue_run_group(
                 coef_g, jnp.asarray(tile_g), jnp.asarray(nsub_g),
@@ -535,23 +544,18 @@ def voxelize_parity_queue(
 
 # ---- deforming-mesh path: device-only queue build ---------------------------
 
-@partial(jax.jit, static_argnames=("n", "num_chunks", "k_chunk", "max_span_x",
-                                   "max_span_y"))
-def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
-                        k_chunk: int, max_span_x: int, max_span_y: int,
-                        tile_lo=0, tile_hi=None):
-    """Fully-on-device queue build (no host sync) for per-frame rebinning.
+def _assemble_window(phase_a_out, n: int, num_chunks: int, k_chunk: int,
+                     tile_lo, tile_hi):
+    """Assemble one tile window's queue from shared phase-A results.
 
-    ``num_chunks`` is a static capacity (see :func:`deforming_voxelizer`);
-    frames whose queue exceeds it raise via the checked overflow word.
+    Traced helper: callers jit it (directly or per window — the expensive
+    sort in phase A is shared across windows).
     Returns (coefs, chunk_tile, chunk_nsub, chunk_last, ok) — the prefetch
     arrays are traced device values, which PrefetchScalarGridSpec accepts.
     """
     ntx, nty = n // TILE_X, n // TILE_Y
     n_tiles = ntx * nty
-    coef, sorted_tris, starts, counts, ov_ids, n_ov = _queue_phase_a(
-        verts_norm, tris, n, max_span_x, max_span_y
-    )
+    coef, sorted_tris, starts, counts, ov_ids, n_ov = phase_a_out
     s_total = sorted_tris.shape[0]
     t_count = coef.shape[0]
 
@@ -618,44 +622,119 @@ def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
     return coefs.reshape(num_chunks * k_chunk, NCOEF), tile_out, nsub, last, ok
 
 
+@partial(jax.jit, static_argnames=("n", "num_chunks", "k_chunk", "max_span_x",
+                                   "max_span_y"))
+def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
+                        k_chunk: int, max_span_x: int, max_span_y: int,
+                        tile_lo=0, tile_hi=None):
+    """Fully-on-device queue build (no host sync) for per-frame rebinning.
+
+    ``num_chunks`` is a static capacity (see :class:`DeformingVoxelizer`);
+    frames whose queue exceeds it raise via the checked overflow word.
+    """
+    pa = _queue_phase_a(verts_norm, tris, n, max_span_x, max_span_y)
+    return _assemble_window(pa, n, num_chunks, k_chunk, tile_lo, tile_hi)
+
+
+@partial(jax.jit, static_argnames=("n", "num_chunks", "k_chunk", "max_span_x",
+                                   "max_span_y", "n_groups"))
+def _build_queue_device_groups(verts_norm, tris, n: int, num_chunks: int,
+                               k_chunk: int, max_span_x: int,
+                               max_span_y: int, n_groups: int):
+    """Device queue build for ``n_groups`` VMEM tile groups (hi-res grids).
+
+    Phase A (setup + sort) runs ONCE; each group's queue is assembled from
+    the shared sorted pairs over its tile window. ``num_chunks`` is the
+    uniform per-group capacity.
+    """
+    ntx, nty = n // TILE_X, n // TILE_Y
+    n_tiles = ntx * nty
+    tiles_grp = n_tiles // n_groups
+    pa = _queue_phase_a(verts_norm, tris, n, max_span_x, max_span_y)
+    return [
+        _assemble_window(
+            pa, n, num_chunks, k_chunk, g * tiles_grp, (g + 1) * tiles_grp
+        )
+        for g in range(n_groups)
+    ]
+
+
 class DeformingVoxelizer:
     """Per-frame re-bin + voxelize with zero host syncs after warmup.
 
     The reference rebuilds nothing per frame (static AS) but re-voxelizes;
     the BASELINE.json deforming config re-bins too. The chunk capacity is
     sized from the rest mesh (x ``headroom``); a frame that overflows it
-    raises (grow and retry by constructing a new instance).
+    raises (grow and retry by constructing a new instance). Grids whose
+    output exceeds the VMEM budget (512^3+) split into tile groups: one
+    shared phase-A sort, one assembled queue + kernel launch per group.
     """
 
     def __init__(self, verts_norm, tris, n: int, k_chunk: int = 64,
-                 headroom: float = 1.5):
+                 headroom: float = 1.5, interpret: bool = False):
         ntx, nty = n // TILE_X, n // TILE_Y
-        bytes_full = ntx * nty * (n // 32) * 128 * 4
-        assert bytes_full <= VMEM_OUT_BUDGET, (
-            "deforming path needs a single resident tile group "
-            f"(grid {n} exceeds it; use the host-layout builder)"
+        n_tiles = ntx * nty
+        bytes_full = n_tiles * (n // 32) * 128 * 4
+        n_groups = max(1, -(-bytes_full // VMEM_OUT_BUDGET))
+        while ntx % n_groups:  # group boundary = whole tx rows of tiles
+            n_groups += 1
+        self.n_groups = n_groups
+        self.tiles_grp = n_tiles // n_groups
+        _, ctile, _, _, stats = build_queue(
+            verts_norm, tris, n, k_chunk=k_chunk
         )
-        _, _, _, _, stats = build_queue(verts_norm, tris, n, k_chunk=k_chunk)
-        cap = int(stats.real_chunks * headroom) + 8
+        if n_groups == 1:
+            cap = int(stats.real_chunks * headroom) + 8
+        else:
+            # uniform per-group capacity from the rest mesh's densest
+            # group (deformation moves triangles between groups, so the
+            # headroom must absorb cross-group drift too)
+            ct_h = np.asarray(ctile)[: stats.real_chunks]
+            per_group = np.bincount(
+                np.minimum(ct_h // self.tiles_grp, n_groups - 1),
+                minlength=n_groups,
+            )
+            cap = int(per_group.max() * headroom) + 8
         self.num_chunks = -(-cap // 128) * 128
         self.n = n
-        self.n_tiles = ntx * nty
+        self.n_tiles = n_tiles
         self.k_chunk = k_chunk
         self.tris = tris
+        self.interpret = interpret
 
     def __call__(self, verts_norm, check: bool = False):
         """Deformed vertices -> packed occupancy words [N,N,N//32]."""
-        coefs, tile_of, nsub, last, ok = _build_queue_device(
-            verts_norm, self.tris, self.n, self.num_chunks, self.k_chunk,
-            4, 8,
-        )
-        if check and not bool(ok):  # host sync only when asked
-            raise RuntimeError(
-                "deforming queue overflowed its capacity; rebuild with more "
-                "headroom"
+        if self.n_groups == 1:
+            coefs, tile_of, nsub, last, ok = _build_queue_device(
+                verts_norm, self.tris, self.n, self.num_chunks, self.k_chunk,
+                4, 8,
             )
-        out = _queue_run_group(
-            coefs, tile_of, nsub, last, jnp.zeros((1,), jnp.int32),
-            self.n, self.k_chunk, self.n_tiles, static_trip=False,
+            if check and not bool(ok):  # host sync only when asked
+                raise RuntimeError(
+                    "deforming queue overflowed its capacity; rebuild with "
+                    "more headroom"
+                )
+            out = _queue_run_group(
+                coefs, tile_of, nsub, last, jnp.zeros((1,), jnp.int32),
+                self.n, self.k_chunk, self.n_tiles, static_trip=False,
+                interpret=self.interpret,
+            )
+            return _tiles_to_grid(out, self.n)
+        groups = _build_queue_device_groups(
+            verts_norm, self.tris, self.n, self.num_chunks, self.k_chunk,
+            4, 8, self.n_groups,
         )
-        return _tiles_to_grid(out, self.n)
+        outs = []
+        for g, (coefs, tile_of, nsub, last, ok) in enumerate(groups):
+            if check and not bool(ok):
+                raise RuntimeError(
+                    f"deforming queue group {g} overflowed its capacity; "
+                    "rebuild with more headroom"
+                )
+            outs.append(_queue_run_group(
+                coefs, tile_of, nsub, last,
+                jnp.asarray([g * self.tiles_grp], jnp.int32),
+                self.n, self.k_chunk, self.tiles_grp, static_trip=False,
+                interpret=self.interpret,
+            ))
+        return _tiles_to_grid(jnp.concatenate(outs, axis=0), self.n)

@@ -45,6 +45,26 @@ def test_queue_group_split(monkeypatch):
     assert (np.asarray(ref) == np.asarray(got)).all()
 
 
+def test_queue_group_split_dense_queue(monkeypatch):
+    """Group boundaries must not leak neighbouring groups' triangles.
+
+    A dense multi-chunk queue (icosphere scaled past the grid bounds) plus
+    static_trip's full unroll exposed exactly that: each group's chunk
+    range rounds up to 128, and the tail rows used to hold the NEXT
+    groups' live coefficients, XORing phantom crossings into the group's
+    last tile (4 corrupted voxels on this fixture before the fix)."""
+    from meshes import icosphere_mesh
+
+    v, _, t = icosphere_mesh(2)
+    v = jnp.asarray(v, jnp.float32) * 1.07 + jnp.asarray([0.02, -0.03, 0.01])
+    t = jnp.asarray(t, jnp.int32)
+    n = 64
+    ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
+    monkeypatch.setattr(vq, "VMEM_OUT_BUDGET", 8 * 1024)
+    got = vq.voxelize_parity_queue(v, t, n, interpret=True)
+    assert (np.asarray(ref) == np.asarray(got)).all()
+
+
 def test_queue_empty_mesh():
     out = vq.voxelize_parity_queue(
         jnp.zeros((0, 3), jnp.float32), jnp.zeros((0, 3), jnp.int32), 64
@@ -110,3 +130,24 @@ def test_suffix_parity_reference():
             expect = np.concatenate([suf[:32], suf[32:]])
             got_bits = np.concatenate([(got[i, t, lane] >> np.arange(32)) & 1 for t in range(2)])
             assert (got_bits == expect).all()
+
+
+def test_deforming_multigroup_matches_static(monkeypatch):
+    """512^3-style grouped deforming path, forced at a small grid: the
+    per-group assembled queues + launches must reproduce the host-layout
+    static queue bit-for-bit, both at rest and deformed."""
+    import dxrvoxelizer_tpu.ops.voxelize_queue as vq
+    from meshes import icosphere_mesh
+
+    v, _, t = icosphere_mesh(2)
+    v = jnp.asarray(v)
+    t = jnp.asarray(t)
+    n = 64
+    monkeypatch.setattr(vq, "VMEM_OUT_BUDGET", 8 * 1024)  # force 4 groups
+    dv = vq.DeformingVoxelizer(v, t, n, interpret=True)
+    assert dv.n_groups > 1, dv.n_groups
+    w_static = np.asarray(vq.voxelize_parity_queue(v, t, n, interpret=True))
+    np.testing.assert_array_equal(np.asarray(dv(v, check=True)), w_static)
+    v2 = v * 1.07 + jnp.asarray([0.02, -0.03, 0.01])
+    w2_static = np.asarray(vq.voxelize_parity_queue(v2, t, n, interpret=True))
+    np.testing.assert_array_equal(np.asarray(dv(v2, check=True)), w2_static)
