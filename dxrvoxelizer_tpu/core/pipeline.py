@@ -76,11 +76,14 @@ def voxelize(
 
     ``mode``: "parity" (axis-parity fill, TPU-native default) or "raystab"
     (the reference's radial back-face rule, DXRVoxelizer.hlsl:132-140).
-    ``impl``: "auto" | "queue" | "pallas" | "pallas_bruteforce" | "xla" —
-    for parity, "auto" picks the work-queue Pallas kernel
-    (ops/voxelize_queue.py) at >= 128^3, the gen-1 tiled kernel at 64^3,
-    and the jnp oracle on CPU backends; for raystab it picks the binned
-    fast path ("xla" selects the brute-force oracle).
+    ``impl``: "auto" | "queue" | "pallas" | "pallas_bruteforce" | "xla"
+    (raystab also: "xla-radial") — for parity, "auto" picks the work-queue
+    Pallas kernel (ops/voxelize_queue.py) at >= 128^3, the gen-1 tiled
+    kernel at 64^3, and the jnp oracle on CPU backends; for raystab it
+    picks the binned fast path. "xla" is always the Moller-Trumbore
+    brute-force oracle (the reference's own rule, backend-independent);
+    "xla-radial" is the radial-form oracle that is bit-exact ground truth
+    for the gen-2 fast raystab query.
     """
     from dxrvoxelizer_tpu.ops.packing import pack_bits_z
 
@@ -103,20 +106,23 @@ def voxelize(
                 occ, rgba = voxelize_raystab_fast(
                     mesh.positions_norm, mesh.normals, mesh.tris, n=n
                 )
-        else:  # "xla": the brute-force oracle OF THE FAST PATH'S CONTRACT
-            # (accelerated backends run the gen-2 radial-form query, whose
-            # bit-exact ground truth is the radial oracle; the CPU fallback
-            # runs the gen-1 Moller-Trumbore query, whose ground truth is
-            # the MT oracle — the two oracles agree except on fp-boundary
-            # near-ties, ops/voxelize_ref.py)
-            if jax.default_backend() != "cpu":
-                occ, rgba = voxelize_ref.voxelize_raystab_radial_ref(
-                    mesh.positions_norm, mesh.normals, mesh.tris, n=n
-                )
-            else:
-                occ, rgba = voxelize_ref.voxelize_raystab_ref(
-                    mesh.positions_norm, mesh.normals, mesh.tris, n=n
-                )
+        elif impl == "xla":
+            # the Moller-Trumbore brute-force oracle — the reference's own
+            # rule (DXR hardware MT intersection); backend-independent so
+            # the same mode never yields different boundary-tie voxels on
+            # CPU vs TPU
+            occ, rgba = voxelize_ref.voxelize_raystab_ref(
+                mesh.positions_norm, mesh.normals, mesh.tris, n=n
+            )
+        elif impl == "xla-radial":
+            # the radial-form oracle: bit-exact ground truth of the gen-2
+            # fast query (which contracts FMAs in radial form); differs
+            # from "xla" only on fp-boundary near-ties (ops/voxelize_ref.py)
+            occ, rgba = voxelize_ref.voxelize_raystab_radial_ref(
+                mesh.positions_norm, mesh.normals, mesh.tris, n=n
+            )
+        else:
+            raise ValueError(f"unknown raystab impl {impl!r}")
         if quantize:
             rgba = quantize_r10g10b10a2(rgba)
         return VoxelGrid(words=pack_bits_z(occ), rgba=rgba)
@@ -266,7 +272,10 @@ class FramePipeline:
         # named scopes surface the two passes in jax.profiler traces (the
         # PIX BeginEvent/EndEvent analog, SURVEY.md section 5 tracing)
         accel = None
-        if self.cfg.inside_mode == "raystab" and self.vox_impl != "xla":
+        if (
+            self.cfg.inside_mode == "raystab"
+            and self.vox_impl not in ("xla", "xla-radial")
+        ):
             accel = self._raystab_accel()
         with jax.named_scope("voxelize"):
             if (

@@ -8,8 +8,8 @@ directional light march, absorption-only transmittance, final
 transmittance. "Breaks" become masks: a broken lane keeps marching but
 contributes nothing — results are identical to the sequential shader.
 
-This is the correctness renderer; the production Pallas renderer
-(ops/raymarch_pallas.py) must match it to float tolerance.
+This is the correctness renderer; the production shear-warp renderer
+(ops/raymarch_warp.py) must match it to image tolerance.
 """
 
 from __future__ import annotations
@@ -110,18 +110,22 @@ def raymarch_ref(
     height: int,
     n_samples: int = NUM_SAMPLES,
     n_light: int = NUM_LIGHT_SAMPLES,
+    y_offset: jnp.ndarray | float = 0.0,
 ) -> jnp.ndarray:
     """Render the density grid -> [height, width, 3] float32 image in [0,1].
 
     ``density``: [N,N,N] alpha grid (post R10G10B10A2 quantization);
     ``screen_to_local``: [4,4] row-vector matrix; ``clear_color``: [3].
+    ``y_offset`` (may be traced): first screen row — band renders (big
+    single-dispatch 720p+ graphs have crashed the remote TPU worker; chunk
+    rows on the host) and multi-chip shards use it.
     """
     step_scale = MAX_DIST / n_samples
     light_step_scale = MAX_DIST / n_light
 
     # SV_POSITION pixel centers
     sx = jnp.arange(width, dtype=jnp.float32) + 0.5
-    sy = jnp.arange(height, dtype=jnp.float32) + 0.5
+    sy = jnp.arange(height, dtype=jnp.float32) + 0.5 + y_offset
     px, py = jnp.meshgrid(sx, sy, indexing="xy")  # [H,W]
     screen = jnp.stack(
         [px, py, jnp.zeros_like(px), jnp.ones_like(px)], axis=-1

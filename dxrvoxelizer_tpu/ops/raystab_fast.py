@@ -771,6 +771,12 @@ def _dense_rays_host(ray_table128, dirs_h, s0_h, n: int):
 def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
     """Radial coefficient rows [Ts+1, 12]: g0 g1 g2 c id pad; the appended
     padding row is all-zero with id BIG (den == 0 -> miss, loses ties)."""
+    # ids ride the kernels as f32 coefficient rows; >= 2^24 would silently
+    # lose precision and corrupt winner ids/normals (e.g. deep -subdiv)
+    assert int(tris_subset.shape[0]) < 2**24, (
+        f"{int(tris_subset.shape[0])} triangles exceed the 2^24 id range "
+        "of the f32 id channel"
+    )
     g0, g1, g2, c = intersect.radial_setup(verts_norm, tris_subset)
     idf = global_ids.astype(jnp.float32)[:, None]
     cf = jnp.concatenate(
@@ -870,6 +876,10 @@ def build_raystab_accel2(
     built once per geometry (Voxelizer.cpp:264-326); deforming meshes
     rebuild it."""
     t_count = int(tris.shape[0])
+    assert t_count < 2**24, (
+        f"{t_count} triangles exceed the 2^24 id range of the f32 id "
+        "channel (reduce -subdiv or decimate the mesh)"
+    )
     v = n * n * n
     sub_ids = np.arange(t_count, dtype=np.int32)
     tris_h = np.asarray(tris)
@@ -938,7 +948,15 @@ def build_raystab_accel2(
 
     ov_dense = None
     if sub_ids.size > 0:
-        o_cap = max(-(-int(sub_ids.size) // 8) * 8, 8)
+        # stab_closest_hit2 chunks candidates by K_BLOCK=256: k <= 256 must
+        # be a multiple of 8, k > 256 a multiple of 256 (CLASS_CAPS2 note)
+        from dxrvoxelizer_tpu.ops.raystab_pallas import K_BLOCK
+
+        size = int(sub_ids.size)
+        if size > K_BLOCK:
+            o_cap = -(-size // K_BLOCK) * K_BLOCK
+        else:
+            o_cap = max(-(-size // 8) * 8, 8)
         ids = np.full((o_cap,), -1, np.int32)
         ids[: sub_ids.size] = sub_ids
         strips = v // 128

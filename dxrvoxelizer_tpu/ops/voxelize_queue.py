@@ -398,6 +398,28 @@ def build_queue(
 VMEM_OUT_BUDGET = 4 * 1024 * 1024  # resident-output budget per launch (bytes)
 
 
+def _output_groups(n: int) -> int:
+    """Tile-group count whose resident output fits VMEM_OUT_BUDGET.
+
+    Group boundaries are whole tx rows of tiles, so the finest split is one
+    row per group; one row (2*n^2 bytes) must itself fit the budget — true
+    up to 1024^3 at the current budget; beyond that a finer split axis is
+    needed and this raises instead of looping forever.
+    """
+    ntx, nty = n // TILE_X, n // TILE_Y
+    bytes_full = ntx * nty * (n // 32) * 128 * 4
+    bytes_row = bytes_full // ntx
+    assert bytes_row <= VMEM_OUT_BUDGET, (
+        f"one tx row of tiles ({bytes_row} B at n={n}) exceeds "
+        f"VMEM_OUT_BUDGET={VMEM_OUT_BUDGET} B; grid too large for the "
+        "row-granular group split"
+    )
+    n_groups = max(1, -(-bytes_full // VMEM_OUT_BUDGET))
+    while ntx % n_groups:  # group boundary = whole tx rows of tiles
+        n_groups += 1
+    return n_groups
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -475,10 +497,7 @@ def voxelize_parity_queue_run(
     ntx, nty = n // TILE_X, n // TILE_Y
     n_tiles = ntx * nty
     w_words = n // 32
-    bytes_full = n_tiles * w_words * 128 * 4
-    n_groups = max(1, -(-bytes_full // VMEM_OUT_BUDGET))
-    while ntx % n_groups:  # group boundary = whole tx rows of tiles
-        n_groups += 1
+    n_groups = _output_groups(n)
     tiles_grp = n_tiles // n_groups
 
     ct = np.asarray(chunk_tile_host)
@@ -674,10 +693,7 @@ class DeformingVoxelizer:
                  headroom: float = 1.5, interpret: bool = False):
         ntx, nty = n // TILE_X, n // TILE_Y
         n_tiles = ntx * nty
-        bytes_full = n_tiles * (n // 32) * 128 * 4
-        n_groups = max(1, -(-bytes_full // VMEM_OUT_BUDGET))
-        while ntx % n_groups:  # group boundary = whole tx rows of tiles
-            n_groups += 1
+        n_groups = _output_groups(n)
         self.n_groups = n_groups
         self.tiles_grp = n_tiles // n_groups
         _, ctile, _, _, stats = build_queue(

@@ -12,6 +12,29 @@ import os
 import sys
 
 
+def _host_cache_key() -> str:
+    """Cache subdirectory keyed on the host CPU's ISA feature set.
+
+    CPU AOT artifacts compiled on one host can use vector extensions a
+    different host lacks — XLA warns the mismatch "could lead to execution
+    errors such as SIGILL" when loading them. Keying the directory on the
+    cpuinfo flags makes hosts with differing features never share entries.
+    """
+    import hashlib
+    import platform as _plat
+
+    sig = _plat.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    sig += line
+                    break
+    except OSError:
+        sig += _plat.processor()
+    return hashlib.sha1(sig.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     """Enable JAX's persistent compilation cache (opt-out via env).
 
@@ -28,7 +51,8 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
 
     if cache_dir is None:
         cache_dir = os.environ.get("DXRVOX_COMPILE_CACHE") or os.path.join(
-            os.path.expanduser("~"), ".cache", "dxrvoxelizer_tpu", "xla"
+            os.path.expanduser("~"), ".cache", "dxrvoxelizer_tpu", "xla",
+            _host_cache_key(),
         )
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -157,3 +157,31 @@ def test_accel2_multistrip_bitexact_vs_radial_oracle():
     occ_r, rgba_r = voxelize_raystab_radial_ref(v, nr, t, n=n)
     np.testing.assert_array_equal(np.asarray(occ2), np.asarray(occ_r))
     np.testing.assert_array_equal(np.asarray(rgba2), np.asarray(rgba_r))
+
+
+def test_accel2_many_near_origin_triangles():
+    """> K_BLOCK (256) near-origin triangles: the global-list capacity must
+    round up to a K_BLOCK multiple or the gen-2 query asserts (regression:
+    a 300-tri soup straddling the origin used to crash the accel build)."""
+    rng = np.random.default_rng(11)
+    nt = 300
+    centers = rng.standard_normal((nt, 1, 3)).astype(np.float32) * 0.02
+    offsets = rng.standard_normal((nt, 3, 3)).astype(np.float32) * 0.3
+    tri_v = centers + offsets
+    verts = jnp.asarray(tri_v.reshape(-1, 3))
+    tris = jnp.arange(nt * 3, dtype=jnp.int32).reshape(nt, 3)
+    e1 = tri_v[:, 1] - tri_v[:, 0]
+    e2 = tri_v[:, 2] - tri_v[:, 0]
+    fn = np.cross(e1, e2)
+    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+    normals = jnp.asarray(np.repeat(fn, 3, axis=0).astype(np.float32))
+
+    n = 32
+    accel = build_raystab_accel2(verts, tris, normals, n=n)
+    assert accel.stats.near_origin > 256
+    occ_r, rgba_r = voxelize_raystab_radial_ref(
+        verts, normals, tris, n=n, ray_chunk=2048
+    )
+    occ2, rgba2 = raystab_query2(verts, normals, tris, accel, interpret=True)
+    assert bool((occ2 == occ_r).all())
+    assert bool((rgba2 == rgba_r).all())
