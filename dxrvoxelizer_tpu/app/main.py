@@ -40,6 +40,7 @@ def _parse_extras(argv: list[str]) -> dict:
         "interactive": False,
         "load_grid": None,
         "profile": None,
+        "chips": 0,
     }
     i = 0
     while i < len(argv):
@@ -69,6 +70,8 @@ def _parse_extras(argv: list[str]) -> dict:
             out["load_grid"] = argv[i + 1]
         elif key == "profile" and i + 1 < len(argv):
             out["profile"] = argv[i + 1]
+        elif key == "chips" and i + 1 < len(argv):
+            out["chips"] = int(argv[i + 1])
         i += 1
     return out
 
@@ -77,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     cfg = parse_args(argv)
     extras = _parse_extras(argv)
+
+    if extras["chips"] > 1 and cfg.backend == "cpu":
+        # -warp -chips N: N virtual host devices (must be set before the
+        # CPU backend client initializes; tests/conftest.py recipe)
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={extras['chips']}"
+            ).strip()
 
     from dxrvoxelizer_tpu.utils.backend import (
         enable_compile_cache,
@@ -94,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         vox_impl=extras["vox_impl"],
         render_impl=extras["render_impl"],
         deforming=extras["deform"],
+        chips=extras["chips"],
     )
     cam = OrbitCamera(cfg.width, cfg.height)
     timer = StepTimer()
@@ -186,14 +202,43 @@ def main(argv: list[str] | None = None) -> int:
         # runtime A/B of the two voxelizer paths (the reference's X-key
         # Core/EZ switch analog, DXRVoxelizer.cpp:295-297): Pallas kernel vs
         # jnp oracle must produce identical occupancy
-        from dxrvoxelizer_tpu.core import voxelize
+        import jax
+
+        from dxrvoxelizer_tpu.core import render, voxelize
 
         engine.pipeline.mesh = base_mesh
+        # the oracle is selected to match the fast path's contract: the
+        # gen-2 raystab query runs radial-form intersections on accelerated
+        # backends, so its bit-exact ground truth is the radial oracle;
+        # everywhere else it is the Moller-Trumbore oracle
+        oracle = "xla"
+        if cfg.inside_mode == "raystab" and jax.default_backend() != "cpu":
+            oracle = "xla-radial"
         a = voxelize(base_mesh, cfg.grid_size, mode=cfg.inside_mode, impl="auto")
-        b = voxelize(base_mesh, cfg.grid_size, mode=cfg.inside_mode, impl="xla")
+        b = voxelize(base_mesh, cfg.grid_size, mode=cfg.inside_mode, impl=oracle)
         same = bool((np.asarray(a.words) == np.asarray(b.words)).all())
         print(f"A/B voxelizer paths identical: {same}")
         if not same:
+            return 1
+        # ...and the rendered images of the two full pipelines (primary vs
+        # alternate), like the reference's visual Core/EZ equivalence: the
+        # renderers are independent implementations (shear-warp vs gather),
+        # so the bound is an image tolerance, not bit-equality
+        consts_ab = engine.scene.update_frame(
+            cam.eye, cam.view_proj, cfg.width, cfg.height
+        )
+        img_a = np.asarray(engine.render_grid(a, consts_ab))
+        img_b = np.asarray(
+            render(b, consts_ab, cfg, impl="gather")
+        )
+        mean_err = float(np.abs(img_a - img_b).mean())
+        p99_err = float(np.percentile(np.abs(img_a - img_b), 99))
+        ok_img = mean_err < 0.03 and p99_err < 0.35
+        print(
+            f"A/B rendered images: mean|err|={mean_err:.4f} "
+            f"p99={p99_err:.4f} -> {'OK' if ok_img else 'FAIL'}"
+        )
+        if not ok_img:
             return 1
 
     if img is not None:

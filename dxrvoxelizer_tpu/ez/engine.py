@@ -28,15 +28,50 @@ class Engine:
 
     def __init__(self, cfg: VoxelizerConfig, scene: Scene | None = None,
                  vox_impl: str = "auto", render_impl: str = "warp",
-                 deforming: bool = False):
+                 deforming: bool = False, chips: int = 0):
         self.cfg = cfg
         self.scene = scene if scene is not None else Scene.load(cfg)
-        self.pipeline = FramePipeline(
-            cfg, self.scene.buffers, vox_impl=vox_impl,
-            render_impl=render_impl, deforming=deforming,
-        )
+        if chips > 1:
+            # scale-out: the whole frame as one shard_map program over a
+            # device mesh (parallel/pipeline.py)
+            from dxrvoxelizer_tpu.parallel import ShardedFramePipeline
+
+            self.pipeline = ShardedFramePipeline(
+                cfg, self.scene.buffers, chips, vox_impl=vox_impl,
+                render_impl=render_impl, deforming=deforming,
+            )
+        else:
+            self.pipeline = FramePipeline(
+                cfg, self.scene.buffers, vox_impl=vox_impl,
+                render_impl=render_impl, deforming=deforming,
+            )
         self._consts: list[FrameConstants | None] = [None] * FRAME_COUNT
         self.last_grid: VoxelGrid | None = None
+        # the reference keeps TWO complete independent pipelines alive and
+        # the X key swaps voxelize AND render between them
+        # (DXRVoxelizer.cpp:190-199, 295-297, 420-481). The alternate here
+        # is an independent implementation of both passes: the jnp oracle
+        # voxelizer + the gather ray-marcher. Built lazily on first switch.
+        self.use_alt = False
+        self._pipeline_alt: FramePipeline | None = None
+
+    @property
+    def pipeline_alt(self) -> FramePipeline:
+        """The alternate (oracle voxelize + gather render) pipeline."""
+        if self._pipeline_alt is None:
+            self._pipeline_alt = FramePipeline(
+                self.cfg, self.pipeline.mesh, vox_impl="xla",
+                render_impl="gather",
+            )
+        return self._pipeline_alt
+
+    def toggle_path(self) -> bool:
+        """X-key analog: swap the ACTIVE pipeline (voxelize + render).
+
+        Returns True when the alternate pipeline is now active.
+        """
+        self.use_alt = not self.use_alt
+        return self.use_alt
 
     # -- reference surface ---------------------------------------------------
     def update_frame(self, frame_index: int, eye_pt, view_proj) -> None:
@@ -53,6 +88,10 @@ class Engine:
         consts = self._consts[frame_index % FRAME_COUNT]
         if consts is None:
             raise RuntimeError("update_frame must be called before render")
+        if self.use_alt:
+            alt = self.pipeline_alt
+            alt.mesh = self.pipeline.mesh  # track deforming-geometry swaps
+            return alt.frame(consts)
         return self.pipeline.frame(consts)
 
     # -- conveniences --------------------------------------------------------
@@ -69,3 +108,5 @@ class Engine:
 
     def sync(self) -> None:
         self.pipeline.sync()
+        if self._pipeline_alt is not None:
+            self._pipeline_alt.sync()

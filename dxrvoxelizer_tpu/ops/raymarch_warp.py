@@ -137,11 +137,18 @@ def light_sweep(density: jnp.ndarray, light_local: jnp.ndarray,
     return jnp.transpose(lvol, tuple(inv))
 
 
-def light_sweep_host(density: jnp.ndarray, light_local: np.ndarray,
-                     n: int) -> jnp.ndarray:
+def light_statics(light_local: np.ndarray) -> tuple[int, bool]:
+    """Host-side light statics: the light direction's major tex axis+sign."""
+    light_local = np.asarray(light_local)
     ld_t = np.asarray(TEX_SCALE) * (light_local / np.linalg.norm(light_local))
     axis = int(np.argmax(np.abs(ld_t)))
     flip = bool(ld_t[axis] < 0)
+    return axis, flip
+
+
+def light_sweep_host(density: jnp.ndarray, light_local: np.ndarray,
+                     n: int) -> jnp.ndarray:
+    axis, flip = light_statics(light_local)
     return light_sweep(density, jnp.asarray(light_local), n, axis, flip)
 
 
@@ -412,6 +419,40 @@ def _box_screen_px(screen_to_local: np.ndarray, width: int, height: int) -> floa
     return float(np.clip(max(ext[0], ext[1]), 16.0, 4096.0))
 
 
+def shearwarp_statics(
+    screen_to_local,
+    eye_local,
+    width: int,
+    height: int,
+    m_cap: int = 128,
+    m: int | None = None,
+) -> tuple[int, bool, bool, int, int]:
+    """Host-side camera statics ``(axis, flip, swap, m, res_win)``.
+
+    These are the compile-time parameters of :func:`_shearwarp_core`; a
+    camera crossing a major-axis boundary (or a volume whose screen
+    footprint crosses an m bucket) changes the tuple and needs a re-jit —
+    callers that keep compiled frames cache them keyed on this tuple
+    (parallel/pipeline.py does for the multi-chip frame).
+    """
+    s2l_np = np.asarray(screen_to_local)
+    eye_np = np.asarray(eye_local)
+    box_px = _box_screen_px(s2l_np, width, height)
+    if m is None:
+        # track the volume's screen footprint (magnification ~1) up to
+        # ``m_cap``; the resolver supports intermediates to 512^2 (larger
+        # caps sharpen hi-res renders at ~linear resolver cost)
+        m = int(np.clip(16 * round(0.9 * box_px / 16), 32, min(m_cap, 512)))
+    axis, flip, swap = _tex_params(eye_np, s2l_np, width, height)
+    # a 32x32-pixel tile's source rows span about 32 * 1.2 * m / box_px
+    # intermediate rows (+2 guard +7 window-alignment slack); pick the
+    # smallest resolver window that covers it (48 handles magnification < 1,
+    # i.e. a volume tiny on screen)
+    span = 32 * 1.2 * m / box_px + 9.0
+    res_win = 16 if span <= 16.0 else (32 if span <= 32.0 else min(48, m))
+    return axis, flip, swap, m, res_win
+
+
 def raymarch_shearwarp(
     density: jnp.ndarray,
     light_vol: jnp.ndarray,
@@ -431,22 +472,11 @@ def raymarch_shearwarp(
     n = density.shape[0]
     s2l_np = np.asarray(screen_to_local)
     eye_np = np.asarray(eye_local)
-    if m is None:
-        # track the volume's screen footprint (magnification ~1) up to
-        # ``m_cap``; the resolver supports intermediates to 512^2 (larger
-        # caps sharpen hi-res renders at ~linear resolver cost)
-        box_px = _box_screen_px(s2l_np, width, height)
-        m = int(np.clip(16 * round(0.9 * box_px / 16), 32, min(m_cap, 512)))
-    axis, flip, swap = _tex_params(eye_np, s2l_np, width, height)
+    axis, flip, swap, m, res_win = shearwarp_statics(
+        s2l_np, eye_np, width, height, m_cap=m_cap, m=m
+    )
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    # a 32x32-pixel tile's source rows span about 32 * 1.2 * m / box_px
-    # intermediate rows (+2 guard +7 window-alignment slack); pick the
-    # smallest resolver window that covers it (48 handles magnification < 1,
-    # i.e. a volume tiny on screen)
-    box_px = _box_screen_px(s2l_np, width, height)
-    span = 32 * 1.2 * m / box_px + 9.0
-    res_win = 16 if span <= 16.0 else (32 if span <= 32.0 else min(48, m))
     return _shearwarp_core(
         density, light_vol, jnp.asarray(s2l_np), jnp.asarray(eye_np),
         jnp.asarray(np.asarray(clear_color, np.float32)),

@@ -1,0 +1,116 @@
+"""Multi-chip frame orchestration — the product surface of ``parallel/``.
+
+:class:`ShardedFramePipeline` is a drop-in for
+:class:`~dxrvoxelizer_tpu.core.pipeline.FramePipeline` that runs the whole
+frame (queue voxelize + shear-warp render) as ONE ``shard_map``-ped jitted
+program over a 1-D device mesh (parallel/shard.py). The reference app has no
+multi-GPU analog (SURVEY.md section 2c: single-GPU, single-process); this is
+the TPU-native scale-out of its frame loop (DXRVoxelizer.cpp:258-270).
+
+The shear-warp compile-time statics (view major axis/flip/swap, intermediate
+resolution, light axis) depend on the camera: an orbiting camera crossing a
+major-axis boundary changes them. They are re-derived from the frame
+constants on the host every frame and compiled frames are cached per
+statics tuple — steady orbits touch a handful of orientations, so after the
+first lap every frame is a cache hit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxrvoxelizer_tpu.parallel.mesh import make_device_mesh
+from dxrvoxelizer_tpu.parallel.shard import (
+    frame_statics,
+    queue_capacity,
+    sharded_frame_fast,
+)
+
+FRAME_COUNT = 3  # matches core.pipeline (Voxelizer.h:24)
+
+
+class ShardedFramePipeline:
+    """FramePipeline-compatible multi-chip frame loop.
+
+    Supports the production configuration: parity inside-test + shear-warp
+    renderer. The voxelize stage re-bins fully on device every frame
+    (deforming meshes work by swapping ``self.mesh`` — fixed topology, like
+    ops/voxelize_queue.DeformingVoxelizer), so ``frame`` issues zero host
+    syncs after warmup.
+    """
+
+    def __init__(self, cfg, mesh_buffers, chips: int,
+                 vox_impl: str = "auto", render_impl: str = "warp",
+                 deforming: bool = False, k_chunk: int = 64,
+                 interpret: bool | None = None):
+        if cfg.inside_mode != "parity":
+            raise ValueError(
+                "-chips supports the parity inside mode only "
+                f"(got {cfg.inside_mode!r})"
+            )
+        if render_impl not in ("warp", "fast", "auto"):
+            raise ValueError(
+                f"-chips supports the warp renderer only (got {render_impl!r})"
+            )
+        if cfg.height % chips:
+            raise ValueError(
+                f"height {cfg.height} not divisible by {chips} chips"
+            )
+        self.cfg = cfg
+        self.mesh = mesh_buffers
+        self.vox_impl = vox_impl
+        self.render_impl = "warp"
+        self.deforming = deforming
+        self.k_chunk = k_chunk
+        self.device_mesh = make_device_mesh(chips)
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        # per-device queue capacity from the rest mesh (deformation head-
+        # room absorbed by the DeformingVoxelizer sizing rule)
+        self.num_chunks_cap = queue_capacity(
+            mesh_buffers.positions_norm, mesh_buffers.tris,
+            cfg.grid_size, chips, k_chunk=k_chunk,
+            headroom=1.5 if deforming else 1.1,
+        )
+        self._frames: dict[tuple, object] = {}  # statics -> compiled frame
+        self._clear = jnp.asarray(np.array(cfg.clear_color, np.float32))
+        self._inflight: list[jax.Array] = []
+
+    def _frame_fn(self, statics: tuple):
+        fn = self._frames.get(statics)
+        if fn is None:
+            fn = sharded_frame_fast(
+                self.device_mesh, self.cfg.grid_size, self.cfg.width,
+                self.cfg.height, int(self.mesh.tris.shape[0]),
+                num_chunks_cap=self.num_chunks_cap, k_chunk=self.k_chunk,
+                interpret=self.interpret, statics=statics,
+            )
+            self._frames[statics] = fn
+        return fn
+
+    def frame(self, consts) -> jax.Array:
+        """Voxelize + render one frame (async); returns the device image."""
+        statics = frame_statics(
+            consts, self.cfg.width, self.cfg.height,
+            m_cap=self.cfg.intermediate_cap,
+        )
+        fn = self._frame_fn(statics)
+        img = fn(
+            self.mesh.positions_norm, self.mesh.tris,
+            jnp.asarray(consts.screen_to_local),
+            jnp.asarray(consts.local_space_eye_pt),
+            jnp.asarray(consts.local_space_light_pt),
+            self._clear,
+        )
+        self._inflight.append(img)
+        if len(self._inflight) > FRAME_COUNT:
+            self._inflight.pop(0).block_until_ready()  # fence on oldest
+        return img
+
+    def sync(self) -> None:
+        for img in self._inflight:
+            img.block_until_ready()
+        self._inflight.clear()

@@ -90,16 +90,35 @@ def sharded_frame(
     return run
 
 
+def frame_statics(consts, width: int, height: int, m_cap: int = 128):
+    """Host-derived compile-time statics of the fast multi-chip frame.
+
+    ``(warp axis, flip, swap, intermediate m, resolver window, light axis,
+    light flip)`` — hashable; cache compiled frames keyed on this tuple and
+    rebuild when an orbiting camera crosses a major-axis boundary
+    (parallel/pipeline.py does).
+    """
+    from dxrvoxelizer_tpu.ops import raymarch_warp as rw
+
+    waxis, wflip, wswap, m, res_win = rw.shearwarp_statics(
+        consts.screen_to_local, consts.local_space_eye_pt, width, height,
+        m_cap=m_cap,
+    )
+    l_axis, l_flip = rw.light_statics(consts.local_space_light_pt)
+    return (waxis, wflip, wswap, m, res_win, l_axis, l_flip)
+
+
 def sharded_frame_fast(
     mesh: Mesh,
     n: int,
     width: int,
     height: int,
     tris_count: int,
-    sample_consts,
+    sample_consts=None,
     num_chunks_cap: int = 512,
     k_chunk: int = 64,
     interpret: bool = False,
+    statics: tuple | None = None,
 ):
     """Production multi-chip frame: Pallas kernels under ``shard_map``.
 
@@ -113,11 +132,13 @@ def sharded_frame_fast(
       gathered grid (compositing over the small intermediate is replicated;
       the per-pixel resolve is band-local).
 
-    The shear-warp orientation statics come from ``sample_consts`` (a
+    The shear-warp orientation statics come from ``statics`` (a
+    :func:`frame_statics` tuple) or are derived from ``sample_consts`` (a
     FrameConstants); a camera crossing a major-axis boundary needs a
-    rebuild, exactly like the single-chip host wrapper re-derives them per
-    frame. ``interpret`` runs the Pallas kernels in interpret mode (the
-    CPU-mesh dry-run configuration).
+    rebuild — :class:`~dxrvoxelizer_tpu.parallel.pipeline.
+    ShardedFramePipeline` re-derives them per frame and caches compiled
+    frames per orientation. ``interpret`` runs the Pallas kernels in
+    interpret mode (the CPU-mesh dry-run configuration).
     """
     from dxrvoxelizer_tpu.ops.packing import unpack_bits_z
     from dxrvoxelizer_tpu.ops import raymarch_warp as rw
@@ -138,19 +159,10 @@ def sharded_frame_fast(
     tpd = n_tiles // n_dev
     band = height // n_dev
 
-    s2l_np = np.asarray(sample_consts.screen_to_local)
-    eye_np = np.asarray(sample_consts.local_space_eye_pt)
-    light_np = np.asarray(sample_consts.local_space_light_pt)
-    waxis, wflip, wswap = rw._tex_params(eye_np, s2l_np, width, height)
-    box_px = rw._box_screen_px(s2l_np, width, height)
-    m = int(np.clip(16 * round(0.9 * box_px / 16), 32, 128))
-    span = 32 * 1.2 * m / box_px + 9.0
-    res_win = 16 if span <= 16.0 else (32 if span <= 32.0 else min(48, m))
-    from dxrvoxelizer_tpu.ops.raymarch_ref import TEX_SCALE
-
-    ld = np.asarray(TEX_SCALE) * (light_np / np.linalg.norm(light_np))
-    l_axis = int(np.argmax(np.abs(ld)))
-    l_flip = bool(ld[l_axis] < 0)
+    if statics is None:
+        assert sample_consts is not None, "need sample_consts or statics"
+        statics = frame_statics(sample_consts, width, height)
+    waxis, wflip, wswap, m, res_win, l_axis, l_flip = statics
 
     def frame(verts_norm, tris, s2l, eye, light, clear):
         d = jax.lax.axis_index(axis)
@@ -196,3 +208,121 @@ def sharded_frame_fast(
         return shmapped(*args)
 
     return run
+
+
+def sharded_voxelize(
+    mesh: Mesh,
+    n: int,
+    num_chunks_cap: int,
+    k_chunk: int = 64,
+    interpret: bool = False,
+):
+    """Collective multi-chip parity voxelize (the ONE mechanism).
+
+    Returns a jitted ``vox(verts_norm, tris) -> packed words [N,N,N//32]``
+    (replicated). Each device builds the queue slice for its contiguous
+    tile group fully on device (no host sync — deforming meshes re-bin
+    every frame) and runs the work-queue kernel; the only cross-chip
+    traffic is one ``all_gather`` of the packed tile outputs over ICI
+    (2 MB at 256^3). Bit-identical to the single-chip queue kernel.
+
+    ``num_chunks_cap`` is the static per-device queue capacity: frames
+    whose densest tile group exceeds it produce truncated queues — size it
+    from the rest mesh like ops/voxelize_queue.DeformingVoxelizer does
+    (parallel/pipeline.py sizes it with the same rule).
+    """
+    from dxrvoxelizer_tpu.ops.voxelize_queue import (
+        TILE_X,
+        TILE_Y,
+        _build_queue_device,
+        _queue_run_group,
+        _tiles_to_grid,
+    )
+
+    (axis,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    ntx, nty = n // TILE_X, n // TILE_Y
+    n_tiles = ntx * nty
+    assert n_tiles % n_dev == 0, f"{n_tiles} tiles not divisible by {n_dev}"
+    tpd = n_tiles // n_dev
+
+    def vox(verts_norm, tris):
+        d = jax.lax.axis_index(axis)
+        lo = d * tpd
+        coefs, tile_of, nsub, last, _ok = _build_queue_device(
+            verts_norm, tris, n, num_chunks_cap, k_chunk, 4, 8,
+            tile_lo=lo, tile_hi=lo + tpd,
+        )
+        group = _queue_run_group(
+            coefs, tile_of, nsub, last, lo.reshape(1), n, k_chunk, tpd,
+            static_trip=False, interpret=interpret,
+        )
+        tiles_all = jax.lax.all_gather(group, axis, axis=0, tiled=True)
+        return _tiles_to_grid(tiles_all, n)
+
+    shmapped = jax.shard_map(
+        vox, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def run(verts_norm, tris):
+        verts_norm = jax.lax.with_sharding_constraint(verts_norm, rep)
+        tris = jax.lax.with_sharding_constraint(tris, rep)
+        return shmapped(verts_norm, tris)
+
+    return run
+
+
+def queue_capacity(verts_norm, tris, n: int, n_groups: int,
+                   k_chunk: int = 64, headroom: float = 1.5) -> int:
+    """Per-group queue chunk capacity sized from a rest mesh.
+
+    Same rule as ops/voxelize_queue.DeformingVoxelizer: the densest group's
+    chunk count x ``headroom`` (absorbing cross-group drift under
+    deformation), rounded up to 128.
+    """
+    from dxrvoxelizer_tpu.ops.voxelize_queue import TILE_X, TILE_Y, build_queue
+
+    n_tiles = (n // TILE_X) * (n // TILE_Y)
+    tiles_grp = n_tiles // n_groups
+    _, ctile, _, _, stats = build_queue(verts_norm, tris, n, k_chunk=k_chunk)
+    if n_groups == 1:
+        cap = int(stats.real_chunks * headroom) + 8
+    else:
+        ct_h = np.asarray(ctile)[: stats.real_chunks]
+        per_group = np.bincount(
+            np.minimum(ct_h // tiles_grp, n_groups - 1), minlength=n_groups
+        )
+        cap = int(per_group.max() * headroom) + 8
+    return -(-cap // 128) * 128
+
+
+def voxelize_parity_multichip(
+    verts_norm,
+    tris,
+    n: int,
+    devices: list | None = None,
+    k_chunk: int = 64,
+    interpret: bool = False,
+):
+    """Stateless multi-chip parity voxelize -> packed words [N,N,N//32].
+
+    Convenience wrapper over :func:`sharded_voxelize` (one extra host-side
+    phase-A pass to size the queue capacity); hold a
+    :class:`~dxrvoxelizer_tpu.parallel.pipeline.ShardedFramePipeline` (or
+    call :func:`sharded_voxelize` directly) for per-frame use.
+    """
+    from dxrvoxelizer_tpu.parallel.mesh import make_device_mesh
+    from dxrvoxelizer_tpu.ops.voxelize_queue import TILE_X, TILE_Y
+
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n_tiles = (n // TILE_X) * (n // TILE_Y)
+    n_dev = len(devices)
+    while n_tiles % n_dev:
+        n_dev -= 1
+    mesh = Mesh(np.array(devices[:n_dev]), ("slab",))
+    cap = queue_capacity(verts_norm, tris, n, n_dev, k_chunk=k_chunk)
+    vox = sharded_voxelize(mesh, n, cap, k_chunk=k_chunk, interpret=interpret)
+    return vox(verts_norm, tris)

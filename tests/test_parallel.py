@@ -64,9 +64,10 @@ def test_sharded_voxelize_slabs_cover_grid():
 
 
 def test_multichip_queue_voxelize_matches_oracle():
-    """Tile groups across the 8 virtual devices == single-path result."""
+    """Collective (shard_map + all_gather) tile groups across the 8 virtual
+    devices == the single-path result, bit for bit."""
     from dxrvoxelizer_tpu.ops.packing import pack_bits_z
-    from dxrvoxelizer_tpu.parallel.queue_shard import voxelize_parity_multichip
+    from dxrvoxelizer_tpu.parallel import voxelize_parity_multichip
 
     n = 64
     verts, _, tris = tetrahedron_mesh()
@@ -74,6 +75,29 @@ def test_multichip_queue_voxelize_matches_oracle():
     ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
     got = voxelize_parity_multichip(v, t, n, interpret=True)
     assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+def test_multichip_deforming_voxelize_matches_single_chip():
+    """Per-frame device re-bin under shard_map: deformed frames bit-exact
+    vs the single-chip queue kernel (fixed topology, moving vertices)."""
+    from dxrvoxelizer_tpu.ops.voxelize_queue import voxelize_parity_queue
+    from dxrvoxelizer_tpu.parallel import make_device_mesh, sharded_voxelize
+    from dxrvoxelizer_tpu.parallel.shard import queue_capacity
+    from tests.meshes import icosphere_mesh
+
+    n = 32
+    verts, _, tris = icosphere_mesh(2, radius=0.55)
+    v0 = jnp.asarray(verts, jnp.float32)
+    t = jnp.asarray(tris, jnp.int32)
+    mesh = make_device_mesh(8)
+    cap = queue_capacity(v0, t, n, 8, headroom=1.5)
+    vox = sharded_voxelize(mesh, n, cap, interpret=True)
+    for fi in range(3):
+        amp = 0.08 * np.sin(2 * np.pi * fi / 3 + np.asarray(verts)[:, :1] * 4)
+        v = v0 + jnp.asarray(amp, jnp.float32)
+        got = np.asarray(vox(v, t))
+        want = np.asarray(voxelize_parity_queue(v, t, n, interpret=True))
+        assert (got == want).all(), f"frame {fi} mismatch"
 
 
 def test_sharded_frame_fast_matches_single_path():
@@ -115,3 +139,45 @@ def test_sharded_frame_fast_matches_single_path():
     ))
     assert np.isfinite(img_sh).all()
     np.testing.assert_allclose(img_sh, img_1, atol=2e-2)
+
+
+def test_sharded_pipeline_full_orbit_matches_single_chip():
+    """-chips product path: a full 360-degree orbit (crossing warp major-
+    axis boundaries, forcing per-orientation frame rebuilds) matches the
+    single-chip frames."""
+    from dxrvoxelizer_tpu.core.pipeline import FramePipeline
+    from dxrvoxelizer_tpu.models.camera import OrbitCamera
+    from dxrvoxelizer_tpu.models.scene import Scene
+    from dxrvoxelizer_tpu.parallel import ShardedFramePipeline
+    from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
+    from dxrvoxelizer_tpu.utils.objloader import ObjMesh
+    from tests.meshes import icosphere_mesh
+
+    verts, norms, tris = icosphere_mesh(2, radius=0.6)
+    world = verts * 2.0 + np.array([0, 4, 0], np.float32)
+    scene = Scene(ObjMesh(
+        positions=world, normals=norms,
+        indices=tris.reshape(-1).astype(np.int32),
+        aabb_min=world.min(0), aabb_max=world.max(0),
+    ))
+    cfg = VoxelizerConfig(grid_size=32, width=64, height=64)
+
+    sharded = ShardedFramePipeline(cfg, scene.buffers, chips=8)
+    single = FramePipeline(cfg, scene.buffers, vox_impl="xla",
+                           render_impl="warp")
+    cam = OrbitCamera(cfg.width, cfg.height)
+    for step in range(12):
+        consts = scene.update_frame(cam.eye, cam.view_proj,
+                                    cfg.width, cfg.height)
+        img_m = np.asarray(sharded.frame(consts))
+        img_1 = np.asarray(single.frame(consts))
+        np.testing.assert_allclose(
+            img_m, img_1, atol=2e-5,
+            err_msg=f"orbit step {step} (yaw {step * 30} deg)",
+        )
+        cam.orbit(30.0, 0.0)
+    sharded.sync()
+    single.sync()
+    # the orbit must have crossed at least one major-axis boundary and the
+    # per-orientation cache must have handled each rebuild
+    assert len(sharded._frames) >= 2
