@@ -8,8 +8,9 @@ raw single keys from a non-blocking TTY:
   space  pause/resume            (OnKeyUp VK_SPACE)
   f      toggle FPS printing     (OnKeyUp VK_F1 -> s_showFPS)
   s      screenshot PNG          (OnKeyUp VK_F11 -> m_screenShot)
-  x      switch voxelizer path   (OnKeyUp 'X' -> m_useEZ: here the Pallas
-                                  kernel vs the jnp oracle A/B)
+  x      switch pipeline         (OnKeyUp 'X' -> m_useEZ: swaps voxelize
+                                  AND render to the independent alternate
+                                  implementation, ez/engine.py toggle_path)
   hjkl   manual camera orbit     (OnMouseMove drag analog)
   + / -  zoom                    (OnMouseWheel analog)
   o      toggle auto-orbit
@@ -88,9 +89,14 @@ def run_interactive(engine: Engine, cam: OrbitCamera, max_frames: int | None,
                 elif k == "s":
                     shot = True
                 elif k == "x":
-                    p = engine.pipeline
-                    p.vox_impl = "xla" if p.vox_impl != "xla" else "auto"
-                    print(f"voxelizer path -> {p.vox_impl}")
+                    # full pipeline swap (voxelize AND render), like the
+                    # reference's X between Voxelizer and VoxelizerEZ
+                    alt = engine.toggle_path()
+                    print(
+                        "pipeline -> "
+                        + ("alt (oracle voxelize + gather render)"
+                           if alt else "primary")
+                    )
                 elif k in ("+", "="):
                     cam.zoom(1.0)  # OnMouseWheel analog
                 elif k == "-":

@@ -50,16 +50,47 @@ def test_headless_loop_renders_frames():
 
 def test_hotkeys_pause_switch_quit(monkeypatch, capsys):
     eng = _tet_engine()
-    # pause, resume, switch path, then quit
-    feed = _KeyFeed([" ", " ", "x", None, "q"])
+    # pause, resume, switch the full pipeline, render a frame on the
+    # alternate path, switch back, then quit
+    feed = _KeyFeed([" ", " ", "x", None, "x", None, "q"])
     monkeypatch.setattr(interactive, "_RawTTY", lambda: feed)
     n = interactive.run_interactive(
         eng, OrbitCamera(64, 64), max_frames=10
     )
     out = capsys.readouterr().out
     assert "paused" in out and "resumed" in out
-    assert "voxelizer path -> auto" in out or "voxelizer path -> xla" in out
+    assert "pipeline -> alt" in out and "pipeline -> primary" in out
+    assert eng._pipeline_alt is not None  # alt pipeline actually rendered
+    assert not eng.use_alt
     assert n < 10  # quit before exhausting frames
+
+
+def test_engine_dual_pipeline_images_agree():
+    """The two complete pipelines (primary vs oracle+gather alternate)
+    render the same scene to an image tolerance — the reference's visual
+    Core/EZ equivalence (DXRVoxelizer.cpp:295-297,420-481)."""
+    from dxrvoxelizer_tpu.ez import Engine
+    from dxrvoxelizer_tpu.models.scene import Scene
+    from tests.meshes import icosphere_mesh
+
+    v, nrm, t = icosphere_mesh(2, radius=0.6)
+    world = np.asarray(v, np.float32) * 2.0 + np.array([0, 4, 0], np.float32)
+    mesh = ObjMesh(
+        positions=world, normals=np.asarray(nrm, np.float32),
+        indices=np.asarray(t, np.int32).reshape(-1),
+        aabb_min=world.min(axis=0), aabb_max=world.max(axis=0),
+    )
+    cfg = VoxelizerConfig(grid_size=32, width=64, height=64)
+    eng = Engine(cfg, scene=Scene(mesh), vox_impl="xla", render_impl="warp")
+    cam = OrbitCamera(64, 64)
+    eng.update_frame(0, cam.eye, cam.view_proj)
+    img_primary = np.asarray(eng.render(0))
+    assert eng.toggle_path()
+    img_alt = np.asarray(eng.render(0))
+    eng.sync()
+    diff = np.abs(img_primary - img_alt)
+    assert diff.mean() < 0.03, diff.mean()
+    assert np.percentile(diff, 99) < 0.35
 
 
 def test_screenshot_key(monkeypatch, tmp_path):
