@@ -191,11 +191,13 @@ def render(
         return raymarch_ref(
             density, s2l, eye, light, clear, cfg.width, cfg.height,
             n_samples=cfg.num_samples, n_light=cfg.num_light_samples,
+            point_light=cfg.point_light,
         )
     if impl == "gather":
         if light_volume is None:
             light_volume = precompute_light_volume(
-                density, light, n_light=cfg.num_light_samples
+                density, light, n_light=cfg.num_light_samples,
+                point_light=cfg.point_light,
             )
         return raymarch_fast(
             density, light_volume, s2l, eye, clear, cfg.width, cfg.height,
@@ -205,11 +207,13 @@ def render(
         raise ValueError(f"unknown renderer impl {impl!r}")
     from dxrvoxelizer_tpu.ops.raymarch_warp import (
         light_sweep_host,
+        light_sweep_point_host,
         raymarch_shearwarp,
     )
 
     if light_volume is None:
-        light_volume = light_sweep_host(
+        sweep = light_sweep_point_host if cfg.point_light else light_sweep_host
+        light_volume = sweep(
             density, consts.local_space_light_pt, density.shape[0]
         )
     return raymarch_shearwarp(

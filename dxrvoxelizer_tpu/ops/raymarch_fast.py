@@ -85,31 +85,42 @@ def _get_sample(vol_flat, n, tex):
     return jnp.minimum(_flat_trilinear(vol_flat, n, tex) * 8.0, 16.0)
 
 
-@partial(jax.jit, static_argnames=("n_light",))
+@partial(jax.jit, static_argnames=("n_light", "point_light"))
 def precompute_light_volume(
-    density: jnp.ndarray, light_local: jnp.ndarray, n_light: int = 32
+    density: jnp.ndarray, light_local: jnp.ndarray, n_light: int = 32,
+    point_light: bool = False,
 ) -> jnp.ndarray:
-    """Directional light transmittance at every voxel center -> [N,N,N] f32.
+    """Light transmittance at every voxel center -> [N,N,N] f32.
 
     Runs the reference's light loop (PSRayCast.hlsl:156-173) from each voxel
     center: 32 steps of length 2*sqrt(3)/32 toward the light, sampling the
     density field trilinearly, with both break rules (out-of-box, trans <
-    0.01) expressed as monotone masks.
+    0.01) expressed as monotone masks. ``point_light``: per-voxel direction
+    ``normalize(lightPt - pos)`` (the _POINT_LIGHT_ branch,
+    PSRayCast.hlsl:151-154) instead of the shared directional step.
     """
     n = density.shape[0]
     vol_flat = density.reshape(-1)
     light_step_scale = MAX_DIST / n_light
-    light_dir = light_local / jnp.linalg.norm(light_local)
-    light_step = light_dir * light_step_scale
 
     t = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * 2.0 - 1.0
     px, py, pz = jnp.meshgrid(t, -t, t, indexing="ij")
     pos0 = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)  # [V,3] voxel centers
 
+    if point_light:
+        ld = light_local[None, :] - pos0  # [V,3]
+        light_step = (
+            ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
+        ) * light_step_scale  # [V,3]
+        light_step = light_step[None]  # [1,V,3]
+    else:
+        light_dir = light_local / jnp.linalg.norm(light_local)
+        light_step = (light_dir * light_step_scale)[None, None, :]  # [1,1,3]
+
     # positions j = pos0 + (j+1) * light_step  (first sample is one step off,
     # PSRayCast.hlsl:157)
     j = jnp.arange(n_light, dtype=jnp.float32)[:, None, None]
-    pos = pos0[None] + light_step[None, None, :] * (j + 1.0)  # [J,V,3]
+    pos = pos0[None] + light_step * (j + 1.0)  # [J,V,3]
     in_box = jnp.all(jnp.abs(pos) <= 1.0, axis=-1)  # [J,V]
     # the loop breaks at the first out-of-box step; monotone prefix AND
     in_box = jnp.cumprod(in_box.astype(jnp.float32), axis=0) > 0

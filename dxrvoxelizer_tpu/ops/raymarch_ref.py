@@ -99,7 +99,8 @@ def _light_march(density, pos, light_step, n_light: int):
     return light_trans
 
 
-@partial(jax.jit, static_argnames=("width", "height", "n_samples", "n_light"))
+@partial(jax.jit, static_argnames=("width", "height", "n_samples", "n_light",
+                                   "point_light"))
 def raymarch_ref(
     density: jnp.ndarray,
     screen_to_local: jnp.ndarray,
@@ -111,6 +112,7 @@ def raymarch_ref(
     n_samples: int = NUM_SAMPLES,
     n_light: int = NUM_LIGHT_SAMPLES,
     y_offset: jnp.ndarray | float = 0.0,
+    point_light: bool = False,
 ) -> jnp.ndarray:
     """Render the density grid -> [height, width, 3] float32 image in [0,1].
 
@@ -118,7 +120,10 @@ def raymarch_ref(
     ``screen_to_local``: [4,4] row-vector matrix; ``clear_color``: [3].
     ``y_offset`` (may be traced): first screen row — band renders (big
     single-dispatch 720p+ graphs have crashed the remote TPU worker; chunk
-    rows on the host) and multi-chip shards use it.
+    rows on the host) and multi-chip shards use it. ``point_light``: the
+    reference's _POINT_LIGHT_ compile branch — per-sample light direction
+    ``normalize(lightPt - pos)`` instead of the fixed directional step
+    (PSRayCast.hlsl:125-127 vs 151-154).
     """
     step_scale = MAX_DIST / n_samples
     light_step_scale = MAX_DIST / n_light
@@ -160,7 +165,14 @@ def raymarch_ref(
         # (PSRayCast.hlsl:147-148)
         contributes = occupied & (transmit >= ZERO_THRESHOLD)
 
-        light_trans = _light_march(density, pos, light_step, n_light)
+        if point_light:
+            # per-sample light direction (PSRayCast.hlsl:151-154)
+            ld = light_local - pos
+            ld = ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
+            step_l = ld * light_step_scale
+        else:
+            step_l = light_step
+        light_trans = _light_march(density, pos, step_l, n_light)
         scatter = scatter + jnp.where(
             contributes, light_trans * transmit * scaled_dens, 0.0
         )

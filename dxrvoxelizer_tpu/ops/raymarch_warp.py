@@ -137,6 +137,95 @@ def light_sweep(density: jnp.ndarray, light_local: jnp.ndarray,
     return jnp.transpose(lvol, tuple(inv))
 
 
+@partial(jax.jit, static_argnames=("n", "axis", "flip"))
+def light_sweep_point(density: jnp.ndarray, light_local: jnp.ndarray,
+                      n: int, axis: int, flip: bool) -> jnp.ndarray:
+    """Point-light transmittance volume by perspective slab sweep -> [N,N,N].
+
+    The _POINT_LIGHT_ variant of :func:`light_sweep` (PSRayCast.hlsl:151-154):
+    rays emanate from the light POINT, so the per-slab resample is a
+    scale+offset toward the light's xy (the same perspective factorization
+    as the eye-ray warp in :func:`_shearwarp_core`) instead of a constant
+    shift, and the per-crossing path length varies per voxel
+    (``(2/N)*|p-l|/|p_z-l_z|``). Requires the light outside the volume
+    beyond the ``axis``/``flip`` side (:func:`light_sweep_point_host`
+    checks and falls back to the exact per-voxel field otherwise).
+    """
+    perm = _perm_for_axis(axis)
+    dens = jnp.transpose(density, perm)  # [X, Y, K]
+    l_t = _to_tex(light_local)[jnp.asarray(perm)]
+    if flip:
+        dens = dens[:, :, ::-1]
+        l_t = l_t * jnp.asarray([1.0, 1.0, -1.0]) + jnp.asarray(
+            [0.0, 0.0, 1.0]
+        )
+    dens = jnp.moveaxis(dens, -1, 0)  # [K, X, Y]
+    lx, ly, lz = l_t[0], l_t[1], l_t[2]
+
+    k = jnp.arange(n, dtype=jnp.float32)
+    z_k = (k + 0.5) / n
+    # slab k reads the carry field at its light-ray crossing of slab k+1:
+    # q = l + a_k (p - l), a_k = (z_{k+1}-lz)/(z_k-lz); the last slab's map
+    # is arbitrary (the carry is all-ones there)
+    z_next = jnp.concatenate([z_k[1:], jnp.asarray([(n + 0.5) / n])])
+    a_k = (z_next - lz) / (z_k - lz)  # [K]
+    wx = interp_matrix(
+        scale_offset_coords(n, a_k, n * lx * (1.0 - a_k) - 0.5), n
+    )  # [K, n, n]
+    wy = interp_matrix(
+        scale_offset_coords(n, a_k, n * ly * (1.0 - a_k) - 0.5), n
+    )
+
+    # per-voxel crossing length in normalized-space units (obliquity ratio
+    # is scale-invariant, so tex-space components work directly)
+    x_t = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    dx2 = (x_t[:, None] - lx) ** 2  # [X,1]
+    dy2 = (x_t[None, :] - ly) ** 2  # [1,Y]
+    dz = z_k - lz  # [K]
+    delta = (2.0 / n) * jnp.sqrt(
+        dx2[None] + dy2[None] + (dz**2)[:, None, None]
+    ) / jnp.abs(dz)[:, None, None]  # [K, X, Y]
+
+    g = jnp.minimum(dens * 8.0, 16.0)
+    att = jnp.clip(1.0 - ABSORPTION * delta * g, 0.0, 1.0)  # [K, X, Y]
+
+    def body(carry, xs):
+        att_k, wx_k, wy_k = xs
+        wsum = wx_k.sum(-1)[:, None] * wy_k.sum(-1)[None, :]
+        l_k = wx_k @ carry @ wy_k.T + (1.0 - wsum)
+        return l_k * att_k, l_k
+
+    init = jnp.ones((n, n), dtype=jnp.float32)
+    _, ls = jax.lax.scan(body, init, (att[::-1], wx[::-1], wy[::-1]))
+    lvol = ls[::-1]  # [K, X, Y]
+
+    lvol = jnp.moveaxis(lvol, 0, -1)
+    if flip:
+        lvol = lvol[:, :, ::-1]
+    inv = np.argsort(perm)
+    return jnp.transpose(lvol, tuple(inv))
+
+
+def light_sweep_point_host(density: jnp.ndarray, light_local: np.ndarray,
+                           n: int) -> jnp.ndarray:
+    """Point-light field: perspective sweep when the light clears the
+    volume along its major axis, else the exact per-voxel march."""
+    light_local = np.asarray(light_local)
+    l_t = np.asarray(TEX_SCALE) * light_local + 0.5
+    axis = int(np.argmax(np.abs(l_t - 0.5)))
+    flip = bool(l_t[axis] < 0.5)
+    lz = 1.0 - l_t[axis] if flip else l_t[axis]
+    if lz <= 1.0 + 1.0 / n:
+        from dxrvoxelizer_tpu.ops.raymarch_fast import (
+            precompute_light_volume,
+        )
+
+        return precompute_light_volume(
+            density, jnp.asarray(light_local), point_light=True
+        )
+    return light_sweep_point(density, jnp.asarray(light_local), n, axis, flip)
+
+
 def light_statics(light_local: np.ndarray) -> tuple[int, bool]:
     """Host-side light statics: the light direction's major tex axis+sign."""
     light_local = np.asarray(light_local)

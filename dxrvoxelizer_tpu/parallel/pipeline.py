@@ -58,6 +58,11 @@ class ShardedFramePipeline:
             raise ValueError(
                 f"height {cfg.height} not divisible by {chips} chips"
             )
+        if cfg.point_light:
+            raise ValueError(
+                "-chips does not support -pointlight yet (directional "
+                "light sweep only)"
+            )
         self.cfg = cfg
         self.mesh = mesh_buffers
         self.vox_impl = vox_impl

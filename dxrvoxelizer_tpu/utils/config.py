@@ -45,6 +45,10 @@ class VoxelizerConfig:
     # shear-warp intermediate resolution cap (128 = speed, up to 512 =
     # sharper hi-res renders; the -quality flag raises it)
     intermediate_cap: int = 128
+    # the reference's _POINT_LIGHT_ compile branch (PSRayCast.hlsl:151-154):
+    # per-sample light direction toward the light POINT instead of the
+    # directional default
+    point_light: bool = False
     # midpoint-subdivision levels applied at load (4x tris per level) — the
     # hi-poly bench configs (BASELINE.md: the 871k-tri full Stanford dragon
     # is not shipped; the 100k decimation at -subdiv 1 is the 400k-tri
@@ -120,6 +124,8 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
                 kw["subdiv"] = int(argv[i])
         elif is_flag(a, "usemutex"):
             kw["use_mutex"] = True
+        elif is_flag(a, "pointlight"):
+            kw["point_light"] = True
         elif is_flag(a, "quality"):
             kw["intermediate_cap"] = int(argv[i + 1]) if has_value(i) else 512
             if has_value(i):

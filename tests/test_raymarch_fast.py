@@ -90,3 +90,57 @@ def test_pixel_chunking_invariant():
     one = np.asarray(raymarch_fast(*args, n_samples=32, px_chunk=1 << 17))
     many = np.asarray(raymarch_fast(*args, n_samples=32, px_chunk=256))
     np.testing.assert_allclose(one, many, atol=1e-6)
+
+
+def test_point_light_ref_differs_and_converges_to_directional():
+    """_POINT_LIGHT_ branch: a nearby point light shades differently from
+    the directional default; a very distant one converges to it."""
+    verts, _, tris = box_mesh([-0.6, -0.6, -0.6], [0.5, 0.5, 0.5])
+    density = voxelize_parity_ref(
+        jnp.asarray(verts), jnp.asarray(tris), n=16
+    ).astype(jnp.float32)
+    w, h = 48, 32
+    s2l, eye_l, _ = _frame_consts(w, h)
+
+    def ref(light, point):
+        return np.asarray(raymarch_ref(
+            density, jnp.asarray(s2l), jnp.asarray(eye_l),
+            jnp.asarray(np.asarray(light, np.float32)), jnp.asarray(CLEAR),
+            w, h, n_samples=32, n_light=8, point_light=point,
+        ))
+
+    near = np.array([0.3, 1.1, -0.4], np.float32)  # just above the volume
+    img_dir = ref(near, False)
+    img_pt = ref(near, True)
+    assert np.abs(img_dir - img_pt).max() > 0.01  # genuinely different
+
+    far = np.array([0.3, 2.0, -0.4], np.float32) * 1e5
+    img_dir_far = ref(far, False)
+    img_pt_far = ref(far, True)
+    np.testing.assert_allclose(img_pt_far, img_dir_far, atol=1e-4)
+
+
+def test_point_light_gather_close_to_reference():
+    """Gather renderer with the point-light volume tracks the point-light
+    reference as tightly as the directional pairing does."""
+    verts, _, tris = tetrahedron_mesh()
+    density = voxelize_parity_ref(
+        jnp.asarray(verts), jnp.asarray(tris), n=16
+    ).astype(jnp.float32)
+    w, h = 64, 48
+    s2l, eye_l, _ = _frame_consts(w, h)
+    light = jnp.asarray(np.array([0.4, 1.8, -0.6], np.float32))
+    ref = np.asarray(raymarch_ref(
+        density, jnp.asarray(s2l), jnp.asarray(eye_l), light,
+        jnp.asarray(CLEAR), w, h, n_samples=64, n_light=16,
+        point_light=True,
+    ))
+    lv = precompute_light_volume(density, light, n_light=16,
+                                 point_light=True)
+    fast = np.asarray(raymarch_fast(
+        density, lv, jnp.asarray(s2l), jnp.asarray(eye_l),
+        jnp.asarray(CLEAR), w, h, n_samples=64,
+    ))
+    diff = np.abs(ref - fast)
+    assert diff.mean() < 0.01, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.12, np.quantile(diff, 0.99)

@@ -200,3 +200,38 @@ def test_resolver_wide_intermediates():
                                    atol=1e-5, err_msg=f"m={m}")
         np.testing.assert_allclose(np.asarray(got_tr), np.asarray(exp_tr),
                                    atol=1e-5, err_msg=f"m={m}")
+
+
+def test_point_light_sweep_close_to_exact_field():
+    """Perspective point-light sweep vs the exact per-voxel point march."""
+    from dxrvoxelizer_tpu.ops.raymarch_warp import light_sweep_point_host
+
+    verts, _, tris = tetrahedron_mesh()
+    density = voxelize_parity_ref(
+        jnp.asarray(verts), jnp.asarray(tris), n=32
+    ).astype(jnp.float32)
+    light = np.array([-3.0, 8.0, -12.0], np.float32)  # outside, -z major
+    lv_sweep = np.asarray(light_sweep_point_host(density, light, 32))
+    lv_ref = np.asarray(precompute_light_volume(
+        density, jnp.asarray(light), n_light=32, point_light=True
+    ))
+    assert (lv_sweep >= 0).all() and (lv_sweep <= 1.0 + 1e-5).all()
+    diff = np.abs(lv_sweep - lv_ref)
+    assert diff.mean() < 0.03, diff.mean()
+
+
+def test_point_light_sweep_inside_falls_back_to_exact():
+    """A light inside the volume cannot be swept; the host wrapper returns
+    the exact per-voxel field."""
+    from dxrvoxelizer_tpu.ops.raymarch_warp import light_sweep_point_host
+
+    verts, _, tris = tetrahedron_mesh()
+    density = voxelize_parity_ref(
+        jnp.asarray(verts), jnp.asarray(tris), n=16
+    ).astype(jnp.float32)
+    light = np.array([0.1, 0.2, -0.1], np.float32)  # inside the box
+    lv = np.asarray(light_sweep_point_host(density, light, 16))
+    lv_ref = np.asarray(precompute_light_volume(
+        density, jnp.asarray(light), n_light=32, point_light=True
+    ))
+    np.testing.assert_allclose(lv, lv_ref, atol=1e-6)
