@@ -71,6 +71,7 @@ def voxelize(
     impl: str = "auto",
     quantize: bool = True,
     accel=None,
+    with_normals: bool = False,
 ) -> VoxelGrid:
     """Solid-voxelize a mesh -> :class:`VoxelGrid`.
 
@@ -151,7 +152,41 @@ def voxelize(
         words = pack_bits_z(occ)
     else:
         raise ValueError(f"unknown impl {impl!r}")
-    return VoxelGrid(words=words)
+    if not with_normals:
+        return VoxelGrid(words=words)
+
+    # optional normal channel: the reference's grid always stores
+    # float4(Normal, 1.0) (DXRVoxelizer.hlsl:83-84). The normal content is
+    # the radial first-hit normal — computed by the same machinery the
+    # raystab mode uses (rule="hit" skips the back-face test) — gated by
+    # the parity occupancy bit.
+    from dxrvoxelizer_tpu.ops.packing import unpack_bits_z
+
+    occ_b = unpack_bits_z(words, n)
+    if jax.default_backend() == "cpu":
+        _, rgba_hit = voxelize_ref.voxelize_raystab_ref(
+            mesh.positions_norm, mesh.normals, mesh.tris, n=n, rule="hit"
+        )
+    else:
+        from dxrvoxelizer_tpu.ops.raystab_fast import (
+            build_raystab_accel2,
+            raystab_query2,
+        )
+
+        if accel is None:
+            accel = build_raystab_accel2(
+                mesh.positions_norm, mesh.tris, mesh.normals, n
+            )
+        _, rgba_hit = raystab_query2(
+            mesh.positions_norm, mesh.normals, mesh.tris, accel, rule="hit"
+        )
+    occ_f = occ_b.astype(jnp.float32)[..., None]
+    rgba = jnp.concatenate(
+        [rgba_hit[..., :3] * occ_f, occ_f], axis=-1
+    )
+    if quantize:
+        rgba = quantize_r10g10b10a2(rgba)
+    return VoxelGrid(words=words, rgba=rgba)
 
 
 def _pallas_ok(n: int) -> bool:
@@ -276,15 +311,19 @@ class FramePipeline:
         # named scopes surface the two passes in jax.profiler traces (the
         # PIX BeginEvent/EndEvent analog, SURVEY.md section 5 tracing)
         accel = None
+        want_normals = (
+            self.cfg.inside_mode == "parity" and self.cfg.parity_normals
+        )
         if (
             self.cfg.inside_mode == "raystab"
             and self.vox_impl not in ("xla", "xla-radial")
-        ):
+        ) or (want_normals and jax.default_backend() != "cpu"):
             accel = self._raystab_accel()
         with jax.named_scope("voxelize"):
             if (
                 self.deforming
                 and self.cfg.inside_mode == "parity"
+                and not want_normals
                 and self.vox_impl in ("auto", "queue")
                 and _pallas_ok(self.cfg.grid_size)
             ):
@@ -306,7 +345,7 @@ class FramePipeline:
                 grid = voxelize(
                     self.mesh, self.cfg.grid_size, mode=self.cfg.inside_mode,
                     impl=self.vox_impl, quantize=not self.cfg.use_mutex,
-                    accel=accel,
+                    accel=accel, with_normals=want_normals,
                 )
         with jax.named_scope("raycast"):
             img = render(grid, consts, self.cfg, impl=self.render_impl)

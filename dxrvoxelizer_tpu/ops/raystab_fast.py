@@ -1002,11 +1002,17 @@ def build_raystab_accel2(
     )
 
 
-@partial(jax.jit, static_argnames=("n", "threshold"))
+@partial(jax.jit, static_argnames=("n", "threshold", "rule"))
 def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
-               threshold: float):
+               threshold: float, rule: str = "backface"):
     """Packed-table finalize: ONE [V,18] row gather by winner id, then the
-    same mt_hit (u, v) + normal-interp expressions as the oracles."""
+    same mt_hit (u, v) + normal-interp expressions as the oracles.
+
+    ``rule``: "backface" is the reference inside test
+    (dot(normal, dir) > threshold, DXRVoxelizer.hlsl:137-138); "hit" marks
+    every voxel whose radial ray hits ANY triangle and stores its first-hit
+    normal — the normal-channel source for parity-mode grids
+    (core/pipeline.py voxelize with_normals)."""
     hit = jnp.isfinite(best_t) & (best_i < t_count)
     idx = jnp.where(hit, best_i, t_count)
     rows = ftab[idx]  # [V, 18]
@@ -1019,7 +1025,10 @@ def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
     _, u, v, _ = intersect.mt_hit(pos, dirs, v0, e1, e2)
     nrm = n0 + u[:, None] * (n1 - n0) + v[:, None] * (n2 - n0)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
-    inside = hit & (jnp.sum(nrm * dirs, axis=-1) > threshold)
+    if rule == "hit":
+        inside = hit
+    else:
+        inside = hit & (jnp.sum(nrm * dirs, axis=-1) > threshold)
     rgba = jnp.where(
         inside[:, None],
         jnp.concatenate([nrm, jnp.ones_like(u)[:, None]], axis=-1),
@@ -1030,11 +1039,13 @@ def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
 
 @partial(
     jax.jit,
-    static_argnames=("n", "threshold", "ks", "ov_k", "t_count", "interpret"),
+    static_argnames=("n", "threshold", "ks", "ov_k", "t_count", "interpret",
+                     "rule"),
 )
 def _raystab_query2(
     ftab, levels, sort_keys, ov_dense, n: int, threshold: float,
     ks: tuple, ov_k: int, t_count: int, interpret: bool,
+    rule: str = "backface",
 ):
     """One-dispatch gen-2 query: stream kernels -> sort-merge -> finalize.
 
@@ -1081,7 +1092,8 @@ def _raystab_query2(
         closer = (t_ov < best_t) | ((t_ov == best_t) & (i_ov < best_i))
         best_t = jnp.where(closer, t_ov, best_t)
         best_i = jnp.where(closer, i_ov, best_i)
-    return _finalize2(ftab, pos, dirs, best_t, best_i, t_count, n, threshold)
+    return _finalize2(ftab, pos, dirs, best_t, best_i, t_count, n, threshold,
+                      rule=rule)
 
 
 def raystab_query2(
@@ -1091,6 +1103,7 @@ def raystab_query2(
     accel: RaystabAccel2,
     threshold: float = INSIDE_THRESHOLD,
     interpret: bool = False,
+    rule: str = "backface",
 ):
     """Per-frame gen-2 trace -> (occupancy, rgba); ground truth is the
     radial oracle (ops/voxelize_ref.voxelize_raystab_radial_ref).
@@ -1107,6 +1120,7 @@ def raystab_query2(
     return _raystab_query2(
         accel.ftab, accel.levels, accel.sort_keys, accel.ov_dense,
         accel.n, threshold, ks, ov_k, int(tris.shape[0]), interpret,
+        rule=rule,
     )
 
 

@@ -32,7 +32,7 @@ from dxrvoxelizer_tpu.ops.packing import voxel_centers_norm
 INSIDE_THRESHOLD = 0.12  # DXRVoxelizer.hlsl:5
 
 
-@partial(jax.jit, static_argnames=("n", "ray_chunk", "tri_chunk"))
+@partial(jax.jit, static_argnames=("n", "ray_chunk", "tri_chunk", "rule"))
 def voxelize_raystab_ref(
     verts_norm: jnp.ndarray,
     normals: jnp.ndarray,
@@ -41,11 +41,15 @@ def voxelize_raystab_ref(
     threshold: float = INSIDE_THRESHOLD,
     ray_chunk: int = 4096,
     tri_chunk: int = 2048,
+    rule: str = "backface",
 ):
     """Reference-rule solid voxelization.
 
     Returns ``(occupancy[n,n,n] bool, rgba[n,n,n,4] float32)`` where rgba is
     the un-quantized ``float4(Normal, 1.0)`` write (zeros where outside).
+    ``rule``: "backface" (the reference inside test) or "hit" (mark every
+    voxel whose radial ray hits anything, storing its first-hit normal —
+    the parity-mode normal-channel source).
     """
     cx, cy, cz = (jnp.asarray(t) for t in voxel_centers_norm(n))
     px = cx[:, None, None]
@@ -74,7 +78,10 @@ def voxelize_raystab_ref(
             + v[:, None] * (n2[idx] - n0[idx])
         )
         nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
-        inside = hit & (jnp.sum(nrm * d, axis=-1) > threshold)
+        if rule == "hit":
+            inside = hit
+        else:
+            inside = hit & (jnp.sum(nrm * d, axis=-1) > threshold)
         rgba = jnp.where(
             inside[:, None],
             jnp.concatenate([nrm, jnp.ones_like(t)[:, None]], axis=-1),
@@ -92,7 +99,7 @@ def voxelize_raystab_ref(
     )
 
 
-@partial(jax.jit, static_argnames=("n", "ray_chunk", "tri_chunk"))
+@partial(jax.jit, static_argnames=("n", "ray_chunk", "tri_chunk", "rule"))
 def voxelize_raystab_radial_ref(
     verts_norm: jnp.ndarray,
     normals: jnp.ndarray,
@@ -101,6 +108,7 @@ def voxelize_raystab_radial_ref(
     threshold: float = INSIDE_THRESHOLD,
     ray_chunk: int = 4096,
     tri_chunk: int = 2048,
+    rule: str = "backface",
 ):
     """Reference-rule voxelization via the radial-form intersection.
 
@@ -145,7 +153,10 @@ def voxelize_raystab_radial_ref(
         nrm = nrm / jnp.maximum(
             jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20
         )
-        inside = hit & (jnp.sum(nrm * d, axis=-1) > threshold)
+        if rule == "hit":
+            inside = hit
+        else:
+            inside = hit & (jnp.sum(nrm * d, axis=-1) > threshold)
         rgba = jnp.where(
             inside[:, None],
             jnp.concatenate([nrm, jnp.ones_like(t)[:, None]], axis=-1),

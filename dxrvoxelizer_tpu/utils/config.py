@@ -49,6 +49,10 @@ class VoxelizerConfig:
     # per-sample light direction toward the light POINT instead of the
     # directional default
     point_light: bool = False
+    # parity mode with the reference's float4(Normal, 1.0) grid content
+    # (DXRVoxelizer.hlsl:83-84): radial first-hit normals gated by the
+    # parity occupancy bit (-normals flag; extra raystab-query cost)
+    parity_normals: bool = False
     # midpoint-subdivision levels applied at load (4x tris per level) — the
     # hi-poly bench configs (BASELINE.md: the 871k-tri full Stanford dragon
     # is not shipped; the 100k decimation at -subdiv 1 is the 400k-tri
@@ -126,6 +130,8 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
             kw["use_mutex"] = True
         elif is_flag(a, "pointlight"):
             kw["point_light"] = True
+        elif is_flag(a, "normals"):
+            kw["parity_normals"] = True
         elif is_flag(a, "quality"):
             kw["intermediate_cap"] = int(argv[i + 1]) if has_value(i) else 512
             if has_value(i):

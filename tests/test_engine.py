@@ -158,3 +158,44 @@ def test_app_loadgrid_roundtrip(tmp_path, monkeypatch):
     assert rc == 0
     img = read_png(png)
     assert img.shape == (64, 64, 3)
+
+
+def test_parity_with_normals_matches_raystab_rgb():
+    """Parity-mode optional normal channel (the reference's
+    float4(Normal,1.0) content, DXRVoxelizer.hlsl:83-84): radial first-hit
+    normals gated by the parity bit. On voxels where both rules agree
+    occupied, the rgb must equal the raystab grid's bit-for-bit (same
+    winner machinery); alpha must equal the parity occupancy."""
+    import jax.numpy as jnp
+
+    from tests.meshes import icosphere_mesh
+    from dxrvoxelizer_tpu.models.mesh import MeshBuffers
+    from dxrvoxelizer_tpu.utils.objloader import ObjMesh
+
+    v, nrm, t = icosphere_mesh(2, radius=0.7)
+    mesh = MeshBuffers.from_obj(ObjMesh(
+        positions=np.asarray(v, np.float32),
+        normals=np.asarray(nrm, np.float32),
+        indices=np.asarray(t, np.int32).reshape(-1),
+        aabb_min=np.asarray(v, np.float32).min(0),
+        aabb_max=np.asarray(v, np.float32).max(0),
+    ))
+    n = 32
+    grid_p = voxelize(mesh, n, mode="parity", with_normals=True)
+    grid_s = voxelize(mesh, n, mode="raystab", impl="xla")
+    occ_p = np.asarray(grid_p.occupancy())
+    occ_s = np.asarray(grid_s.occupancy())
+    rgba_p = np.asarray(grid_p.rgba)
+    rgba_s = np.asarray(grid_s.rgba)
+    # alpha channel is exactly the parity occupancy
+    np.testing.assert_array_equal(rgba_p[..., 3] > 0.5, occ_p)
+    # where both rules say inside, identical quantized normals
+    both = occ_p & occ_s
+    assert both.sum() > 100  # the fixture overlaps substantially
+    np.testing.assert_array_equal(rgba_p[both][:, :3], rgba_s[both][:, :3])
+    # most parity-occupied voxels carry a nonzero stored normal (UNORM
+    # clamps all-negative normals to zero, faithfully to the reference's
+    # R10G10B10A2 grid — so "all" would be wrong; an octant's worth may
+    # legitimately clamp away)
+    frac = (np.abs(rgba_p[occ_p][:, :3]).sum(-1) > 0).mean()
+    assert frac > 0.8, frac
