@@ -866,7 +866,7 @@ def build_raystab_accel2(
     tris: jnp.ndarray,
     normals: jnp.ndarray,
     n: int = 64,
-    gs: tuple = LEVELS2,
+    gs: tuple | None = None,
     span: int = 8,
 ) -> RaystabAccel2:
     """Build the gen-2 accel: bin each triangle at the finest cubemap level
@@ -874,7 +874,20 @@ def build_raystab_accel2(
     containing the origin fall through to the global list. ``normals`` are
     baked into the finalize table — like the reference's AS, the accel is
     built once per geometry (Voxelizer.cpp:264-326); deforming meshes
-    rebuild it."""
+    rebuild it.
+
+    ``gs`` (cubemap sizes, fine -> coarse) defaults by grid size: hi-res
+    grids get finer top levels so rays-per-cell stays near one 128-lane
+    strip — the per-strip candidate replication in _level_classes2 would
+    otherwise multiply accel memory by the strips-per-cell factor (a 32^2
+    top level at 256^3 puts ~2.7k rays = 22 strips in every cell)."""
+    if gs is None:
+        if n >= 256:
+            gs = (128, 32, 8)
+        elif n >= 128:
+            gs = (64, 16, 8)
+        else:
+            gs = LEVELS2
     t_count = int(tris.shape[0])
     assert t_count < 2**24, (
         f"{t_count} triangles exceed the 2^24 id range of the f32 id "
@@ -1037,17 +1050,9 @@ def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
     return inside.reshape(n, n, n), rgba.reshape(n, n, n, 4)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n", "threshold", "ks", "ov_k", "t_count", "interpret",
-                     "rule"),
-)
-def _raystab_query2(
-    ftab, levels, sort_keys, ov_dense, n: int, threshold: float,
-    ks: tuple, ov_k: int, t_count: int, interpret: bool,
-    rule: str = "backface",
-):
-    """One-dispatch gen-2 query: stream kernels -> sort-merge -> finalize.
+def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
+                    ov_k: int, interpret: bool):
+    """Stream kernels + sort-merge -> per-ray winner (best_t, best_i).
 
     The slot->ray permutation rides the sort engine: lax.sort of
     (ray key, t, id) then slicing the first V rows puts every ray in
@@ -1081,7 +1086,6 @@ def _raystab_query2(
         best_t = jnp.where(closer, lt, best_t)
         best_i = jnp.where(closer, li, best_i)
 
-    pos, dirs = voxel_rays(n)
     if ov_dense is not None:
         rays_ov, cf_ov = ov_dense
         t_ov, i_ov = stab_closest_hit2(
@@ -1092,6 +1096,24 @@ def _raystab_query2(
         closer = (t_ov < best_t) | ((t_ov == best_t) & (i_ov < best_i))
         best_t = jnp.where(closer, t_ov, best_t)
         best_i = jnp.where(closer, i_ov, best_i)
+    return best_t, best_i
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "threshold", "ks", "ov_k", "t_count", "interpret",
+                     "rule"),
+)
+def _raystab_query2(
+    ftab, levels, sort_keys, ov_dense, n: int, threshold: float,
+    ks: tuple, ov_k: int, t_count: int, interpret: bool,
+    rule: str = "backface",
+):
+    """One-dispatch gen-2 query: stream kernels -> sort-merge -> finalize."""
+    best_t, best_i = _merge_winners2(
+        levels, sort_keys, ov_dense, n, ks, ov_k, interpret
+    )
+    pos, dirs = voxel_rays(n)
     return _finalize2(ftab, pos, dirs, best_t, best_i, t_count, n, threshold,
                       rule=rule)
 

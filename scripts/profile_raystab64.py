@@ -1,0 +1,126 @@
+"""Stage-level slope profile of the gen-2 ray-stab query at 64^3 (dragon).
+
+Times (a) the full query, (b) kernels + sort-merge only, (c) the stream
+kernels only, (d) finalize only — each as a slope between two in-graph scan
+lengths (the tunnel's fixed dispatch latency cancels; see bench.py).
+
+Run: python scripts/profile_raystab64.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    import numpy as np
+
+    from dxrvoxelizer_tpu.utils.backend import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dxrvoxelizer_tpu.models.scene import Scene
+    from dxrvoxelizer_tpu.ops.raystab_fast import (
+        _finalize2,
+        _merge_winners2,
+        _raystab_query2,
+        build_raystab_accel2,
+        voxel_rays,
+    )
+    from dxrvoxelizer_tpu.ops.raystab_pallas import stab_closest_hit2
+    from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
+
+    n = 64
+    scene = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=n))
+    b = scene.buffers
+    accel = build_raystab_accel2(b.positions_norm, b.tris, b.normals, n)
+    ks = tuple(tuple(int(c[1].shape[1]) for c in lv) for lv in accel.levels)
+    ovk = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+    tc = int(b.tris.shape[0])
+    print(f"# levels: {accel.stats.levels} near={accel.stats.near_origin}",
+          file=sys.stderr)
+
+    def slope(body, r_pair=(4, 16), reps=3, label=""):
+        ra, rb = r_pair
+
+        def make(r):
+            @jax.jit
+            def run():
+                out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=r)
+                return out
+
+            return run
+
+        fa, fb = make(ra), make(rb)
+        float(fa()); float(fb())
+
+        def best(f):
+            t = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(f())
+                t = min(t, time.perf_counter() - t0)
+            return t
+
+        dt = (best(fb) - best(fa)) / (rb - ra)
+        print(f"{label}: {dt*1e3:.3f} ms", flush=True)
+        return dt
+
+    def full_body(carry, _):
+        occ, _ = _raystab_query2(
+            accel.ftab + carry * 1e-38, accel.levels, accel.sort_keys,
+            accel.ov_dense, n, 0.12, ks, ovk, tc, False,
+        )
+        return occ.reshape(-1)[0].astype(jnp.float32), None
+
+    def merge_body(carry, _):
+        lv = jax.tree.map(lambda x: x + carry * 1e-38, accel.levels)
+        bt, bi = _merge_winners2(
+            lv, accel.sort_keys, accel.ov_dense, n, ks, ovk, False
+        )
+        return bt[0] * 1e-38 + bi[0].astype(jnp.float32) * 1e-38, None
+
+    def kernels_body(carry, _):
+        acc = jnp.float32(0.0)
+        for level, level_ks in zip(accel.levels, ks):
+            for (rays, coefs, scatter), k in zip(level, level_ks):
+                t_c, i_c = stab_closest_hit2(
+                    rays + carry * 1e-38, coefs, k
+                )
+                acc = acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
+        if accel.ov_dense is not None:
+            rays_ov, cf_ov = accel.ov_dense
+            t_ov, _ = stab_closest_hit2(
+                rays_ov + carry * 1e-38, cf_ov, ovk, shared=True
+            )
+            acc = acc + t_ov[0, 0] * 1e-38
+        return acc, None
+
+    v = n * n * n
+    bt0, bi0 = _merge_winners2(
+        accel.levels, accel.sort_keys, accel.ov_dense, n, ks, ovk, False
+    )
+    pos, dirs = voxel_rays(n)
+
+    def finalize_body(carry, _):
+        occ, _ = _finalize2(
+            accel.ftab + carry * 1e-38, pos, dirs, bt0, bi0, tc, n, 0.12
+        )
+        return occ.reshape(-1)[0].astype(jnp.float32), None
+
+    slope(full_body, label="full query")
+    slope(merge_body, label="kernels + sort-merge")
+    slope(kernels_body, label="stream kernels only")
+    slope(finalize_body, label="finalize only")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -185,3 +185,17 @@ def test_accel2_many_near_origin_triangles():
     occ2, rgba2 = raystab_query2(verts, normals, tris, accel, interpret=True)
     assert bool((occ2 == occ_r).all())
     assert bool((rgba2 == rgba_r).all())
+
+
+def test_accel2_three_level_ladder_bitexact():
+    """Hi-res grids use a deeper cubemap ladder (build_raystab_accel2 picks
+    finer top levels at 128^3/256^3); exercise a 3-level ladder at a small
+    grid and pin bit-exactness vs the radial oracle."""
+    v, nr, t = _jx(icosphere_mesh(2))
+    n = 32
+    occ_r, rgba_r = voxelize_raystab_radial_ref(v, nr, t, n=n, ray_chunk=2048)
+    accel = build_raystab_accel2(v, t, nr, n=n, gs=(16, 8, 4))
+    assert len(accel.stats.levels) <= 3
+    occ2, rgba2 = raystab_query2(v, nr, t, accel, interpret=True)
+    assert bool((occ2 == occ_r).all())
+    assert bool((rgba2 == rgba_r).all())
