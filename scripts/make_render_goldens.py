@@ -63,20 +63,24 @@ def main() -> int:
         density = grid.density()
 
         # band-chunked: one jit call per 48-row band (a monolithic 720p
-        # march graph crashed the remote TPU worker)
+        # march graph crashed the remote TPU worker); all bands dispatch
+        # async and ONE device_get drains them (separate blocking reads
+        # cost ~10 s of tunnel polling each)
+        import jax
+
         band = 48
         bands = []
         for y0 in range(0, cfg.height, band):
-            bands.append(np.asarray(raymarch_ref(
+            bands.append(raymarch_ref(
                 density, jnp.asarray(fc.screen_to_local),
                 jnp.asarray(fc.local_space_eye_pt),
                 jnp.asarray(fc.local_space_light_pt),
                 jnp.asarray(np.array(cfg.clear_color, np.float32)),
                 cfg.width, min(band, cfg.height - y0),
                 y_offset=float(y0),
-            )))
-            print(f"# {name}: ref band {y0}..{y0 + band}", file=sys.stderr)
-        img_ref = np.concatenate(bands, axis=0)
+            ))
+        img_ref = np.concatenate(jax.device_get(tuple(bands)), axis=0)
+        print(f"# {name}: ref render done", file=sys.stderr)
         golden_path = os.path.join(out_dir, f"render_{name}_720p.png")
         write_png(golden_path, img_ref)
         print(f"# wrote {golden_path}", file=sys.stderr)

@@ -79,3 +79,47 @@ def test_golden_render_tet():
     gold = np.load(GOLDENS / "tet_32_render_96x64.npy").astype(np.float32)
     assert img.shape == gold.shape
     assert np.abs(img - gold).max() < 2e-3, float(np.abs(img - gold).max())
+
+
+RENDER_BOUNDS = {
+    # measured vs the shader-exact TPU reference render at the default cap
+    # (scripts/make_render_goldens.py, docs/RENDER_QUALITY.md), with margin:
+    #            u8_mean  u8_p99  u8_max   (measured: 5.4/41/117, 5.7/39/61,
+    "bunny": (8.0, 55.0, 150),           #            2.1/34/94)
+    "dragon": (8.0, 55.0, 150),
+    "TuringBowl": (4.0, 48.0, 150),
+}
+
+
+@pytest.mark.parametrize("name,ps,_occ", SCENES)
+def test_production_render_720p_vs_reference_golden(
+    reference_assets_available, name, ps, _occ
+):
+    """Production-quality pin at production scale: the shear-warp renderer
+    at 1280x720 vs the checked-in shader-exact reference render (generated
+    on TPU by scripts/make_render_goldens.py). Bounds are u8 mean / p99 /
+    max absolute error per channel."""
+    from dxrvoxelizer_tpu.core.pipeline import VoxelGrid, render
+    from dxrvoxelizer_tpu.models.camera import OrbitCamera
+    from dxrvoxelizer_tpu.utils.image import read_png, to_u8
+
+    golden_png = GOLDENS / f"render_{name.lower()}_720p.png"
+    golden = read_png(golden_png).astype(np.int32)
+    cfg = VoxelizerConfig(mesh=f"{name}.obj", pos_scale=ps,
+                          grid_size=64, width=1280, height=720)
+    scene = Scene.load(cfg)
+    # the checked-in parity grid (bit-exact on every backend) is the input
+    words = np.load(GOLDENS / f"{name}_64_parity.npy")
+    import jax.numpy as jnp
+
+    grid = VoxelGrid(words=jnp.asarray(words))
+    cam = OrbitCamera(cfg.width, cfg.height)
+    fc = scene.update_frame(cam.eye, cam.view_proj, cfg.width, cfg.height)
+    img = to_u8(np.asarray(render(grid, fc, cfg, impl="warp"))).astype(
+        np.int32
+    )
+    err = np.abs(img - golden)
+    mean_b, p99_b, max_b = RENDER_BOUNDS[name]
+    assert err.mean() < mean_b, err.mean()
+    assert np.percentile(err, 99) < p99_b, np.percentile(err, 99)
+    assert err.max() < max_b, err.max()
