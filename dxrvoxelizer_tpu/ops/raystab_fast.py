@@ -799,65 +799,140 @@ def _finalize_table(verts_norm, tris, normals):
     return jnp.concatenate([ftab, jnp.zeros((1, 18), jnp.float32)])
 
 
-def _level_classes2(table_np, counts, ray_table, coef_h, dirs_h, s0_h, n):
-    """Partition one level's cells into capacity classes of virtual cells.
+def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
+                    tri_bounds=None):
+    """Partition one level's rays into capacity classes of packed strips.
 
-    A virtual cell is a (cell, 128-ray strip) pair: cells with more rays
-    than one lane strip (coarse cubemaps / hi-res grids) replicate their
-    candidate row across strips. All table assembly is host numpy over
-    device-computed coefficient values (one upload per class instead of a
-    lattice of shape-specialized device gathers, each of which costs a
-    remote compile on the tunnel). Returns (rays, coefs, scatter) device
-    tuples plus the total virtual-cell count.
+    ``cell_ids``: per-cell candidate id arrays (rows of ``coef_h``; the
+    merged-level build passes GLOBAL triangle ids, folding coarser cubemap
+    levels into the finest level's cells — same pair count, one sort-merge
+    stream instead of one per level).
+
+    ``tri_bounds`` (per global id, f64): strict lower bound on any hit
+    distance R of the triangle from the grid origin (bounding-ball
+    ``|c|-r`` with a conservative margin). Candidates are sorted by it so
+    multi-chunk classes carry per-(strip, chunk) bounds the kernel can
+    branch over once every lane's winner beats them (near-to-far
+    traversal, ops/raystab_pallas._stab_kernel2 ``skip``).
+
+    A strip is 128 ray lanes; SMALL cells are PACKED several-to-a-strip
+    (face-raster order keeps packed cells direction-adjacent) and the
+    strip's candidate list is the union of its cells' lists. The union is
+    safe: the cone binning is a conservative prefilter — a candidate whose
+    cone excludes a ray's direction fails the exact intersection test
+    anyway. Packing removes the ~3x lane padding of solo small cells
+    (64^3 @ g=32: 43 rays/cell), which inflated both the kernel pair count
+    and the sort-merge row count ~2.3x. Cells larger than a strip span
+    multiple strips, replicating their candidate row (hi-res grids scale
+    the cubemap instead, see build_raystab_accel2).
+
+    All table assembly is host numpy over device-computed coefficient
+    values (one upload per class instead of a lattice of shape-specialized
+    device gathers, each of which costs a remote compile on the tunnel).
+    Returns (rays, coefs, scatter) device tuples plus the strip count.
     """
     v = n * n * n
-    r_cap = ray_table.shape[1]
     rc = (ray_table >= 0).sum(axis=1)
+
+    packs: list = []  # (rays [<=128] int32, union candidate ids)
+    cur_rays: list = []
+    cur_ids: list = []
+    cur_n = 0
+
+    def by_distance(ids):
+        if tri_bounds is None:
+            return ids
+        return ids[np.argsort(tri_bounds[ids], kind="stable")]
+
+    def close():
+        nonlocal cur_rays, cur_ids, cur_n
+        if cur_rays:
+            ids = by_distance(np.unique(np.concatenate(cur_ids)))
+            packs.append((np.concatenate(cur_rays), ids))
+        cur_rays, cur_ids, cur_n = [], [], 0
+
+    for cell in range(len(cell_ids)):
+        ids_c = cell_ids[cell]
+        nray = int(rc[cell])
+        if ids_c is None or ids_c.shape[0] == 0 or nray == 0:
+            continue  # no candidates / no voxel direction in this cell
+        ids_c = ids_c.astype(np.int64)
+        if nray > 128:
+            close()
+            ids_sorted = by_distance(np.unique(ids_c))
+            full = ray_table[cell, :nray]
+            for s in range(0, nray, 128):
+                seg = full[s : s + 128]
+                if seg.shape[0] == 128:
+                    packs.append((seg, ids_sorted))
+                else:  # tail strip joins the packing pool
+                    cur_rays.append(seg)
+                    cur_ids.append(ids_c)
+                    cur_n = seg.shape[0]
+            continue
+        if cur_n + nray > 128:
+            close()
+        cur_rays.append(ray_table[cell, :nray])
+        cur_ids.append(ids_c)
+        cur_n += nray
+    close()
+
     classes = []
     sc_host = []
     total_vc = 0
-    caps = [k for k in CLASS_CAPS2 if k < table_np.shape[1]]
-    caps.append(table_np.shape[1])
+    sizes = (
+        np.array([p[1].shape[0] for p in packs], np.int64)
+        if packs else np.zeros((0,), np.int64)
+    )
+    max_k = int(sizes.max()) if sizes.size else 0
+    caps = [k for k in CLASS_CAPS2 if k < max_k]
+    caps.append(max(_pow2cap(max_k), 8))
     lo = 0
     for k in caps:
-        cls = np.nonzero((counts > lo) & (counts <= k))[0]
+        sel = np.nonzero((sizes > lo) & (sizes <= k))[0]
         lo = k
-        if cls.size == 0:
+        if sel.size == 0:
             continue
-        cls = cls[np.argsort(-counts[cls], kind="stable")]
+        sel = sel[np.argsort(-sizes[sel], kind="stable")]
         rt_rows = []
         tab_rows = []
-        for cell in cls:
-            if rc[cell] == 0:
-                continue  # no voxel direction falls in this cell
-            strips = int(-(-rc[cell] // 128))
-            for s in range(strips):
-                row = np.full((128,), -1, np.int32)
-                seg = ray_table[cell, s * 128 : min((s + 1) * 128, r_cap)]
-                row[: seg.shape[0]] = seg
-                rt_rows.append(row)
-                tab_rows.append(cell)
-        if not rt_rows:
-            continue
+        for i in sel:
+            rays_p, ids_p = packs[i]
+            row = np.full((128,), -1, np.int32)
+            row[: rays_p.shape[0]] = rays_p
+            rt_rows.append(row)
+            tr = np.full((k,), -1, np.int64)
+            tr[: ids_p.shape[0]] = ids_p
+            tab_rows.append(tr)
         vc = len(rt_rows)
         pad = (-vc) % CELLS_PER_STEP
         for _ in range(pad):
             rt_rows.append(np.full((128,), -1, np.int32))
-            tab_rows.append(-1)
+            tab_rows.append(np.full((k,), -1, np.int64))
         rt128 = np.stack(rt_rows)
         sc128 = np.where(rt128 >= 0, rt128, v).astype(np.int32)
-        tab = np.full((len(tab_rows), k), -1, np.int64)
-        owner = np.asarray(tab_rows)
-        live = owner >= 0
-        tab[live] = table_np[owner[live]][:, :k]
+        tab = np.stack(tab_rows)
         coefs = coef_h[np.where(tab >= 0, tab, coef_h.shape[0] - 1)]
+        bounds_dev = None
+        if tri_bounds is not None and k > 256:
+            # chunk lower bound on t = (min candidate R in chunk) - (max
+            # ray origin radius in strip); candidates ascend by bound so
+            # the chunk minimum is its first entry
+            tb = np.where(tab >= 0, tri_bounds[np.maximum(tab, 0)], np.inf)
+            chunk_lo = tb[:, ::256]  # [rows, k//256]
+            idx = np.where(rt128 >= 0, rt128, 0)
+            s0m = np.where(rt128 >= 0, s0_h[idx], 0.0).max(axis=1)
+            bounds_dev = jnp.asarray(
+                np.maximum(chunk_lo - s0m[:, None], 0.0).astype(np.float32)
+            )
         classes.append((
             jnp.asarray(_dense_rays_host(rt128, dirs_h, s0_h, n)),
             jnp.asarray(coefs),
             jnp.asarray(sc128),
+            bounds_dev,
         ))
         sc_host.append(sc128)
-        total_vc += len(rt_rows)
+        total_vc += vc
     return classes, sc_host, total_vc
 
 
@@ -928,6 +1003,15 @@ def build_raystab_accel2(
         (lambda: jax.default_device(cpu)) if cpu is not None
         else contextlib.nullcontext
     )
+    # Bin at each ladder level, then FOLD every level's cells into the
+    # FINEST level's cell lists (a coarse cell's candidates go to all its
+    # children). The covered-ray set per triangle is its own level's —
+    # unchanged — so the kernel pair count is conserved, but the query gets
+    # ONE sort-merge stream instead of one per level (each level's sort was
+    # ~0.5 ms at 64^3).
+    g_fine = gs[0]
+    nc_fine = 6 * g_fine * g_fine
+    cell_lists: list = [[] for _ in range(nc_fine)]
     for g in gs:
         if sub_ids.size == 0:
             break
@@ -938,26 +1022,53 @@ def build_raystab_accel2(
         sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
             keys_h, over_h, g
         )
-        max_bin = int(counts_h.max()) if counts_h.size else 0
-        cls = ()
-        sc_host = []
-        total_vc = 0
-        if max_bin > 0:
-            table = _cell_table_host(
-                sorted_tris, starts, counts_h, _pow2cap(max_bin)
-            )
-            # table holds subset-local ids -> remap rows of the full
-            # coefficient matrix through the subset (host gather)
-            coef_sub = np.concatenate([coef_full[:-1][sub_ids], pad_row])
-            ray_table, _ = ray_tables(n, g)
-            cls, sc_host, total_vc = _level_classes2(
-                table, counts_h, ray_table, coef_sub, dirs_h, s0_h, n
-            )
-        levels.append(tuple(cls))
-        scatters_host.append(sc_host)
-        stat_levels.append((g, int((counts_h > 0).sum()),
-                            _pow2cap(max_bin), max_bin, total_vc))
+        factor = g_fine // g
+        gg = g * g
+        for cell in np.nonzero(counts_h)[0]:
+            ids_g = sub_ids[sorted_tris[starts[cell] : starts[cell + 1]]]
+            f, rem = divmod(int(cell), gg)
+            iu, iv = divmod(rem, g)
+            base_u, base_v = iu * factor, iv * factor
+            for a in range(factor):
+                row = f * g_fine * g_fine + (base_u + a) * g_fine + base_v
+                for b in range(factor):
+                    cell_lists[row + b].append(ids_g)
+        stat_levels.append((g, int((counts_h > 0).sum()), 0,
+                            int(counts_h.max()) if counts_h.size else 0, 0))
         sub_ids = sub_ids[ov_np]
+        del sorted_tris, starts, counts_h
+
+    merged = [
+        (np.concatenate(ls) if len(ls) > 1 else (ls[0] if ls else None))
+        for ls in cell_lists
+    ]
+    m_counts = np.array(
+        [0 if x is None else x.shape[0] for x in merged], np.int64
+    )
+    cls, sc_host, total_vc = (), [], 0
+    if m_counts.max() > 0:
+        # per-triangle strict lower bound on hit distance from the origin
+        # (bounding ball |c| - r, f64, conservative margin for the f32
+        # kernel's rounding) — drives near-to-far chunk skipping
+        tv = np.asarray(verts_norm, np.float64)[tris_h]
+        cc = tv.mean(axis=1)
+        rr = np.sqrt(((tv - cc[:, None, :]) ** 2).sum(-1)).max(axis=1)
+        tb = np.maximum(np.linalg.norm(cc, axis=-1) - rr, 0.0)
+        tri_bounds = np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
+        ray_table, _ = ray_tables(n, g_fine)
+        cls, sc_host, total_vc = _level_classes2(
+            merged, ray_table, coef_full, dirs_h, s0_h, n,
+            tri_bounds=tri_bounds,
+        )
+    levels.append(tuple(cls))
+    scatters_host.append(sc_host)
+    # stats: one row per ladder level; the fine row carries the MERGED
+    # numbers (live cells, class cap, max bin, strips) since the single
+    # query stream runs at the fine level
+    if stat_levels:
+        stat_levels[0] = (g_fine, int((m_counts > 0).sum()),
+                          _pow2cap(int(m_counts.max())),
+                          int(m_counts.max()), total_vc)
 
     ov_dense = None
     if sub_ids.size > 0:
@@ -1070,8 +1181,9 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
         if not level:
             continue
         tparts, iparts = [], []
-        for (rays, coefs, scatter), k in zip(level, level_ks):
-            t_c, i_c = stab_closest_hit2(rays, coefs, k, interpret=interpret)
+        for (rays, coefs, scatter, bounds), k in zip(level, level_ks):
+            t_c, i_c = stab_closest_hit2(rays, coefs, k, interpret=interpret,
+                                         bounds=bounds)
             tparts.append(t_c.reshape(-1))
             iparts.append(i_c.reshape(-1))
         filler = keys.shape[0] - sum(p.shape[0] for p in tparts)

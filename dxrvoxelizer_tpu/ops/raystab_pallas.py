@@ -131,7 +131,7 @@ C_ROW = 9
 ID_ROW2 = 10
 
 
-def _stab_kernel2(ray_ref, coef_ref, t_ref, i_ref, *, kblk: int, shared: bool):
+def _stab_kernel2(*refs, kblk: int, shared: bool, skip: bool):
     """One grid step, radial form: 8 cells' rays vs one candidate chunk.
 
     Same streaming structure as :func:`_stab_kernel`, but the per-pair test
@@ -139,7 +139,18 @@ def _stab_kernel2(ray_ref, coef_ref, t_ref, i_ref, *, kblk: int, shared: bool):
     rays all run through the grid origin, so three direction-linear signed
     volumes decide the hit and the plane constant gives t (SURVEY.md §3.3's
     generateRay makes every voxelize ray radial by construction).
+
+    ``skip``: candidates are distance-sorted at accel build and a per-cell
+    per-chunk lower bound rides along (``bnd_ref``); once every lane's best
+    t beats a chunk's bound, the remaining chunks cannot produce a closer
+    hit (nor a tie — the bound is strict) and their fold is branched over —
+    the DXR near-to-far BVH traversal analog at chunk granularity.
     """
+    if skip:
+        ray_ref, coef_ref, bnd_ref, t_ref, i_ref = refs
+    else:
+        ray_ref, coef_ref, t_ref, i_ref = refs
+        bnd_ref = None
     kc = pl.program_id(1)
 
     @pl.when(kc == 0)
@@ -153,34 +164,41 @@ def _stab_kernel2(ray_ref, coef_ref, t_ref, i_ref, *, kblk: int, shared: bool):
         dz = ray_ref[ci, 2:3, :]
         s0 = ray_ref[ci, 3:4, :]
 
-        def step(g, carry, ci=ci, dx=dx, dy=dy, dz=dz, s0=s0):
-            bt, bi = carry
-            if shared:
-                cf = coef_ref[pl.ds(g * 8, 8), :]  # [8, 12]
-            else:
-                cf = coef_ref[ci, pl.ds(g * 8, 8), :]
+        def fold(ci=ci, dx=dx, dy=dy, dz=dz, s0=s0):
+            def step(g, carry, ci=ci, dx=dx, dy=dy, dz=dz, s0=s0):
+                bt, bi = carry
+                if shared:
+                    cf = coef_ref[pl.ds(g * 8, 8), :]  # [8, 12]
+                else:
+                    cf = coef_ref[ci, pl.ds(g * 8, 8), :]
 
-            def col(j):
-                return cf[:, j : j + 1]  # [8,1]
+                def col(j):
+                    return cf[:, j : j + 1]  # [8,1]
 
-            tt, hit = radial_hit(
-                dx, dy, dz, s0,
-                col(0), col(1), col(2),
-                col(3), col(4), col(5),
-                col(6), col(7), col(8),
-                col(C_ROW),
-            )  # [8,128]
-            ii = jnp.where(hit, col(ID_ROW2), float(BIG_ID))
+                tt, hit = radial_hit(
+                    dx, dy, dz, s0,
+                    col(0), col(1), col(2),
+                    col(3), col(4), col(5),
+                    col(6), col(7), col(8),
+                    col(C_ROW),
+                )  # [8,128]
+                ii = jnp.where(hit, col(ID_ROW2), float(BIG_ID))
 
-            t4, i4 = _lexmin(tt[0:4], ii[0:4], tt[4:8], ii[4:8])
-            t2, i2 = _lexmin(t4[0:2], i4[0:2], t4[2:4], i4[2:4])
-            t1, i1 = _lexmin(t2[0:1], i2[0:1], t2[1:2], i2[1:2])
-            return _lexmin(bt, bi, t1, i1)
+                t4, i4 = _lexmin(tt[0:4], ii[0:4], tt[4:8], ii[4:8])
+                t2, i2 = _lexmin(t4[0:2], i4[0:2], t4[2:4], i4[2:4])
+                t1, i1 = _lexmin(t2[0:1], i2[0:1], t2[1:2], i2[1:2])
+                return _lexmin(bt, bi, t1, i1)
 
-        init = (t_ref[ci : ci + 1, :], i_ref[ci : ci + 1, :])
-        bt, bi = jax.lax.fori_loop(0, kblk // 8, step, init, unroll=True)
-        t_ref[ci : ci + 1, :] = bt
-        i_ref[ci : ci + 1, :] = bi
+            init = (t_ref[ci : ci + 1, :], i_ref[ci : ci + 1, :])
+            bt, bi = jax.lax.fori_loop(0, kblk // 8, step, init, unroll=True)
+            t_ref[ci : ci + 1, :] = bt
+            i_ref[ci : ci + 1, :] = bi
+
+        if skip:
+            worst = jnp.max(t_ref[ci, :])
+            pl.when(bnd_ref[ci, kc] <= worst)(fold)
+        else:
+            fold()
 
 
 @partial(jax.jit, static_argnames=("k", "shared", "interpret"))
@@ -190,8 +208,15 @@ def stab_closest_hit2(
     k: int,
     shared: bool = False,
     interpret: bool = False,
+    bounds: jnp.ndarray | None = None,  # [C, K//K_BLOCK] chunk lower bounds
 ):
-    """Radial-form closest hit per ray slot -> (t [C,128], id [C,128] i32)."""
+    """Radial-form closest hit per ray slot -> (t [C,128], id [C,128] i32).
+
+    ``bounds`` (multi-chunk classes only): per-(cell, chunk) strict lower
+    bound on any hit t from that chunk — lets the kernel branch over chunks
+    that cannot beat the current winners (candidates distance-sorted at
+    build; ops/raystab_fast._level_classes2).
+    """
     c = rays.shape[0]
     assert c % CELLS_PER_STEP == 0 and k % 8 == 0
     steps = c // CELLS_PER_STEP
@@ -200,6 +225,7 @@ def stab_closest_hit2(
     # never tested (class caps above K_BLOCK must be multiples of it)
     assert k % kblk == 0, f"k={k} not a multiple of K_BLOCK={K_BLOCK}"
     k_steps = k // kblk
+    skip = bounds is not None and k_steps > 1 and not shared
     if shared:
         coef_spec = pl.BlockSpec(
             (kblk, NCF2), lambda i, kc: (kc, 0), memory_space=pltpu.VMEM
@@ -209,16 +235,26 @@ def stab_closest_hit2(
             (CELLS_PER_STEP, kblk, NCF2), lambda i, kc: (i, kc, 0),
             memory_space=pltpu.VMEM,
         )
+    in_specs = [
+        pl.BlockSpec(
+            (CELLS_PER_STEP, 8, 128), lambda i, kc: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        coef_spec,
+    ]
+    args = [rays, coefs]
+    if skip:
+        # SMEM: scalar memory supports the dynamic [cell, chunk] read the
+        # kernel does (VMEM lane-indexed scalar loads don't lower)
+        in_specs.append(pl.BlockSpec(
+            (CELLS_PER_STEP, k_steps), lambda i, kc: (i, 0),
+            memory_space=pltpu.SMEM,
+        ))
+        args.append(bounds)
     t_out, i_out = pl.pallas_call(
-        partial(_stab_kernel2, kblk=kblk, shared=shared),
+        partial(_stab_kernel2, kblk=kblk, shared=shared, skip=skip),
         grid=(steps, k_steps),
-        in_specs=[
-            pl.BlockSpec(
-                (CELLS_PER_STEP, 8, 128), lambda i, kc: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            coef_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
@@ -234,7 +270,7 @@ def stab_closest_hit2(
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(rays, coefs)
+    )(*args)
     return t_out, i_out.astype(jnp.int32)
 
 

@@ -90,9 +90,9 @@ def main() -> int:
     def kernels_body(carry, _):
         acc = jnp.float32(0.0)
         for level, level_ks in zip(accel.levels, ks):
-            for (rays, coefs, scatter), k in zip(level, level_ks):
+            for (rays, coefs, scatter, bounds), k in zip(level, level_ks):
                 t_c, i_c = stab_closest_hit2(
-                    rays + carry * 1e-38, coefs, k
+                    rays + carry * 1e-38, coefs, k, bounds=bounds
                 )
                 acc = acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
         if accel.ov_dense is not None:

@@ -199,3 +199,26 @@ def test_accel2_three_level_ladder_bitexact():
     occ2, rgba2 = raystab_query2(v, nr, t, accel, interpret=True)
     assert bool((occ2 == occ_r).all())
     assert bool((rgba2 == rgba_r).all())
+
+
+def test_accel2_chunk_skip_dense_cone_bitexact():
+    """A finely tessellated small sphere far off-center packs thousands of
+    candidates into a few direction cells -> multi-chunk classes with
+    distance-sorted candidates and kernel chunk skipping. Must stay
+    bit-exact vs the radial oracle (the skip bound is strict)."""
+    import numpy as np
+
+    v_np, n_np, t_np = icosphere_mesh(3, radius=0.08,
+                                      center=(0.5, 0.3, -0.4))
+    v, nr, t = (jnp.asarray(v_np), jnp.asarray(n_np), jnp.asarray(t_np))
+    n = 16
+    accel = build_raystab_accel2(v, t, nr, n=n)
+    # the dense cone must actually produce a multi-chunk class
+    ks = [c[1].shape[1] for lv in accel.levels for c in lv]
+    assert max(ks) > 256, ks
+    assert any(c[3] is not None for lv in accel.levels for c in lv)
+    occ_r, rgba_r = voxelize_raystab_radial_ref(v, nr, t, n=n, ray_chunk=2048)
+    occ2, rgba2 = raystab_query2(v, nr, t, accel, interpret=True)
+    assert int(np.asarray(occ_r).sum()) > 0  # fixture is not empty
+    assert bool((occ2 == occ_r).all())
+    assert bool((rgba2 == rgba_r).all())
