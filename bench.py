@@ -22,12 +22,44 @@ Run: python bench.py  (add --quick for a smaller sanity config)
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
+
+
+def _filter_benign_aot_noise() -> None:
+    """Drop XLA's known-benign CPU AOT feature-mismatch log from stderr.
+
+    The persistent compile cache is keyed per host ISA (utils/backend.py
+    _host_cache_key), which removes the real SIGILL hazard; the remaining
+    cpu_aot_loader complaint fires on the ``+prefer-no-gather`` /
+    ``+prefer-no-scatter`` LLVM *tuning* flags the compile side records but
+    host detection never reports — same-host artifacts trigger it too, and
+    avoiding gathers cannot raise SIGILL. It is multi-KB of noise in the
+    recorded bench tail, so swallow exactly that message and pass
+    everything else through.
+    """
+    real = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump():
+        with os.fdopen(r, "rb") as f:
+            for line in f:
+                if (b"cpu_aot_loader" in line
+                        or b"Machine type used for XLA:CPU compilation"
+                        in line):
+                    continue
+                os.write(real, line)
+
+    threading.Thread(target=pump, daemon=True).start()
 
 
 def main() -> int:
     quick = "--quick" in sys.argv
+    _filter_benign_aot_noise()
 
     import jax
     import jax.numpy as jnp
@@ -275,9 +307,23 @@ def main() -> int:
         tc = int(scene64.buffers.tris.shape[0])
 
         def stab_body(carry, _):
+            # perturb EVERY float input: perturbing only ftab leaves the
+            # stream kernels + sort loop-invariant and XLA hoists them out
+            # of the measurement scan (under-reported the query 2x)
+            lv = jax.tree.map(
+                lambda x: x + carry * 1e-38
+                if x.dtype == jnp.float32 else x,
+                accel.levels,
+            )
+            ov = jax.tree.map(
+                lambda x: x + carry * 1e-38
+                if x.dtype == jnp.float32 else x,
+                accel.ov_dense,
+            )
             occ, _ = _raystab_query2(
-                accel.ftab + carry * 1e-38, accel.levels, accel.sort_keys,
-                accel.ov_dense, 64, 0.12, ks, ovk, tc, False,
+                accel.ftab + carry * 1e-38, lv, accel.sort_keys,
+                ov, 64, 0.12, ks, ovk, tc, False,
+                pos=accel.pos, dirs=accel.dirs,
             )
             return occ.reshape(-1)[0].astype(jnp.float32), None
 
@@ -309,6 +355,10 @@ def main() -> int:
             }
         )
     )
+    # let the stderr filter thread drain before exit so the recorded tail
+    # keeps the human-readable secondary comments
+    sys.stderr.flush()
+    time.sleep(0.5)
     return 0
 
 

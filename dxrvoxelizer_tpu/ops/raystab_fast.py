@@ -716,6 +716,14 @@ class RaystabAccel2:
     stats: Raystab2Stats
     sort_keys: tuple = ()
     ftab: jnp.ndarray | None = None
+    # per-voxel ray origins/directions, computed ONCE at build by the same
+    # jitted expressions the oracle uses (bit-preserving) — recomputing the
+    # [V,3] normalize inside every query burned ~0.8 ms at 64^3 (the
+    # trailing-3 AoS lane-waste pattern). Stored PLANAR [3, V] so the
+    # finalize pass reads contiguous component rows (a [V,3] column slice
+    # costs a relayout copy per query).
+    pos: jnp.ndarray | None = None
+    dirs: jnp.ndarray | None = None
 
 
 def _pow2cap(max_bin: int) -> int:
@@ -861,6 +869,11 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
             close()
             ids_sorted = by_distance(np.unique(ids_c))
             full = ray_table[cell, :nray]
+            # split strips in origin-radius order: the chunk skip bound is
+            # chunk_R_min - max(s0 over the strip's lanes), so radius-band
+            # strips keep the bound tight for near-origin strips instead
+            # of every strip inheriting the cell's farthest voxel
+            full = full[np.argsort(s0_h[full], kind="stable")]
             for s in range(0, nray, 128):
                 seg = full[s : s + 128]
                 if seg.shape[0] == 128:
@@ -1114,6 +1127,9 @@ def build_raystab_accel2(
         parts.append(filler)
         sort_keys.append(jnp.asarray(np.concatenate(parts)))
 
+    pos, dirs = jax.jit(
+        lambda: tuple(a.T for a in voxel_rays(n))
+    )()
     return RaystabAccel2(
         n=n,
         levels=tuple(levels),
@@ -1123,6 +1139,8 @@ def build_raystab_accel2(
         ),
         sort_keys=tuple(sort_keys),
         ftab=ftab,
+        pos=pos,
+        dirs=dirs,
     )
 
 
@@ -1132,6 +1150,13 @@ def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
     """Packed-table finalize: ONE [V,18] row gather by winner id, then the
     same mt_hit (u, v) + normal-interp expressions as the oracles.
 
+    Fully PLANAR: every intermediate is a [V] component array — the
+    earlier [V,1]-broadcast form (``u[:, None] * ...``) materialized six
+    T(1,128)-padded [V,1] copies per query (~1 ms at 64^3). The
+    per-element operation sequences are kept identical to the oracle's
+    (component-wise mul/add chains, ((x+y)+z) reduction trees), so rgba
+    stays bit-exact.
+
     ``rule``: "backface" is the reference inside test
     (dot(normal, dir) > threshold, DXRVoxelizer.hlsl:137-138); "hit" marks
     every voxel whose radial ray hits ANY triangle and stores its first-hit
@@ -1140,23 +1165,53 @@ def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
     hit = jnp.isfinite(best_t) & (best_i < t_count)
     idx = jnp.where(hit, best_i, t_count)
     rows = ftab[idx]  # [V, 18]
-    v0 = rows[:, 0:3]
-    e1 = rows[:, 3:6]
-    e2 = rows[:, 6:9]
-    n0 = rows[:, 9:12]
-    n1 = rows[:, 12:15]
-    n2 = rows[:, 15:18]
-    _, u, v, _ = intersect.mt_hit(pos, dirs, v0, e1, e2)
-    nrm = n0 + u[:, None] * (n1 - n0) + v[:, None] * (n2 - n0)
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    if pos.shape[0] == 3:  # planar [3, V] (RaystabAccel2.pos/.dirs)
+        ox, oy, oz = pos[0], pos[1], pos[2]
+        dx, dy, dz = dirs[0], dirs[1], dirs[2]
+    else:  # [V, 3] row-major (direct voxel_rays callers)
+        ox, oy, oz = pos[:, 0], pos[:, 1], pos[:, 2]
+        dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    v0x, v0y, v0z = rows[:, 0], rows[:, 1], rows[:, 2]
+    e1x, e1y, e1z = rows[:, 3], rows[:, 4], rows[:, 5]
+    e2x, e2y, e2z = rows[:, 6], rows[:, 7], rows[:, 8]
+    # mt_hit's u/v sub-chain, verbatim (ops/intersect.py mt_hit)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > intersect.EPS_DET, 1.0 / det, 0.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    n0x, n0y, n0z = rows[:, 9], rows[:, 10], rows[:, 11]
+    n1x, n1y, n1z = rows[:, 12], rows[:, 13], rows[:, 14]
+    n2x, n2y, n2z = rows[:, 15], rows[:, 16], rows[:, 17]
+    nx = n0x + u * (n1x - n0x) + v * (n2x - n0x)
+    ny = n0y + u * (n1y - n0y) + v * (n2y - n0y)
+    nz = n0z + u * (n1z - n0z) + v * (n2z - n0z)
+    # the norm and the dot MUST be reduce-formulated like the oracle's
+    # (jnp.linalg.norm / jnp.sum): explicit x*x + y*y + z*z chains get
+    # FMA-contracted and flip low bits vs a reduce (verified); a planar
+    # axis-0 reduce is bit-identical to the oracle's axis -1 reduce
+    nst = jnp.stack([nx, ny, nz], axis=0)  # [3, V]
+    ln = jnp.maximum(jnp.sqrt(jnp.sum(nst * nst, axis=0)), 1e-20)
+    nx, ny, nz = nx / ln, ny / ln, nz / ln
     if rule == "hit":
         inside = hit
     else:
-        inside = hit & (jnp.sum(nrm * dirs, axis=-1) > threshold)
-    rgba = jnp.where(
-        inside[:, None],
-        jnp.concatenate([nrm, jnp.ones_like(u)[:, None]], axis=-1),
-        0.0,
+        d3 = jnp.stack([dx, dy, dz], axis=0)
+        dot = jnp.sum(jnp.stack([nx, ny, nz], axis=0) * d3, axis=0)
+        inside = hit & (dot > threshold)
+    one = jnp.ones_like(nx)
+    rgba = jnp.stack(
+        [jnp.where(inside, nx, 0.0), jnp.where(inside, ny, 0.0),
+         jnp.where(inside, nz, 0.0), jnp.where(inside, one, 0.0)],
+        axis=-1,
     )
     return inside.reshape(n, n, n), rgba.reshape(n, n, n, 4)
 
@@ -1219,13 +1274,17 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
 def _raystab_query2(
     ftab, levels, sort_keys, ov_dense, n: int, threshold: float,
     ks: tuple, ov_k: int, t_count: int, interpret: bool,
-    rule: str = "backface",
+    rule: str = "backface", pos=None, dirs=None,
 ):
-    """One-dispatch gen-2 query: stream kernels -> sort-merge -> finalize."""
+    """One-dispatch gen-2 query: stream kernels -> sort-merge -> finalize.
+
+    ``pos``/``dirs``: build-time-cached per-voxel rays (RaystabAccel2);
+    computed in-graph only for accels that predate the cache fields."""
     best_t, best_i = _merge_winners2(
         levels, sort_keys, ov_dense, n, ks, ov_k, interpret
     )
-    pos, dirs = voxel_rays(n)
+    if pos is None or dirs is None:
+        pos, dirs = voxel_rays(n)
     return _finalize2(ftab, pos, dirs, best_t, best_i, t_count, n, threshold,
                       rule=rule)
 
@@ -1254,7 +1313,7 @@ def raystab_query2(
     return _raystab_query2(
         accel.ftab, accel.levels, accel.sort_keys, accel.ov_dense,
         accel.n, threshold, ks, ov_k, int(tris.shape[0]), interpret,
-        rule=rule,
+        rule=rule, pos=accel.pos, dirs=accel.dirs,
     )
 
 

@@ -155,7 +155,18 @@ def _stab_kernel2(*refs, kblk: int, shared: bool, skip: bool):
 
     @pl.when(kc == 0)
     def _():
-        t_ref[...] = jnp.full_like(t_ref, jnp.inf)
+        # Padding ray slots (all-zero direction rows — a normalized real
+        # direction is never all-zero) start at -inf, not +inf: the chunk
+        # skip compares the chunk bound against max(t) over the strip's
+        # lanes, and a +inf padding lane would block skipping forever.
+        # Downstream is unaffected — padding slots sort to key V and are
+        # sliced off (raystab_fast._merge_winners2).
+        pad = (
+            (ray_ref[:, 0, :] == 0.0)
+            & (ray_ref[:, 1, :] == 0.0)
+            & (ray_ref[:, 2, :] == 0.0)
+        )
+        t_ref[...] = jnp.where(pad, -jnp.inf, jnp.inf)
         i_ref[...] = jnp.full_like(i_ref, float(BIG_ID))
 
     for ci in range(CELLS_PER_STEP):

@@ -32,7 +32,6 @@ def main() -> int:
         _merge_winners2,
         _raystab_query2,
         build_raystab_accel2,
-        voxel_rays,
     )
     from dxrvoxelizer_tpu.ops.raystab_pallas import stab_closest_hit2
     from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
@@ -73,17 +72,28 @@ def main() -> int:
         print(f"{label}: {dt*1e3:.3f} ms", flush=True)
         return dt
 
+    def perturb(tree, carry):
+        """Opaque no-op on every float leaf so NOTHING in the query is
+        loop-invariant — perturbing only ftab lets XLA hoist the kernels
+        and sort out of the measurement scan (this bug once under-reported
+        the query 2x)."""
+        return jax.tree.map(
+            lambda x: x + carry * 1e-38 if x.dtype == jnp.float32 else x,
+            tree,
+        )
+
     def full_body(carry, _):
         occ, _ = _raystab_query2(
-            accel.ftab + carry * 1e-38, accel.levels, accel.sort_keys,
-            accel.ov_dense, n, 0.12, ks, ovk, tc, False,
+            accel.ftab + carry * 1e-38, perturb(accel.levels, carry),
+            accel.sort_keys, perturb(accel.ov_dense, carry), n, 0.12,
+            ks, ovk, tc, False, pos=accel.pos, dirs=accel.dirs,
         )
         return occ.reshape(-1)[0].astype(jnp.float32), None
 
     def merge_body(carry, _):
-        lv = jax.tree.map(lambda x: x + carry * 1e-38, accel.levels)
         bt, bi = _merge_winners2(
-            lv, accel.sort_keys, accel.ov_dense, n, ks, ovk, False
+            perturb(accel.levels, carry), accel.sort_keys,
+            perturb(accel.ov_dense, carry), n, ks, ovk, False
         )
         return bt[0] * 1e-38 + bi[0].astype(jnp.float32) * 1e-38, None
 
@@ -107,11 +117,14 @@ def main() -> int:
     bt0, bi0 = _merge_winners2(
         accel.levels, accel.sort_keys, accel.ov_dense, n, ks, ovk, False
     )
-    pos, dirs = voxel_rays(n)
 
     def finalize_body(carry, _):
+        # live winner indices: constant bt0/bi0 let XLA pre-optimize the
+        # table gather and report ~0.8 ms for what costs ~3 ms in situ
+        bi = bi0 + (carry * 1e-38).astype(jnp.int32)
         occ, _ = _finalize2(
-            accel.ftab + carry * 1e-38, pos, dirs, bt0, bi0, tc, n, 0.12
+            accel.ftab, accel.pos, accel.dirs, bt0 + carry * 1e-38, bi,
+            tc, n, 0.12
         )
         return occ.reshape(-1)[0].astype(jnp.float32), None
 
