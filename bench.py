@@ -320,12 +320,16 @@ def main() -> int:
                 if x.dtype == jnp.float32 else x,
                 accel.ov_dense,
             )
-            occ, _ = _raystab_query2(
+            occ, rgba = _raystab_query2(
                 accel.ftab + carry * 1e-38, lv, accel.sort_keys,
                 ov, 64, 0.12, ks, ovk, tc, False,
                 pos=accel.pos, dirs=accel.dirs,
             )
-            return occ.reshape(-1)[0].astype(jnp.float32), None
+            # checksum-consume BOTH outputs: slicing one element lets XLA
+            # slice the whole finalize + merge selects out of the scan
+            # (under-reported the query 0.8 ms at 64^3)
+            return (jnp.sum(rgba * 1e-38)
+                    + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
 
         slope(stab_body, (2, 8), "dragon ray-stab gen-2 query 64^3",
               key="raystab_query2_64_ms")

@@ -808,7 +808,7 @@ def _finalize_table(verts_norm, tris, normals):
 
 
 def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
-                    tri_bounds=None):
+                    tri_bounds=None, ncoef_h=None):
     """Partition one level's rays into capacity classes of packed strips.
 
     ``cell_ids``: per-cell candidate id arrays (rows of ``coef_h``; the
@@ -938,11 +938,13 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
             bounds_dev = jnp.asarray(
                 np.maximum(chunk_lo - s0m[:, None], 0.0).astype(np.float32)
             )
+        ntab = ncoef_h[np.where(tab >= 0, tab, ncoef_h.shape[0] - 1)]
         classes.append((
             jnp.asarray(_dense_rays_host(rt128, dirs_h, s0_h, n)),
             jnp.asarray(coefs),
             jnp.asarray(sc128),
             bounds_dev,
+            jnp.asarray(ntab),
         ))
         sc_host.append(sc128)
         total_vc += vc
@@ -1006,9 +1008,16 @@ def build_raystab_accel2(
         verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
     )
     dirs_d, s0_d = _ray_params(n)
-    ftab = _finalize_table(verts_norm, tris, normals)  # stays on device
-    coef_full, dirs_h, s0_h = jax.device_get((coef_d, dirs_d, s0_d))
+    ftab = _finalize_table(verts_norm, tris, normals)
+    coef_full, dirs_h, s0_h, ftab_h = jax.device_get(
+        (coef_d, dirs_d, s0_d, ftab)
+    )
     pad_row = coef_full[-1:]
+    # per-triangle normal rows n0(3) n1(3) n2(3) pad(3) for the winner
+    # extraction kernel; values are ftab's own n columns (bit-identical to
+    # the oracle's normals[tris[:, k]] gathers), last row all-zero padding
+    ncoef_full = np.zeros((t_count + 1, 12), np.float32)
+    ncoef_full[:, :9] = ftab_h[:, 9:18]
 
     import contextlib
 
@@ -1071,7 +1080,7 @@ def build_raystab_accel2(
         ray_table, _ = ray_tables(n, g_fine)
         cls, sc_host, total_vc = _level_classes2(
             merged, ray_table, coef_full, dirs_h, s0_h, n,
-            tri_bounds=tri_bounds,
+            tri_bounds=tri_bounds, ncoef_h=ncoef_full,
         )
     levels.append(tuple(cls))
     scatters_host.append(sc_host)
@@ -1104,9 +1113,13 @@ def build_raystab_accel2(
         cf_ov = np.where(
             (ids >= 0)[:, None], coef_full[:-1][np.maximum(ids, 0)], inert
         ).astype(np.float32)
+        nf_ov = np.where(
+            (ids >= 0)[:, None], ncoef_full[:-1][np.maximum(ids, 0)], 0.0
+        ).astype(np.float32)
         ov_dense = (
             jnp.asarray(_dense_rays_host(all_rays, dirs_h, s0_h, n)),
             jnp.asarray(cf_ov),
+            jnp.asarray(nf_ov),
         )
 
     # slot -> ray sort keys per level: class scatter streams already hold
@@ -1218,52 +1231,112 @@ def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
 
 def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
                     ov_k: int, interpret: bool):
-    """Stream kernels + sort-merge -> per-ray winner (best_t, best_i).
+    """Stream kernels + extraction + sort-merge -> per-ray winner
+    (best_t, best_i, nsx, nsy, nsz, den).
 
     The slot->ray permutation rides the sort engine: lax.sort of
-    (ray key, t, id) then slicing the first V rows puts every ray in
-    natural order (keys are unique reals + V-sentinel padding). Measured
-    1.6 ns/row vs 10/40 ns/row for the XLA gather/scatter equivalents.
-    """
-    from dxrvoxelizer_tpu.ops.raystab_pallas import stab_closest_hit2
+    (ray key, t, id, ns..., den) then slicing the first V rows puts every
+    ray in natural order (keys are unique reals + V-sentinel padding).
+    The den-scaled winner normal (nsx, nsy, nsz, den) comes from the
+    one-hot extraction pass (raystab_pallas.stab_extract2) so the
+    finalize never gathers. Checksum-consumed slope timings at 64^3
+    (dragon, 100k tris): the gather finalize cost 3.4 ms in situ (XLA row
+    gathers ~10 ns/row x 262k rays x [100001,18] table); the extraction
+    pass + 4 extra sort payload channels cost 1.5 ms — full query
+    4.7 -> 3.9 ms."""
+    from dxrvoxelizer_tpu.ops.raystab_pallas import (
+        stab_closest_hit2,
+        stab_extract2,
+    )
 
     v = n * n * n
     big = jnp.int32(2**30)
     best_t = jnp.full((v,), jnp.inf, jnp.float32)
     best_i = jnp.full((v,), big, jnp.int32)
+    zero = jnp.zeros((v,), jnp.float32)
+    best_ns = [zero, zero, zero, zero]  # nsx, nsy, nsz, den
 
     for level, level_ks, keys in zip(levels, ks, sort_keys):
         if not level:
             continue
         tparts, iparts = [], []
-        for (rays, coefs, scatter, bounds), k in zip(level, level_ks):
+        nparts = [[], [], [], []]
+        for (rays, coefs, scatter, bounds, ntab), k in zip(level, level_ks):
             t_c, i_c = stab_closest_hit2(rays, coefs, k, interpret=interpret,
                                          bounds=bounds)
+            ns = stab_extract2(rays, coefs, ntab, i_c, t_c, k,
+                               interpret=interpret, bounds=bounds)
             tparts.append(t_c.reshape(-1))
             iparts.append(i_c.reshape(-1))
+            for j in range(4):
+                nparts[j].append(ns[:, j, :].reshape(-1))
         filler = keys.shape[0] - sum(p.shape[0] for p in tparts)
         tparts.append(jnp.full((filler,), jnp.inf, jnp.float32))
         iparts.append(jnp.full((filler,), big, jnp.int32))
-        _, lt, li = jax.lax.sort(
-            (keys, jnp.concatenate(tparts), jnp.concatenate(iparts)),
+        fz = jnp.zeros((filler,), jnp.float32)
+        for j in range(4):
+            nparts[j].append(fz)
+        sorted_arrs = jax.lax.sort(
+            (keys, jnp.concatenate(tparts), jnp.concatenate(iparts))
+            + tuple(jnp.concatenate(p) for p in nparts),
             dimension=0, is_stable=False, num_keys=1,
         )
-        lt, li = lt[:v], li[:v]
+        lt, li = sorted_arrs[1][:v], sorted_arrs[2][:v]
         closer = (lt < best_t) | ((lt == best_t) & (li < best_i))
         best_t = jnp.where(closer, lt, best_t)
         best_i = jnp.where(closer, li, best_i)
+        best_ns = [
+            jnp.where(closer, sorted_arrs[3 + j][:v], best_ns[j])
+            for j in range(4)
+        ]
 
     if ov_dense is not None:
-        rays_ov, cf_ov = ov_dense
+        rays_ov, cf_ov, nf_ov = ov_dense
         t_ov, i_ov = stab_closest_hit2(
             rays_ov, cf_ov, ov_k, shared=True, interpret=interpret
         )
+        ns_ov = stab_extract2(rays_ov, cf_ov, nf_ov, i_ov, t_ov, ov_k,
+                              shared=True, interpret=interpret)
         t_ov = t_ov.reshape(-1)  # natural ray order already
         i_ov = i_ov.reshape(-1)
         closer = (t_ov < best_t) | ((t_ov == best_t) & (i_ov < best_i))
         best_t = jnp.where(closer, t_ov, best_t)
         best_i = jnp.where(closer, i_ov, best_i)
-    return best_t, best_i
+        best_ns = [
+            jnp.where(closer, ns_ov[:, j, :].reshape(-1), best_ns[j])
+            for j in range(4)
+        ]
+    return (best_t, best_i) + tuple(best_ns)
+
+
+@partial(jax.jit, static_argnames=("n", "threshold", "rule", "t_count"))
+def _finalize3(best_t, best_i, nsx, nsy, nsz, den, dirs, t_count: int,
+               n: int, threshold: float, rule: str = "backface"):
+    """Gather-free finalize from the kernel-carried den-scaled normal.
+
+    ``nrm = normalize(ns / den)`` with the norm and inside-dot in the
+    oracle's reduce formulation (voxelize_raystab_radial_ref
+    normal_impl="radial" runs these exact expressions). ``dirs`` planar
+    [3, V]. Non-hit lanes carry ns = den = 0; every arithmetic product is
+    masked by ``hit`` before it reaches the outputs."""
+    hit = jnp.isfinite(best_t) & (best_i < t_count)
+    dn = jnp.where(den == 0.0, 1.0, den)  # only non-hit lanes have den == 0
+    nx, ny, nz = nsx / dn, nsy / dn, nsz / dn
+    nst = jnp.stack([nx, ny, nz], axis=0)  # [3, V]
+    ln = jnp.maximum(jnp.sqrt(jnp.sum(nst * nst, axis=0)), 1e-20)
+    nx, ny, nz = nx / ln, ny / ln, nz / ln
+    if rule == "hit":
+        inside = hit
+    else:
+        dot = jnp.sum(jnp.stack([nx, ny, nz], axis=0) * dirs, axis=0)
+        inside = hit & (dot > threshold)
+    one = jnp.ones_like(nx)
+    rgba = jnp.stack(
+        [jnp.where(inside, nx, 0.0), jnp.where(inside, ny, 0.0),
+         jnp.where(inside, nz, 0.0), jnp.where(inside, one, 0.0)],
+        axis=-1,
+    )
+    return inside.reshape(n, n, n), rgba.reshape(n, n, n, 4)
 
 
 @partial(
@@ -1276,17 +1349,23 @@ def _raystab_query2(
     ks: tuple, ov_k: int, t_count: int, interpret: bool,
     rule: str = "backface", pos=None, dirs=None,
 ):
-    """One-dispatch gen-2 query: stream kernels -> sort-merge -> finalize.
+    """One-dispatch gen-2 query: stream kernels + winner extraction ->
+    sort-merge -> gather-free finalize.
 
-    ``pos``/``dirs``: build-time-cached per-voxel rays (RaystabAccel2);
-    computed in-graph only for accels that predate the cache fields."""
-    best_t, best_i = _merge_winners2(
+    ``dirs``: build-time-cached planar [3, V] directions (RaystabAccel2);
+    computed in-graph only for accels that predate the cache fields.
+    ``ftab`` is unused by the gen-3 finalize (kept for API compat)."""
+    del ftab
+    best_t, best_i, nsx, nsy, nsz, den = _merge_winners2(
         levels, sort_keys, ov_dense, n, ks, ov_k, interpret
     )
-    if pos is None or dirs is None:
-        pos, dirs = voxel_rays(n)
-    return _finalize2(ftab, pos, dirs, best_t, best_i, t_count, n, threshold,
-                      rule=rule)
+    if dirs is None:
+        _, d = voxel_rays(n)
+        dirs = d.T
+    elif dirs.shape[0] != 3:
+        dirs = dirs.T
+    return _finalize3(best_t, best_i, nsx, nsy, nsz, den, dirs, t_count, n,
+                      threshold, rule=rule)
 
 
 def raystab_query2(

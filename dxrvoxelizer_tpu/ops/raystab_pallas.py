@@ -336,3 +336,181 @@ def stab_closest_hit(
         interpret=interpret,
     )(rays, coefs)
     return t_out, i_out.astype(jnp.int32)
+
+
+# ---- gen-3: winner-normal extraction kernel ------------------------------
+#
+# The finalize stage used to gather an 18-float row per ray from a packed
+# triangle table (ftab[best_i]); XLA TPU gathers cost ~10 ns/row regardless
+# of width, 2.6 ms at 64^3. Instead, a second streaming pass re-reads each
+# strip's candidate chunks, builds a one-hot (candidate id == winner id)
+# mask, and extracts the winner's geometry via an MXU matmul — EXACT,
+# because every output element is a sum of zeros plus one value*1.0 (any
+# accumulation order or split returns the value bit-for-bit). The winner's
+# den-scaled barycentric normal then rides the existing sort engine to ray
+# order (~1.6 ns/row) and the per-ray table gather disappears.
+#
+# Normal convention (shared verbatim with the radial oracle,
+# ops/voxelize_ref.voxelize_raystab_radial_ref normal_impl="radial"):
+#   w_i = d . g_i           (the radial_hit signed volumes)
+#   den = (w0 + w1) + w2
+#   ns  = w0*n0 + w1*n1 + w2*n2   (den-scaled interpolated normal)
+#   nrm = normalize(ns / den)     (computed later in XLA, reduce-form)
+NNC = 12  # normal-table row: n0(3) n1(3) n2(3) pad(3)
+
+
+def _extract_kernel2(*refs, kblk: int, shared: bool, skip: bool):
+    """Accumulate the winner candidate's g (9) + n (9) rows per ray lane.
+
+    Inputs mirror :func:`_stab_kernel2` plus ``ntab_ref`` (per-candidate
+    normal rows), ``wi_ref``/``wt_ref`` (the fold's winner id / t per
+    lane). Output ``out_ref`` [8, 4, 128]: rows (nsx, nsy, nsz, den).
+    ``acc_ref`` scratch [8, 18, 128] accumulates the extracted rows across
+    candidate chunks (the winner lives in exactly one chunk; all other
+    chunks contribute exact zeros).
+
+    ``skip``: a chunk whose distance lower bound exceeds every finite
+    winner t cannot contain any lane's winner — branch over it (miss lanes
+    extract zeros regardless, so they are excluded from the max).
+    """
+    if skip:
+        (ray_ref, coef_ref, ntab_ref, wi_ref, wt_ref, bnd_ref,
+         out_ref) = refs[:-1]
+        acc_ref = refs[-1]
+    else:
+        ray_ref, coef_ref, ntab_ref, wi_ref, wt_ref, out_ref = refs[:-1]
+        acc_ref = refs[-1]
+        bnd_ref = None
+    kc = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for ci in range(CELLS_PER_STEP):
+        win = wi_ref[ci : ci + 1, :]  # [1, 128] f32 winner ids
+
+        def accum(ci=ci, win=win):
+            if shared:
+                cf = coef_ref[:, :]  # [kblk, 12]
+                nt = ntab_ref[:, :]
+            else:
+                cf = coef_ref[ci]  # [kblk, 12]
+                nt = ntab_ref[ci]
+            ids = cf[:, ID_ROW2 : ID_ROW2 + 1]  # [kblk, 1]
+            oh = (ids == win).astype(jnp.float32)  # [kblk, 128]
+            g = jax.lax.dot_general(
+                cf[:, 0:9], oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [9, 128]
+            nm = jax.lax.dot_general(
+                nt[:, 0:9], oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [9, 128]
+            acc_ref[ci, 0:9, :] = acc_ref[ci, 0:9, :] + g
+            acc_ref[ci, 9:18, :] = acc_ref[ci, 9:18, :] + nm
+
+        if skip:
+            t_fin = wt_ref[ci, :]
+            worst = jnp.max(
+                jnp.where(jnp.isfinite(t_fin), t_fin, -jnp.inf)
+            )
+            pl.when(bnd_ref[ci, kc] <= worst)(accum)
+        else:
+            accum()
+
+        @pl.when(kc == nsteps - 1)
+        def _(ci=ci):
+            dx = ray_ref[ci, 0:1, :]
+            dy = ray_ref[ci, 1:2, :]
+            dz = ray_ref[ci, 2:3, :]
+            gr = acc_ref[ci]  # [18, 128]
+            # w chains verbatim from intersect.radial_hit (bit-contract)
+            w0 = dx * gr[0:1] + dy * gr[1:2] + dz * gr[2:3]
+            w1 = dx * gr[3:4] + dy * gr[4:5] + dz * gr[5:6]
+            w2 = dx * gr[6:7] + dy * gr[7:8] + dz * gr[8:9]
+            den = (w0 + w1) + w2
+            nsx = w0 * gr[9:10] + w1 * gr[12:13] + w2 * gr[15:16]
+            nsy = w0 * gr[10:11] + w1 * gr[13:14] + w2 * gr[16:17]
+            nsz = w0 * gr[11:12] + w1 * gr[14:15] + w2 * gr[17:18]
+            out_ref[ci, 0:1, :] = nsx
+            out_ref[ci, 1:2, :] = nsy
+            out_ref[ci, 2:3, :] = nsz
+            out_ref[ci, 3:4, :] = den
+
+
+@partial(jax.jit, static_argnames=("k", "shared", "interpret"))
+def stab_extract2(
+    rays: jnp.ndarray,   # [C, 8, 128] f32 (dx dy dz s0 rows)
+    coefs: jnp.ndarray,  # [C, K, 12] f32 (or [K, 12] when shared)
+    ntab: jnp.ndarray,   # [C, K, 12] f32 (or [K, 12] when shared)
+    win_i: jnp.ndarray,  # [C, 128] i32 winner ids (from stab_closest_hit2)
+    win_t: jnp.ndarray,  # [C, 128] f32 winner t
+    k: int,
+    shared: bool = False,
+    interpret: bool = False,
+    bounds: jnp.ndarray | None = None,
+):
+    """Winner-normal extraction -> [C, 4, 128] rows (nsx, nsy, nsz, den)."""
+    c = rays.shape[0]
+    assert c % CELLS_PER_STEP == 0 and k % 8 == 0
+    steps = c // CELLS_PER_STEP
+    kblk = min(k, K_BLOCK)
+    assert k % kblk == 0, f"k={k} not a multiple of K_BLOCK={K_BLOCK}"
+    k_steps = k // kblk
+    skip = bounds is not None and k_steps > 1 and not shared
+    if shared:
+        coef_spec = pl.BlockSpec(
+            (kblk, NCF2), lambda i, kc: (kc, 0), memory_space=pltpu.VMEM
+        )
+        ntab_spec = pl.BlockSpec(
+            (kblk, NNC), lambda i, kc: (kc, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        coef_spec = pl.BlockSpec(
+            (CELLS_PER_STEP, kblk, NCF2), lambda i, kc: (i, kc, 0),
+            memory_space=pltpu.VMEM,
+        )
+        ntab_spec = pl.BlockSpec(
+            (CELLS_PER_STEP, kblk, NNC), lambda i, kc: (i, kc, 0),
+            memory_space=pltpu.VMEM,
+        )
+    in_specs = [
+        pl.BlockSpec(
+            (CELLS_PER_STEP, 8, 128), lambda i, kc: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        coef_spec,
+        ntab_spec,
+        pl.BlockSpec(
+            (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [rays, coefs, ntab, win_i.astype(jnp.float32), win_t]
+    if skip:
+        in_specs.append(pl.BlockSpec(
+            (CELLS_PER_STEP, k_steps), lambda i, kc: (i, 0),
+            memory_space=pltpu.SMEM,
+        ))
+        args.append(bounds)
+    out = pl.pallas_call(
+        partial(_extract_kernel2, kblk=kblk, shared=shared, skip=skip),
+        grid=(steps, k_steps),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (CELLS_PER_STEP, 4, 128), lambda i, kc: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, 4, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((CELLS_PER_STEP, 18, 128), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out

@@ -99,7 +99,8 @@ def voxelize_raystab_ref(
     )
 
 
-@partial(jax.jit, static_argnames=("n", "ray_chunk", "tri_chunk", "rule"))
+@partial(jax.jit, static_argnames=("n", "ray_chunk", "tri_chunk", "rule",
+                                   "normal_impl"))
 def voxelize_raystab_radial_ref(
     verts_norm: jnp.ndarray,
     normals: jnp.ndarray,
@@ -109,6 +110,7 @@ def voxelize_raystab_radial_ref(
     ray_chunk: int = 4096,
     tri_chunk: int = 2048,
     rule: str = "backface",
+    normal_impl: str = "radial",
 ):
     """Reference-rule voxelization via the radial-form intersection.
 
@@ -116,10 +118,18 @@ def voxelize_raystab_radial_ref(
     (ops/raystab_fast.build_raystab_accel2): same ray set and inside rule as
     :func:`voxelize_raystab_ref`, but the closest-hit winner is picked with
     the radial-form test (intersect.radial_hit — exploits origin = s0 * dir,
-    DXRVoxelizer.hlsl:44-53) instead of Moller-Trumbore. The two agree
-    everywhere except fp-boundary near-ties between two triangles (shared
-    edges crossed within 1 ulp); normals for the winner are interpolated
-    with the same mt_hit (u, v) as the mt oracle.
+    DXRVoxelizer.hlsl:44-53) instead of Moller-Trumbore.
+
+    ``normal_impl`` picks the winner-normal interpolation chain:
+
+    - "radial" (default, the production gen-3 contract): barycentrics from
+      the radial signed volumes — ``w_i = d . g_i``, ``den = (w0+w1)+w2``,
+      ``nrm = normalize((w0 n0 + w1 n1 + w2 n2) / den)`` — the exact
+      expressions the winner-extraction kernel carries
+      (raystab_pallas.stab_extract2 / raystab_fast._finalize3), so the fast
+      path matches bit-for-bit with NO per-ray table gather.
+    - "mt": the legacy mt_hit (u, v) interpolation, bit-identical to the
+      Moller-Trumbore oracle's normals (used by the oracle-vs-oracle test).
     """
     cx, cy, cz = (jnp.asarray(t) for t in voxel_centers_norm(n))
     px = cx[:, None, None]
@@ -144,6 +154,40 @@ def voxelize_raystab_radial_ref(
         )
         hit = jnp.isfinite(t) & (idx < t_count)
         idx = jnp.where(hit, idx, 0)
+        if normal_impl == "radial":
+            dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+            gg0, gg1, gg2 = g0[idx], g1[idx], g2[idx]
+            # w / den / ns chains verbatim from the extraction kernel
+            # (raystab_pallas._extract_kernel2) — shared bit contract
+            w0 = dx * gg0[:, 0] + dy * gg0[:, 1] + dz * gg0[:, 2]
+            w1 = dx * gg1[:, 0] + dy * gg1[:, 1] + dz * gg1[:, 2]
+            w2 = dx * gg2[:, 0] + dy * gg2[:, 1] + dz * gg2[:, 2]
+            den = (w0 + w1) + w2
+            n0i, n1i, n2i = n0[idx], n1[idx], n2[idx]
+            nsx = w0 * n0i[:, 0] + w1 * n1i[:, 0] + w2 * n2i[:, 0]
+            nsy = w0 * n0i[:, 1] + w1 * n1i[:, 1] + w2 * n2i[:, 1]
+            nsz = w0 * n0i[:, 2] + w1 * n1i[:, 2] + w2 * n2i[:, 2]
+            dn = jnp.where(den == 0.0, 1.0, den)
+            nx, ny, nz = nsx / dn, nsy / dn, nsz / dn
+            nst = jnp.stack([nx, ny, nz], axis=0)
+            ln = jnp.maximum(jnp.sqrt(jnp.sum(nst * nst, axis=0)), 1e-20)
+            nx, ny, nz = nx / ln, ny / ln, nz / ln
+            if rule == "hit":
+                inside = hit
+            else:
+                dot = jnp.sum(
+                    jnp.stack([nx, ny, nz], axis=0)
+                    * jnp.stack([dx, dy, dz], axis=0),
+                    axis=0,
+                )
+                inside = hit & (dot > threshold)
+            one = jnp.ones_like(nx)
+            rgba = jnp.stack(
+                [jnp.where(inside, nx, 0.0), jnp.where(inside, ny, 0.0),
+                 jnp.where(inside, nz, 0.0), jnp.where(inside, one, 0.0)],
+                axis=-1,
+            )
+            return inside, rgba
         _, u, v, _ = intersect.mt_hit(o, d, v0[idx], e1[idx], e2[idx])
         nrm = (
             n0[idx]

@@ -28,12 +28,14 @@ def main() -> int:
 
     from dxrvoxelizer_tpu.models.scene import Scene
     from dxrvoxelizer_tpu.ops.raystab_fast import (
-        _finalize2,
         _merge_winners2,
         _raystab_query2,
         build_raystab_accel2,
     )
-    from dxrvoxelizer_tpu.ops.raystab_pallas import stab_closest_hit2
+    from dxrvoxelizer_tpu.ops.raystab_pallas import (
+        stab_closest_hit2,
+        stab_extract2,
+    )
     from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
 
     n = 64
@@ -82,56 +84,78 @@ def main() -> int:
             tree,
         )
 
+    # XLA-level stages (sorts, selects, finalize) MUST be checksum-consumed:
+    # slicing one element lets XLA slice the whole stage out of the scan
+    # (occ[0] consumption under-reported the gen-2 gather finalize 3 ms).
+    # Pallas outputs are safe to scalar-consume (opaque custom-calls).
     def full_body(carry, _):
-        occ, _ = _raystab_query2(
+        occ, rgba = _raystab_query2(
             accel.ftab + carry * 1e-38, perturb(accel.levels, carry),
             accel.sort_keys, perturb(accel.ov_dense, carry), n, 0.12,
             ks, ovk, tc, False, pos=accel.pos, dirs=accel.dirs,
         )
-        return occ.reshape(-1)[0].astype(jnp.float32), None
+        return (jnp.sum(rgba * 1e-38)
+                + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
 
     def merge_body(carry, _):
-        bt, bi = _merge_winners2(
+        out = _merge_winners2(
             perturb(accel.levels, carry), accel.sort_keys,
             perturb(accel.ov_dense, carry), n, ks, ovk, False
         )
-        return bt[0] * 1e-38 + bi[0].astype(jnp.float32) * 1e-38, None
+        acc = jnp.float32(0.0)
+        for a in out:
+            acc = acc + jnp.sum(a * 1e-38).astype(jnp.float32)
+        return acc, None
 
     def kernels_body(carry, _):
         acc = jnp.float32(0.0)
         for level, level_ks in zip(accel.levels, ks):
-            for (rays, coefs, scatter, bounds), k in zip(level, level_ks):
+            for (rays, coefs, scatter, bounds, ntab), k in zip(
+                level, level_ks
+            ):
+                t_c, i_c = stab_closest_hit2(
+                    rays + carry * 1e-38, coefs, k, bounds=bounds
+                )
+                ns = stab_extract2(
+                    rays + carry * 1e-38, coefs, ntab, i_c, t_c, k,
+                    bounds=bounds,
+                )
+                acc = (acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
+                       + ns[0, 0, 0] * 1e-38)
+        if accel.ov_dense is not None:
+            rays_ov, cf_ov, nf_ov = accel.ov_dense
+            t_ov, i_ov = stab_closest_hit2(
+                rays_ov + carry * 1e-38, cf_ov, ovk, shared=True
+            )
+            ns_ov = stab_extract2(
+                rays_ov + carry * 1e-38, cf_ov, nf_ov, i_ov, t_ov, ovk,
+                shared=True,
+            )
+            acc = acc + t_ov[0, 0] * 1e-38 + ns_ov[0, 0, 0] * 1e-38
+        return acc, None
+
+    def fold_body(carry, _):
+        acc = jnp.float32(0.0)
+        for level, level_ks in zip(accel.levels, ks):
+            for (rays, coefs, scatter, bounds, ntab), k in zip(
+                level, level_ks
+            ):
                 t_c, i_c = stab_closest_hit2(
                     rays + carry * 1e-38, coefs, k, bounds=bounds
                 )
                 acc = acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
         if accel.ov_dense is not None:
-            rays_ov, cf_ov = accel.ov_dense
+            rays_ov, cf_ov, nf_ov = accel.ov_dense
             t_ov, _ = stab_closest_hit2(
                 rays_ov + carry * 1e-38, cf_ov, ovk, shared=True
             )
             acc = acc + t_ov[0, 0] * 1e-38
         return acc, None
 
-    v = n * n * n
-    bt0, bi0 = _merge_winners2(
-        accel.levels, accel.sort_keys, accel.ov_dense, n, ks, ovk, False
-    )
-
-    def finalize_body(carry, _):
-        # live winner indices: constant bt0/bi0 let XLA pre-optimize the
-        # table gather and report ~0.8 ms for what costs ~3 ms in situ
-        bi = bi0 + (carry * 1e-38).astype(jnp.int32)
-        occ, _ = _finalize2(
-            accel.ftab, accel.pos, accel.dirs, bt0 + carry * 1e-38, bi,
-            tc, n, 0.12
-        )
-        return occ.reshape(-1)[0].astype(jnp.float32), None
-
     slope(full_body, label="full query")
-    slope(merge_body, label="kernels + sort-merge")
-    slope(kernels_body, label="stream kernels only")
-    slope(finalize_body, label="finalize only")
+    slope(merge_body, label="kernels + extract + sort-merge")
+    slope(kernels_body, label="fold + extract kernels only")
+    slope(fold_body, label="fold kernels only")
     return 0
 
 
