@@ -1157,104 +1157,31 @@ def build_raystab_accel2(
     )
 
 
-@partial(jax.jit, static_argnames=("n", "threshold", "rule"))
-def _finalize2(ftab, pos, dirs, best_t, best_i, t_count: int, n: int,
-               threshold: float, rule: str = "backface"):
-    """Packed-table finalize: ONE [V,18] row gather by winner id, then the
-    same mt_hit (u, v) + normal-interp expressions as the oracles.
-
-    Fully PLANAR: every intermediate is a [V] component array — the
-    earlier [V,1]-broadcast form (``u[:, None] * ...``) materialized six
-    T(1,128)-padded [V,1] copies per query (~1 ms at 64^3). The
-    per-element operation sequences are kept identical to the oracle's
-    (component-wise mul/add chains, ((x+y)+z) reduction trees), so rgba
-    stays bit-exact.
-
-    ``rule``: "backface" is the reference inside test
-    (dot(normal, dir) > threshold, DXRVoxelizer.hlsl:137-138); "hit" marks
-    every voxel whose radial ray hits ANY triangle and stores its first-hit
-    normal — the normal-channel source for parity-mode grids
-    (core/pipeline.py voxelize with_normals)."""
-    hit = jnp.isfinite(best_t) & (best_i < t_count)
-    idx = jnp.where(hit, best_i, t_count)
-    rows = ftab[idx]  # [V, 18]
-    if pos.shape[0] == 3:  # planar [3, V] (RaystabAccel2.pos/.dirs)
-        ox, oy, oz = pos[0], pos[1], pos[2]
-        dx, dy, dz = dirs[0], dirs[1], dirs[2]
-    else:  # [V, 3] row-major (direct voxel_rays callers)
-        ox, oy, oz = pos[:, 0], pos[:, 1], pos[:, 2]
-        dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
-    v0x, v0y, v0z = rows[:, 0], rows[:, 1], rows[:, 2]
-    e1x, e1y, e1z = rows[:, 3], rows[:, 4], rows[:, 5]
-    e2x, e2y, e2z = rows[:, 6], rows[:, 7], rows[:, 8]
-    # mt_hit's u/v sub-chain, verbatim (ops/intersect.py mt_hit)
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv_det = jnp.where(jnp.abs(det) > intersect.EPS_DET, 1.0 / det, 0.0)
-    tvx = ox - v0x
-    tvy = oy - v0y
-    tvz = oz - v0z
-    u = (tvx * px + tvy * py + tvz * pz) * inv_det
-    qx = tvy * e1z - tvz * e1y
-    qy = tvz * e1x - tvx * e1z
-    qz = tvx * e1y - tvy * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    n0x, n0y, n0z = rows[:, 9], rows[:, 10], rows[:, 11]
-    n1x, n1y, n1z = rows[:, 12], rows[:, 13], rows[:, 14]
-    n2x, n2y, n2z = rows[:, 15], rows[:, 16], rows[:, 17]
-    nx = n0x + u * (n1x - n0x) + v * (n2x - n0x)
-    ny = n0y + u * (n1y - n0y) + v * (n2y - n0y)
-    nz = n0z + u * (n1z - n0z) + v * (n2z - n0z)
-    # the norm and the dot MUST be reduce-formulated like the oracle's
-    # (jnp.linalg.norm / jnp.sum): explicit x*x + y*y + z*z chains get
-    # FMA-contracted and flip low bits vs a reduce (verified); a planar
-    # axis-0 reduce is bit-identical to the oracle's axis -1 reduce
-    nst = jnp.stack([nx, ny, nz], axis=0)  # [3, V]
-    ln = jnp.maximum(jnp.sqrt(jnp.sum(nst * nst, axis=0)), 1e-20)
-    nx, ny, nz = nx / ln, ny / ln, nz / ln
-    if rule == "hit":
-        inside = hit
-    else:
-        d3 = jnp.stack([dx, dy, dz], axis=0)
-        dot = jnp.sum(jnp.stack([nx, ny, nz], axis=0) * d3, axis=0)
-        inside = hit & (dot > threshold)
-    one = jnp.ones_like(nx)
-    rgba = jnp.stack(
-        [jnp.where(inside, nx, 0.0), jnp.where(inside, ny, 0.0),
-         jnp.where(inside, nz, 0.0), jnp.where(inside, one, 0.0)],
-        axis=-1,
-    )
-    return inside.reshape(n, n, n), rgba.reshape(n, n, n, 4)
-
-
 def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
-                    ov_k: int, interpret: bool):
-    """Stream kernels + extraction + sort-merge -> per-ray winner
-    (best_t, best_i, nsx, nsy, nsz, den).
+                    ov_k: int, t_count: int, threshold: float, rule: str,
+                    interpret: bool):
+    """Stream kernels + in-slot finalize + sort-merge -> per-ray
+    (best_t, best_i, nx, ny, nz, a) with (nx, ny, nz, a) FINISHED rgba
+    channels (normalized winner normal masked by the inside rule).
 
     The slot->ray permutation rides the sort engine: lax.sort of
-    (ray key, t, id, ns..., den) then slicing the first V rows puts every
-    ray in natural order (keys are unique reals + V-sentinel padding).
-    The den-scaled winner normal (nsx, nsy, nsz, den) comes from the
-    one-hot extraction pass (raystab_pallas.stab_extract2) so the
-    finalize never gathers. Checksum-consumed slope timings at 64^3
-    (dragon, 100k tris): the gather finalize cost 3.4 ms in situ (XLA row
-    gathers ~10 ns/row x 262k rays x [100001,18] table); the extraction
-    pass + 4 extra sort payload channels cost 1.5 ms — full query
-    4.7 -> 3.9 ms."""
-    from dxrvoxelizer_tpu.ops.raystab_pallas import (
-        stab_closest_hit2,
-        stab_extract2,
-    )
+    (ray key, t, id, nx, ny, nz, a) then slicing the first V rows puts
+    every ray in natural order (keys are unique reals + V-sentinel
+    padding). The channels come finished from the fused fold+extraction
+    kernel (raystab_pallas.stab_fold_extract2 — one read of the candidate
+    tables), so after the sort the query is pure selects — finalizing
+    per-ray after the sort cost +1.1 ms at 64^3 (XLA fusion pathology
+    around multi-payload sort consumers), and the gen-2 ftab-gather
+    finalize before it cost 3.4 ms in situ (row gathers ~10 ns/row x
+    262k rays)."""
+    from dxrvoxelizer_tpu.ops.raystab_pallas import stab_fold_extract2
 
     v = n * n * n
     big = jnp.int32(2**30)
     best_t = jnp.full((v,), jnp.inf, jnp.float32)
     best_i = jnp.full((v,), big, jnp.int32)
     zero = jnp.zeros((v,), jnp.float32)
-    best_ns = [zero, zero, zero, zero]  # nsx, nsy, nsz, den
+    best_ns = [zero, zero, zero, zero]  # nx, ny, nz, a
 
     for level, level_ks, keys in zip(levels, ks, sort_keys):
         if not level:
@@ -1262,10 +1189,10 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
         tparts, iparts = [], []
         nparts = [[], [], [], []]
         for (rays, coefs, scatter, bounds, ntab), k in zip(level, level_ks):
-            t_c, i_c = stab_closest_hit2(rays, coefs, k, interpret=interpret,
-                                         bounds=bounds)
-            ns = stab_extract2(rays, coefs, ntab, i_c, t_c, k,
-                               interpret=interpret, bounds=bounds)
+            t_c, i_c, ns = stab_fold_extract2(
+                rays, coefs, ntab, k, t_count, threshold, rule=rule,
+                interpret=interpret, bounds=bounds,
+            )
             tparts.append(t_c.reshape(-1))
             iparts.append(i_c.reshape(-1))
             for j in range(4):
@@ -1292,11 +1219,10 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
 
     if ov_dense is not None:
         rays_ov, cf_ov, nf_ov = ov_dense
-        t_ov, i_ov = stab_closest_hit2(
-            rays_ov, cf_ov, ov_k, shared=True, interpret=interpret
+        t_ov, i_ov, ns_ov = stab_fold_extract2(
+            rays_ov, cf_ov, nf_ov, ov_k, t_count, threshold, rule=rule,
+            shared=True, interpret=interpret,
         )
-        ns_ov = stab_extract2(rays_ov, cf_ov, nf_ov, i_ov, t_ov, ov_k,
-                              shared=True, interpret=interpret)
         t_ov = t_ov.reshape(-1)  # natural ray order already
         i_ov = i_ov.reshape(-1)
         closer = (t_ov < best_t) | ((t_ov == best_t) & (i_ov < best_i))
@@ -1309,36 +1235,6 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
     return (best_t, best_i) + tuple(best_ns)
 
 
-@partial(jax.jit, static_argnames=("n", "threshold", "rule", "t_count"))
-def _finalize3(best_t, best_i, nsx, nsy, nsz, den, dirs, t_count: int,
-               n: int, threshold: float, rule: str = "backface"):
-    """Gather-free finalize from the kernel-carried den-scaled normal.
-
-    ``nrm = normalize(ns / den)`` with the norm and inside-dot in the
-    oracle's reduce formulation (voxelize_raystab_radial_ref
-    normal_impl="radial" runs these exact expressions). ``dirs`` planar
-    [3, V]. Non-hit lanes carry ns = den = 0; every arithmetic product is
-    masked by ``hit`` before it reaches the outputs."""
-    hit = jnp.isfinite(best_t) & (best_i < t_count)
-    dn = jnp.where(den == 0.0, 1.0, den)  # only non-hit lanes have den == 0
-    nx, ny, nz = nsx / dn, nsy / dn, nsz / dn
-    nst = jnp.stack([nx, ny, nz], axis=0)  # [3, V]
-    ln = jnp.maximum(jnp.sqrt(jnp.sum(nst * nst, axis=0)), 1e-20)
-    nx, ny, nz = nx / ln, ny / ln, nz / ln
-    if rule == "hit":
-        inside = hit
-    else:
-        dot = jnp.sum(jnp.stack([nx, ny, nz], axis=0) * dirs, axis=0)
-        inside = hit & (dot > threshold)
-    one = jnp.ones_like(nx)
-    rgba = jnp.stack(
-        [jnp.where(inside, nx, 0.0), jnp.where(inside, ny, 0.0),
-         jnp.where(inside, nz, 0.0), jnp.where(inside, one, 0.0)],
-        axis=-1,
-    )
-    return inside.reshape(n, n, n), rgba.reshape(n, n, n, 4)
-
-
 @partial(
     jax.jit,
     static_argnames=("n", "threshold", "ks", "ov_k", "t_count", "interpret",
@@ -1349,23 +1245,19 @@ def _raystab_query2(
     ks: tuple, ov_k: int, t_count: int, interpret: bool,
     rule: str = "backface", pos=None, dirs=None,
 ):
-    """One-dispatch gen-2 query: stream kernels + winner extraction ->
-    sort-merge -> gather-free finalize.
+    """One-dispatch gen-3 query: stream kernels (fold + extract-finalize)
+    -> sort-merge -> channel assembly.
 
-    ``dirs``: build-time-cached planar [3, V] directions (RaystabAccel2);
-    computed in-graph only for accels that predate the cache fields.
-    ``ftab`` is unused by the gen-3 finalize (kept for API compat)."""
-    del ftab
-    best_t, best_i, nsx, nsy, nsz, den = _merge_winners2(
-        levels, sort_keys, ov_dense, n, ks, ov_k, interpret
+    The rgba channels arrive finished from the extraction kernel; here we
+    only select the cross-level winner per ray and reshape. ``ftab``/
+    ``pos``/``dirs`` are unused by the gen-3 path (kept for API compat)."""
+    del ftab, pos, dirs
+    _, _, nx, ny, nz, a = _merge_winners2(
+        levels, sort_keys, ov_dense, n, ks, ov_k, t_count, threshold, rule,
+        interpret
     )
-    if dirs is None:
-        _, d = voxel_rays(n)
-        dirs = d.T
-    elif dirs.shape[0] != 3:
-        dirs = dirs.T
-    return _finalize3(best_t, best_i, nsx, nsy, nsz, den, dirs, t_count, n,
-                      threshold, rule=rule)
+    rgba = jnp.stack([nx, ny, nz, a], axis=-1)
+    return (a != 0.0).reshape(n, n, n), rgba.reshape(n, n, n, 4)
 
 
 def raystab_query2(

@@ -338,47 +338,61 @@ def stab_closest_hit(
     return t_out, i_out.astype(jnp.int32)
 
 
-# ---- gen-3: winner-normal extraction kernel ------------------------------
+# ---- winner-normal extraction --------------------------------------------
 #
-# The finalize stage used to gather an 18-float row per ray from a packed
-# triangle table (ftab[best_i]); XLA TPU gathers cost ~10 ns/row regardless
-# of width, 2.6 ms at 64^3. Instead, a second streaming pass re-reads each
-# strip's candidate chunks, builds a one-hot (candidate id == winner id)
-# mask, and extracts the winner's geometry via an MXU matmul — EXACT,
-# because every output element is a sum of zeros plus one value*1.0 (any
-# accumulation order or split returns the value bit-for-bit). The winner's
-# den-scaled barycentric normal then rides the existing sort engine to ray
-# order (~1.6 ns/row) and the per-ray table gather disappears.
+# Gen-3 history: the finalize stage once gathered an 18-float row per ray
+# from a packed triangle table (ftab[best_i]); XLA TPU gathers cost
+# ~10 ns/row regardless of width, 2.6 ms at 64^3. Gen-3 replaced it with a
+# separate streaming one-hot extraction pass (4.72 -> 3.94 ms); gen-4
+# below fuses that pass into the fold so the candidate tables stream from
+# HBM exactly once.
 #
 # Normal convention (shared verbatim with the radial oracle,
-# ops/voxelize_ref.voxelize_raystab_radial_ref normal_impl="radial"):
+# ops/voxelize_ref.voxelize_raystab_radial_ref normal_impl="radial") —
+# every chain scalarized so Mosaic and XLA contract FMAs identically
+# (proven pattern: radial_hit's chains are bit-equal across both):
 #   w_i = d . g_i           (the radial_hit signed volumes)
 #   den = (w0 + w1) + w2
-#   ns  = w0*n0 + w1*n1 + w2*n2   (den-scaled interpolated normal)
-#   nrm = normalize(ns / den)     (computed later in XLA, reduce-form)
+#   ns  = w0*n0 + w1*n1 + w2*n2     (den-scaled interpolated normal)
+#   nrm = (ns / den) / max(sqrt(ss), 1e-20), ss scalarized
+#   inside = hit & ((nrm . d) > threshold)   [rule="backface"]
 NNC = 12  # normal-table row: n0(3) n1(3) n2(3) pad(3)
 
 
-def _extract_kernel2(*refs, kblk: int, shared: bool, skip: bool):
-    """Accumulate the winner candidate's g (9) + n (9) rows per ray lane.
+# ---- gen-4: fused fold + extraction kernel -------------------------------
+#
+# One streaming pass: fold the winner AND extract its rows, reading the
+# candidate tables from HBM exactly once (the separate gen-3 extraction
+# pass re-streamed coefs + ntab, ~2x the fold's traffic). Extraction
+# cannot use gen-3's one-hot ACCUMULATE (the final winner id is unknown
+# until the last chunk), so it select-OVERWRITES instead: after folding a
+# chunk, one-hot-match the RUNNING winner id against this chunk's
+# candidate ids; where the chunk contains it (f == 1), overwrite the
+# accumulator rows with the extracted ones. Exactness argument: the final
+# winner's row lives in exactly one chunk; the running best equals the
+# final winner from that chunk onward, so that chunk's overwrite writes
+# the winner's rows and no later chunk matches them again (ids are unique
+# per cell list). Earlier overwrites held superseded rows; each overwrite
+# is a select, not arithmetic, so the surviving rows are bit-exact.
+# Miss lanes carry id BIG, matching only all-zero padding rows -> zero
+# rows, masked off by the hit test in the in-slot finalize.
 
-    Inputs mirror :func:`_stab_kernel2` plus ``ntab_ref`` (per-candidate
-    normal rows), ``wi_ref``/``wt_ref`` (the fold's winner id / t per
-    lane). Output ``out_ref`` [8, 4, 128]: rows (nsx, nsy, nsz, den).
-    ``acc_ref`` scratch [8, 18, 128] accumulates the extracted rows across
-    candidate chunks (the winner lives in exactly one chunk; all other
-    chunks contribute exact zeros).
 
-    ``skip``: a chunk whose distance lower bound exceeds every finite
-    winner t cannot contain any lane's winner — branch over it (miss lanes
-    extract zeros regardless, so they are excluded from the max).
+def _fold_extract_kernel2(*refs, kblk: int, shared: bool, skip: bool,
+                          t_count: int, threshold: float, rule: str):
+    """Fused fold + winner extraction + in-slot finalize, one table read.
+
+    Inputs: rays [8, 8, 128], coefs, ntab (+ bounds SMEM when ``skip``).
+    Outputs: t_ref/i_ref [8, 128] (winner t / id-as-f32), out_ref
+    [8, 4, 128] finished (nx, ny, nz, a) channels. Scratch ``acc_ref``
+    [8, 18, 128] holds the current winner's g(9) + n(9) rows.
     """
     if skip:
-        (ray_ref, coef_ref, ntab_ref, wi_ref, wt_ref, bnd_ref,
-         out_ref) = refs[:-1]
+        ray_ref, coef_ref, ntab_ref, bnd_ref, t_ref, i_ref, out_ref = (
+            refs[:-1])
         acc_ref = refs[-1]
     else:
-        ray_ref, coef_ref, ntab_ref, wi_ref, wt_ref, out_ref = refs[:-1]
+        ray_ref, coef_ref, ntab_ref, t_ref, i_ref, out_ref = refs[:-1]
         acc_ref = refs[-1]
         bnd_ref = None
     kc = pl.program_id(1)
@@ -386,49 +400,86 @@ def _extract_kernel2(*refs, kblk: int, shared: bool, skip: bool):
 
     @pl.when(kc == 0)
     def _():
+        pad = (
+            (ray_ref[:, 0, :] == 0.0)
+            & (ray_ref[:, 1, :] == 0.0)
+            & (ray_ref[:, 2, :] == 0.0)
+        )
+        t_ref[...] = jnp.where(pad, -jnp.inf, jnp.inf)
+        i_ref[...] = jnp.full_like(i_ref, float(BIG_ID))
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for ci in range(CELLS_PER_STEP):
-        win = wi_ref[ci : ci + 1, :]  # [1, 128] f32 winner ids
+        dx = ray_ref[ci, 0:1, :]
+        dy = ray_ref[ci, 1:2, :]
+        dz = ray_ref[ci, 2:3, :]
+        s0 = ray_ref[ci, 3:4, :]
 
-        def accum(ci=ci, win=win):
+        def body(ci=ci, dx=dx, dy=dy, dz=dz, s0=s0):
+            # ---- fold (verbatim _stab_kernel2 chain) ----
+            def step(g, carry, ci=ci, dx=dx, dy=dy, dz=dz, s0=s0):
+                bt, bi = carry
+                if shared:
+                    cf = coef_ref[pl.ds(g * 8, 8), :]  # [8, 12]
+                else:
+                    cf = coef_ref[ci, pl.ds(g * 8, 8), :]
+
+                def col(j):
+                    return cf[:, j : j + 1]  # [8,1]
+
+                tt, hit = radial_hit(
+                    dx, dy, dz, s0,
+                    col(0), col(1), col(2),
+                    col(3), col(4), col(5),
+                    col(6), col(7), col(8),
+                    col(C_ROW),
+                )  # [8,128]
+                ii = jnp.where(hit, col(ID_ROW2), float(BIG_ID))
+
+                t4, i4 = _lexmin(tt[0:4], ii[0:4], tt[4:8], ii[4:8])
+                t2, i2 = _lexmin(t4[0:2], i4[0:2], t4[2:4], i4[2:4])
+                t1, i1 = _lexmin(t2[0:1], i2[0:1], t2[1:2], i2[1:2])
+                return _lexmin(bt, bi, t1, i1)
+
+            init = (t_ref[ci : ci + 1, :], i_ref[ci : ci + 1, :])
+            bt, bi = jax.lax.fori_loop(0, kblk // 8, step, init, unroll=True)
+            t_ref[ci : ci + 1, :] = bt
+            i_ref[ci : ci + 1, :] = bi
+
+            # ---- extraction: select-overwrite with the running winner ----
             if shared:
-                cf = coef_ref[:, :]  # [kblk, 12]
-                nt = ntab_ref[:, :]
+                cfb = coef_ref[:, :]  # [kblk, 12]
+                ntb = ntab_ref[:, :]
             else:
-                cf = coef_ref[ci]  # [kblk, 12]
-                nt = ntab_ref[ci]
-            ids = cf[:, ID_ROW2 : ID_ROW2 + 1]  # [kblk, 1]
-            oh = (ids == win).astype(jnp.float32)  # [kblk, 128]
+                cfb = coef_ref[ci]
+                ntb = ntab_ref[ci]
+            ids = cfb[:, ID_ROW2 : ID_ROW2 + 1]  # [kblk, 1]
+            oh = (ids == bi).astype(jnp.float32)  # [kblk, 128]
             g = jax.lax.dot_general(
-                cf[:, 0:9], oh, (((0,), (0,)), ((), ())),
+                cfb[:, 0:9], oh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # [9, 128]
             nm = jax.lax.dot_general(
-                nt[:, 0:9], oh, (((0,), (0,)), ((), ())),
+                ntb[:, 0:9], oh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # [9, 128]
-            acc_ref[ci, 0:9, :] = acc_ref[ci, 0:9, :] + g
-            acc_ref[ci, 9:18, :] = acc_ref[ci, 9:18, :] + nm
+            f = jnp.max(oh, axis=0, keepdims=True)  # [1,128] 1 iff present
+            here = f > 0.5
+            acc_ref[ci, 0:9, :] = jnp.where(here, g, acc_ref[ci, 0:9, :])
+            acc_ref[ci, 9:18, :] = jnp.where(here, nm, acc_ref[ci, 9:18, :])
 
         if skip:
-            t_fin = wt_ref[ci, :]
-            worst = jnp.max(
-                jnp.where(jnp.isfinite(t_fin), t_fin, -jnp.inf)
-            )
-            pl.when(bnd_ref[ci, kc] <= worst)(accum)
+            worst = jnp.max(t_ref[ci, :])
+            pl.when(bnd_ref[ci, kc] <= worst)(body)
         else:
-            accum()
+            body()
 
         @pl.when(kc == nsteps - 1)
-        def _(ci=ci):
-            dx = ray_ref[ci, 0:1, :]
-            dy = ray_ref[ci, 1:2, :]
-            dz = ray_ref[ci, 2:3, :]
+        def _(ci=ci, dx=dx, dy=dy, dz=dz):
             gr = acc_ref[ci]  # [18, 128]
-            # w chains verbatim from intersect.radial_hit (bit-contract)
+            # w / ns / finalize chains verbatim from _extract_kernel2
             w0 = dx * gr[0:1] + dy * gr[1:2] + dz * gr[2:3]
             w1 = dx * gr[3:4] + dy * gr[4:5] + dz * gr[5:6]
             w2 = dx * gr[6:7] + dy * gr[7:8] + dz * gr[8:9]
@@ -436,25 +487,46 @@ def _extract_kernel2(*refs, kblk: int, shared: bool, skip: bool):
             nsx = w0 * gr[9:10] + w1 * gr[12:13] + w2 * gr[15:16]
             nsy = w0 * gr[10:11] + w1 * gr[13:14] + w2 * gr[16:17]
             nsz = w0 * gr[11:12] + w1 * gr[14:15] + w2 * gr[17:18]
-            out_ref[ci, 0:1, :] = nsx
-            out_ref[ci, 1:2, :] = nsy
-            out_ref[ci, 2:3, :] = nsz
-            out_ref[ci, 3:4, :] = den
+            dn = jnp.where(den == 0.0, 1.0, den)
+            nx, ny, nz = nsx / dn, nsy / dn, nsz / dn
+            ss = (nx * nx + ny * ny) + nz * nz
+            ln = jnp.maximum(jnp.sqrt(ss), 1e-20)
+            nx, ny, nz = nx / ln, ny / ln, nz / ln
+            wt = t_ref[ci : ci + 1, :]
+            wi = i_ref[ci : ci + 1, :]
+            hit = jnp.isfinite(wt) & (wi < float(t_count))
+            if rule == "hit":
+                inside = hit
+            else:
+                dot = (nx * dx + ny * dy) + nz * dz
+                inside = hit & (dot > threshold)
+            zero = jnp.zeros_like(nx)
+            out_ref[ci, 0:1, :] = jnp.where(inside, nx, zero)
+            out_ref[ci, 1:2, :] = jnp.where(inside, ny, zero)
+            out_ref[ci, 2:3, :] = jnp.where(inside, nz, zero)
+            out_ref[ci, 3:4, :] = jnp.where(inside, 1.0, zero)
 
 
-@partial(jax.jit, static_argnames=("k", "shared", "interpret"))
-def stab_extract2(
+@partial(jax.jit, static_argnames=("k", "shared", "interpret", "t_count",
+                                   "threshold", "rule"))
+def stab_fold_extract2(
     rays: jnp.ndarray,   # [C, 8, 128] f32 (dx dy dz s0 rows)
     coefs: jnp.ndarray,  # [C, K, 12] f32 (or [K, 12] when shared)
     ntab: jnp.ndarray,   # [C, K, 12] f32 (or [K, 12] when shared)
-    win_i: jnp.ndarray,  # [C, 128] i32 winner ids (from stab_closest_hit2)
-    win_t: jnp.ndarray,  # [C, 128] f32 winner t
     k: int,
+    t_count: int,
+    threshold: float,
     shared: bool = False,
     interpret: bool = False,
     bounds: jnp.ndarray | None = None,
+    rule: str = "backface",
 ):
-    """Winner-normal extraction -> [C, 4, 128] rows (nsx, nsy, nsz, den)."""
+    """Fused closest-hit + winner extraction + in-slot finalize.
+
+    Returns (t [C,128] f32, id [C,128] i32, ns [C,4,128] finished
+    (nx, ny, nz, a) channels). (t, id) are bit-identical to
+    stab_closest_hit2's fold; the candidate tables are read once.
+    """
     c = rays.shape[0]
     assert c % CELLS_PER_STEP == 0 and k % 8 == 0
     steps = c // CELLS_PER_STEP
@@ -485,32 +557,37 @@ def stab_extract2(
         ),
         coef_spec,
         ntab_spec,
-        pl.BlockSpec(
-            (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
     ]
-    args = [rays, coefs, ntab, win_i.astype(jnp.float32), win_t]
+    args = [rays, coefs, ntab]
     if skip:
         in_specs.append(pl.BlockSpec(
             (CELLS_PER_STEP, k_steps), lambda i, kc: (i, 0),
             memory_space=pltpu.SMEM,
         ))
         args.append(bounds)
-    out = pl.pallas_call(
-        partial(_extract_kernel2, kblk=kblk, shared=shared, skip=skip),
+    row_spec = pl.BlockSpec(
+        (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    t_out, i_out, ns = pl.pallas_call(
+        partial(_fold_extract_kernel2, kblk=kblk, shared=shared, skip=skip,
+                t_count=t_count, threshold=threshold, rule=rule),
         grid=(steps, k_steps),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (CELLS_PER_STEP, 4, 128), lambda i, kc: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((c, 4, 128), jnp.float32),
+        out_specs=[
+            row_spec,
+            row_spec,
+            pl.BlockSpec(
+                (CELLS_PER_STEP, 4, 128), lambda i, kc: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 4, 128), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((CELLS_PER_STEP, 18, 128), jnp.float32)],
         interpret=interpret,
     )(*args)
-    return out
+    return t_out, i_out.astype(jnp.int32), ns

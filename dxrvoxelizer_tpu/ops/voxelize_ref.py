@@ -126,7 +126,7 @@ def voxelize_raystab_radial_ref(
       the radial signed volumes — ``w_i = d . g_i``, ``den = (w0+w1)+w2``,
       ``nrm = normalize((w0 n0 + w1 n1 + w2 n2) / den)`` — the exact
       expressions the winner-extraction kernel carries
-      (raystab_pallas.stab_extract2 / raystab_fast._finalize3), so the fast
+      in its in-slot finalize (raystab_pallas.stab_fold_extract2), so the fast
       path matches bit-for-bit with NO per-ray table gather.
     - "mt": the legacy mt_hit (u, v) interpolation, bit-identical to the
       Moller-Trumbore oracle's normals (used by the oracle-vs-oracle test).
@@ -169,17 +169,16 @@ def voxelize_raystab_radial_ref(
             nsz = w0 * n0i[:, 2] + w1 * n1i[:, 2] + w2 * n2i[:, 2]
             dn = jnp.where(den == 0.0, 1.0, den)
             nx, ny, nz = nsx / dn, nsy / dn, nsz / dn
-            nst = jnp.stack([nx, ny, nz], axis=0)
-            ln = jnp.maximum(jnp.sqrt(jnp.sum(nst * nst, axis=0)), 1e-20)
+            # scalarized norm + dot chains, shared shape with the kernel's
+            # in-slot finalize (raystab_pallas._extract_kernel2) — Mosaic
+            # and XLA contract these FMA chains identically
+            ss = (nx * nx + ny * ny) + nz * nz
+            ln = jnp.maximum(jnp.sqrt(ss), 1e-20)
             nx, ny, nz = nx / ln, ny / ln, nz / ln
             if rule == "hit":
                 inside = hit
             else:
-                dot = jnp.sum(
-                    jnp.stack([nx, ny, nz], axis=0)
-                    * jnp.stack([dx, dy, dz], axis=0),
-                    axis=0,
-                )
+                dot = (nx * dx + ny * dy) + nz * dz
                 inside = hit & (dot > threshold)
             one = jnp.ones_like(nx)
             rgba = jnp.stack(

@@ -34,7 +34,7 @@ def main() -> int:
     )
     from dxrvoxelizer_tpu.ops.raystab_pallas import (
         stab_closest_hit2,
-        stab_extract2,
+        stab_fold_extract2,
     )
     from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
 
@@ -100,7 +100,8 @@ def main() -> int:
     def merge_body(carry, _):
         out = _merge_winners2(
             perturb(accel.levels, carry), accel.sort_keys,
-            perturb(accel.ov_dense, carry), n, ks, ovk, False
+            perturb(accel.ov_dense, carry), n, ks, ovk, tc, 0.12,
+            "backface", False
         )
         acc = jnp.float32(0.0)
         for a in out:
@@ -113,22 +114,16 @@ def main() -> int:
             for (rays, coefs, scatter, bounds, ntab), k in zip(
                 level, level_ks
             ):
-                t_c, i_c = stab_closest_hit2(
-                    rays + carry * 1e-38, coefs, k, bounds=bounds
-                )
-                ns = stab_extract2(
-                    rays + carry * 1e-38, coefs, ntab, i_c, t_c, k,
+                t_c, i_c, ns = stab_fold_extract2(
+                    rays + carry * 1e-38, coefs, ntab, k, tc, 0.12,
                     bounds=bounds,
                 )
                 acc = (acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
                        + ns[0, 0, 0] * 1e-38)
         if accel.ov_dense is not None:
             rays_ov, cf_ov, nf_ov = accel.ov_dense
-            t_ov, i_ov = stab_closest_hit2(
-                rays_ov + carry * 1e-38, cf_ov, ovk, shared=True
-            )
-            ns_ov = stab_extract2(
-                rays_ov + carry * 1e-38, cf_ov, nf_ov, i_ov, t_ov, ovk,
+            t_ov, i_ov, ns_ov = stab_fold_extract2(
+                rays_ov + carry * 1e-38, cf_ov, nf_ov, ovk, tc, 0.12,
                 shared=True,
             )
             acc = acc + t_ov[0, 0] * 1e-38 + ns_ov[0, 0, 0] * 1e-38
@@ -154,7 +149,7 @@ def main() -> int:
 
     slope(full_body, label="full query")
     slope(merge_body, label="kernels + extract + sort-merge")
-    slope(kernels_body, label="fold + extract kernels only")
+    slope(kernels_body, label="fused fold+extract kernels only")
     slope(fold_body, label="fold kernels only")
     return 0
 
