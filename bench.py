@@ -331,7 +331,7 @@ def main() -> int:
             return (jnp.sum(rgba * 1e-38)
                     + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
 
-        slope(stab_body, (2, 8), "dragon ray-stab gen-2 query 64^3",
+        slope(stab_body, (2, 8), "dragon ray-stab gen-4 query 64^3",
               key="raystab_query2_64_ms")
 
         # ---- deforming mesh: re-bin + re-voxelize every frame ----------------

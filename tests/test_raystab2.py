@@ -234,3 +234,41 @@ def test_accel2_chunk_skip_dense_cone_bitexact():
     assert int(np.asarray(occ_r).sum()) > 0  # fixture is not empty
     assert bool((occ2 == occ_r).all())
     assert bool((rgba2 == rgba_r).all())
+
+
+def test_fused_fold_matches_standalone_fold():
+    """stab_fold_extract2's (t, id) must be bit-identical to
+    stab_closest_hit2's fold on every class, and its extracted channels
+    must be the finished rgba rows (the select-overwrite extraction must
+    not disturb the fold it is interleaved with). Uses the dense-cone
+    fixture so multi-chunk classes with skip bounds are exercised."""
+    from dxrvoxelizer_tpu.ops.raystab_pallas import (
+        stab_closest_hit2,
+        stab_fold_extract2,
+    )
+
+    v_np, n_np, t_np = icosphere_mesh(3, radius=0.08,
+                                      center=(0.5, 0.3, -0.4))
+    v, nr, t = (jnp.asarray(v_np), jnp.asarray(n_np), jnp.asarray(t_np))
+    n = 16
+    tc = int(t.shape[0])
+    accel = build_raystab_accel2(v, t, nr, n=n)
+    ks = tuple(
+        tuple(int(c[1].shape[1]) for c in lv) for lv in accel.levels
+    )
+    checked_multichunk = False
+    for level, level_ks in zip(accel.levels, ks):
+        for (rays, coefs, scatter, bounds, ntab), k in zip(level, level_ks):
+            t_ref, i_ref = stab_closest_hit2(
+                rays, coefs, k, interpret=True, bounds=bounds
+            )
+            t_f, i_f, ns = stab_fold_extract2(
+                rays, coefs, ntab, k, tc, 0.12, interpret=True,
+                bounds=bounds,
+            )
+            assert bool((np.asarray(t_ref) == np.asarray(t_f)).all())
+            assert bool((np.asarray(i_ref) == np.asarray(i_f)).all())
+            a = np.asarray(ns[:, 3, :])
+            assert set(np.unique(a)) <= {0.0, 1.0}
+            checked_multichunk |= k > 256 and bounds is not None
+    assert checked_multichunk  # fixture must cover the skip branch
