@@ -321,9 +321,7 @@ def main() -> int:
                 accel.ov_dense,
             )
             occ, rgba = _raystab_query2(
-                accel.ftab + carry * 1e-38, lv, accel.sort_keys,
-                ov, 64, 0.12, ks, ovk, tc, False,
-                pos=accel.pos, dirs=accel.dirs,
+                lv, accel.sort_keys, ov, 64, 0.12, ks, ovk, tc, False,
             )
             # checksum-consume BOTH outputs: slicing one element lets XLA
             # slice the whole finalize + merge selects out of the scan

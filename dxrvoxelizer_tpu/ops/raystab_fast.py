@@ -694,20 +694,23 @@ class Raystab2Stats:
 
 @dataclass
 class RaystabAccel2:
-    """Gen-2 acceleration structure (mip-level direction-space cubemaps).
+    """Gen-2/4 acceleration structure (mip-level direction-space cubemaps).
 
-    ``levels``: per cubemap level, a tuple of capacity classes
+    ``levels``: per cubemap level, a tuple of capacity classes — 5-tuples
     (rays [VC,8,128] with rows dx dy dz s0, coefs [VC,K,12] with rows
-    g0 g1 g2 c id, scatter [VC,128] int32 into a V+1 buffer). ``ov_dense``:
-    (rays [V/128,8,128], coefs [O,12]) for near-origin triangles, or None.
+    g0 g1 g2 c id, scatter [VC,128] int32 into a V+1 buffer, bounds
+    [VC/8, K/256] f32 chunk distance lower bounds or None, ntab [VC,K,12]
+    with rows n0 n1 n2 pad). ``ov_dense``: (rays [V/128,8,128],
+    coefs [O,12], ntab [O,12]) for near-origin triangles, or None.
 
     ``sort_keys``: per level, the int32 ray id of every kernel output slot
     (concatenated class streams + a filler for rays the level doesn't
     cover; padding slots get V). The query applies the slot->ray
-    permutation by SORTING (key, t, id) and slicing the first V rows —
-    measured 6x faster than an XLA gather and 25x faster than scatter for
-    this size. ``ftab`` [T+1, 18] packs (v0, e1, e2, n0, n1, n2) per
-    triangle so the finalize pass pays ONE row gather by winner id.
+    permutation by SORTING (key, t, id, channels) and slicing the first V
+    rows — measured 6x faster than an XLA gather and 25x faster than
+    scatter for this size. The gen-4 query needs nothing else: the fused
+    kernel finalizes the rgba channels in slot space
+    (raystab_pallas.stab_fold_extract2).
     """
 
     n: int
@@ -715,15 +718,6 @@ class RaystabAccel2:
     ov_dense: tuple | None
     stats: Raystab2Stats
     sort_keys: tuple = ()
-    ftab: jnp.ndarray | None = None
-    # per-voxel ray origins/directions, computed ONCE at build by the same
-    # jitted expressions the oracle uses (bit-preserving) — recomputing the
-    # [V,3] normalize inside every query burned ~0.8 ms at 64^3 (the
-    # trailing-3 AoS lane-waste pattern). Stored PLANAR [3, V] so the
-    # finalize pass reads contiguous component rows (a [V,3] column slice
-    # costs a relayout copy per query).
-    pos: jnp.ndarray | None = None
-    dirs: jnp.ndarray | None = None
 
 
 def _pow2cap(max_bin: int) -> int:
@@ -794,22 +788,13 @@ def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
     return jnp.concatenate([cf, pad_row]).astype(jnp.float32)
 
 
-@jax.jit
-def _finalize_table(verts_norm, tris, normals):
-    """Packed finalize table (v0 e1 e2 n0 n1 n2 + all-zero miss row); the
-    finalize pass pays ONE [V,18] row gather instead of eight separate
-    per-voxel gathers (measured 2.6 ms vs 27 ms at 64^3 on v5e)."""
-    v0_, e1_, e2_ = intersect.triangle_soup(verts_norm, tris)
-    ftab = jnp.concatenate(
-        [v0_, e1_, e2_, normals[tris[:, 0]], normals[tris[:, 1]],
-         normals[tris[:, 2]]], axis=-1,
-    ).astype(jnp.float32)
-    return jnp.concatenate([ftab, jnp.zeros((1, 18), jnp.float32)])
-
-
 def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
-                    tri_bounds=None, ncoef_h=None):
-    """Partition one level's rays into capacity classes of packed strips.
+                    ncoef_h, tri_bounds=None):
+    """Partition one level's rays into capacity classes of packed strips
+    -> 5-tuples (rays, coefs, scatter, bounds-or-None, ntab) per class.
+
+    ``ncoef_h`` [T+1, 12]: per-triangle normal rows (n0 n1 n2 pad) the
+    fused kernel extracts winner normals from; required.
 
     ``cell_ids``: per-cell candidate id arrays (rows of ``coef_h``; the
     merged-level build passes GLOBAL triangle ids, folding coarser cubemap
@@ -962,9 +947,9 @@ def build_raystab_accel2(
     """Build the gen-2 accel: bin each triangle at the finest cubemap level
     whose ``span``-cell rectangle covers its direction cone; only cones
     containing the origin fall through to the global list. ``normals`` are
-    baked into the finalize table — like the reference's AS, the accel is
-    built once per geometry (Voxelizer.cpp:264-326); deforming meshes
-    rebuild it.
+    baked into the per-class normal tables — like the reference's AS, the
+    accel is built once per geometry (Voxelizer.cpp:264-326); deforming
+    meshes rebuild it.
 
     ``gs`` (cubemap sizes, fine -> coarse) defaults by grid size: hi-res
     grids get finer top levels so rays-per-cell stays near one 128-lane
@@ -1008,16 +993,18 @@ def build_raystab_accel2(
         verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
     )
     dirs_d, s0_d = _ray_params(n)
-    ftab = _finalize_table(verts_norm, tris, normals)
-    coef_full, dirs_h, s0_h, ftab_h = jax.device_get(
-        (coef_d, dirs_d, s0_d, ftab)
+    coef_full, dirs_h, s0_h, norm_h, tris_h = jax.device_get(
+        (coef_d, dirs_d, s0_d, normals, tris)
     )
-    pad_row = coef_full[-1:]
     # per-triangle normal rows n0(3) n1(3) n2(3) pad(3) for the winner
-    # extraction kernel; values are ftab's own n columns (bit-identical to
-    # the oracle's normals[tris[:, k]] gathers), last row all-zero padding
+    # extraction kernel; raw vertex-normal gathers (pure memory movement,
+    # bit-identical to the oracle's normals[tris[:, k]]), last row
+    # all-zero padding
     ncoef_full = np.zeros((t_count + 1, 12), np.float32)
-    ncoef_full[:, :9] = ftab_h[:, 9:18]
+    for k in range(3):
+        ncoef_full[:t_count, 3 * k : 3 * k + 3] = (
+            norm_h[tris_h[:, k]].astype(np.float32)
+        )
 
     import contextlib
 
@@ -1140,9 +1127,6 @@ def build_raystab_accel2(
         parts.append(filler)
         sort_keys.append(jnp.asarray(np.concatenate(parts)))
 
-    pos, dirs = jax.jit(
-        lambda: tuple(a.T for a in voxel_rays(n))
-    )()
     return RaystabAccel2(
         n=n,
         levels=tuple(levels),
@@ -1151,9 +1135,6 @@ def build_raystab_accel2(
             levels=tuple(stat_levels), near_origin=int(sub_ids.size)
         ),
         sort_keys=tuple(sort_keys),
-        ftab=ftab,
-        pos=pos,
-        dirs=dirs,
     )
 
 
@@ -1241,17 +1222,15 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
                      "rule"),
 )
 def _raystab_query2(
-    ftab, levels, sort_keys, ov_dense, n: int, threshold: float,
+    levels, sort_keys, ov_dense, n: int, threshold: float,
     ks: tuple, ov_k: int, t_count: int, interpret: bool,
-    rule: str = "backface", pos=None, dirs=None,
+    rule: str = "backface",
 ):
-    """One-dispatch gen-3 query: stream kernels (fold + extract-finalize)
-    -> sort-merge -> channel assembly.
+    """One-dispatch gen-4 query: fused stream kernels (fold + extract +
+    in-slot finalize) -> sort-merge -> channel assembly.
 
-    The rgba channels arrive finished from the extraction kernel; here we
-    only select the cross-level winner per ray and reshape. ``ftab``/
-    ``pos``/``dirs`` are unused by the gen-3 path (kept for API compat)."""
-    del ftab, pos, dirs
+    The rgba channels arrive finished from the fused kernel; here we only
+    select the cross-level winner per ray and reshape."""
     _, _, nx, ny, nz, a = _merge_winners2(
         levels, sort_keys, ov_dense, n, ks, ov_k, t_count, threshold, rule,
         interpret
@@ -1273,8 +1252,8 @@ def raystab_query2(
     radial oracle (ops/voxelize_ref.voxelize_raystab_radial_ref).
 
     ``verts_norm``/``normals`` must be the geometry the accel was built
-    from (the coefficient tables and finalize table are baked in — the
-    DXR-analog contract: rebuild the AS when geometry changes).
+    from (the coefficient and normal tables are baked in — the DXR-analog
+    contract: rebuild the AS when geometry changes).
     """
     del verts_norm, normals  # baked into the accel (kept for API parity)
     ks = tuple(
@@ -1282,9 +1261,9 @@ def raystab_query2(
     )
     ov_k = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
     return _raystab_query2(
-        accel.ftab, accel.levels, accel.sort_keys, accel.ov_dense,
+        accel.levels, accel.sort_keys, accel.ov_dense,
         accel.n, threshold, ks, ov_k, int(tris.shape[0]), interpret,
-        rule=rule, pos=accel.pos, dirs=accel.dirs,
+        rule=rule,
     )
 
 

@@ -90,9 +90,9 @@ def main() -> int:
     # Pallas outputs are safe to scalar-consume (opaque custom-calls).
     def full_body(carry, _):
         occ, rgba = _raystab_query2(
-            accel.ftab + carry * 1e-38, perturb(accel.levels, carry),
+            perturb(accel.levels, carry),
             accel.sort_keys, perturb(accel.ov_dense, carry), n, 0.12,
-            ks, ovk, tc, False, pos=accel.pos, dirs=accel.dirs,
+            ks, ovk, tc, False,
         )
         return (jnp.sum(rgba * 1e-38)
                 + jnp.sum(occ).astype(jnp.float32) * 1e-38), None

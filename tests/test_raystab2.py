@@ -270,5 +270,30 @@ def test_fused_fold_matches_standalone_fold():
             assert bool((np.asarray(i_ref) == np.asarray(i_f)).all())
             a = np.asarray(ns[:, 3, :])
             assert set(np.unique(a)) <= {0.0, 1.0}
+            # recompute the finished channels from the tables per hit lane
+            # (numpy; tolerance covers FMA contraction vs the kernel)
+            tn, iN, nsn = (np.asarray(t_f), np.asarray(i_f), np.asarray(ns))
+            rn, cf, nt = (np.asarray(rays), np.asarray(coefs),
+                          np.asarray(ntab))
+            hits = np.argwhere(np.isfinite(tn) & (tn > -np.inf)
+                               & (iN < tc))
+            rng_idx = hits[:: max(1, len(hits) // 64)][:64]
+            for ci, lane in rng_idx:
+                d = rn[ci, 0:3, lane]
+                row = np.where(cf[ci, :, 10] == iN[ci, lane])[0]
+                assert len(row) == 1
+                g9 = cf[ci, row[0], 0:9]
+                n9 = nt[ci, row[0], 0:9]
+                w = np.array([d @ g9[0:3], d @ g9[3:6], d @ g9[6:9]])
+                den = w.sum()
+                nsv = (w[:, None] * n9.reshape(3, 3)).sum(0) / den
+                nsv = nsv / max(np.linalg.norm(nsv), 1e-20)
+                inside = (nsv @ d) > 0.12
+                got = nsn[ci, :, lane]
+                if inside:
+                    np.testing.assert_allclose(got[0:3], nsv, atol=2e-5)
+                    assert got[3] == 1.0
+                else:
+                    assert (got == 0.0).all()
             checked_multichunk |= k > 256 and bounds is not None
     assert checked_multichunk  # fixture must cover the skip branch
