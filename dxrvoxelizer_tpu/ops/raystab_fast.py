@@ -1140,7 +1140,7 @@ def build_raystab_accel2(
 
 def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
                     ov_k: int, t_count: int, threshold: float, rule: str,
-                    interpret: bool):
+                    interpret: bool, run_class=None):
     """Stream kernels + in-slot finalize + sort-merge -> per-ray
     (best_t, best_i, nx, ny, nz, a) with (nx, ny, nz, a) FINISHED rgba
     channels (normalized winner normal masked by the inside rule).
@@ -1157,6 +1157,16 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
     262k rays)."""
     from dxrvoxelizer_tpu.ops.raystab_pallas import stab_fold_extract2
 
+    if run_class is None:
+        # single-device: direct fused-kernel dispatch. parallel/
+        # raystab_shard.py passes a shard_map-wrapped runner instead
+        # (same kernel, strip axis sharded over the device mesh).
+        def run_class(rays, coefs, ntab, k, bounds, shared):
+            return stab_fold_extract2(
+                rays, coefs, ntab, k, t_count, threshold, rule=rule,
+                shared=shared, interpret=interpret, bounds=bounds,
+            )
+
     v = n * n * n
     big = jnp.int32(2**30)
     best_t = jnp.full((v,), jnp.inf, jnp.float32)
@@ -1170,10 +1180,7 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
         tparts, iparts = [], []
         nparts = [[], [], [], []]
         for (rays, coefs, scatter, bounds, ntab), k in zip(level, level_ks):
-            t_c, i_c, ns = stab_fold_extract2(
-                rays, coefs, ntab, k, t_count, threshold, rule=rule,
-                interpret=interpret, bounds=bounds,
-            )
+            t_c, i_c, ns = run_class(rays, coefs, ntab, k, bounds, False)
             tparts.append(t_c.reshape(-1))
             iparts.append(i_c.reshape(-1))
             for j in range(4):
@@ -1200,10 +1207,8 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
 
     if ov_dense is not None:
         rays_ov, cf_ov, nf_ov = ov_dense
-        t_ov, i_ov, ns_ov = stab_fold_extract2(
-            rays_ov, cf_ov, nf_ov, ov_k, t_count, threshold, rule=rule,
-            shared=True, interpret=interpret,
-        )
+        t_ov, i_ov, ns_ov = run_class(rays_ov, cf_ov, nf_ov, ov_k, None,
+                                      True)
         t_ov = t_ov.reshape(-1)  # natural ray order already
         i_ov = i_ov.reshape(-1)
         closer = (t_ov < best_t) | ((t_ov == best_t) & (i_ov < best_i))

@@ -34,8 +34,10 @@ FRAME_COUNT = 3  # matches core.pipeline (Voxelizer.h:24)
 class ShardedFramePipeline:
     """FramePipeline-compatible multi-chip frame loop.
 
-    Supports the production configuration: parity inside-test + shear-warp
-    renderer. The voxelize stage re-bins fully on device every frame
+    Supports the shear-warp renderer with either inside test: parity
+    (queue voxelize, deforming-capable) or raystab (strip-sharded gen-4
+    query over an init-built accel — parallel/raystab_shard.py).
+    In parity mode the voxelize stage re-bins fully on device every frame
     (deforming meshes work by swapping ``self.mesh`` — fixed topology, like
     ops/voxelize_queue.DeformingVoxelizer), so ``frame`` issues zero host
     syncs after warmup.
@@ -45,10 +47,15 @@ class ShardedFramePipeline:
                  vox_impl: str = "auto", render_impl: str = "warp",
                  deforming: bool = False, k_chunk: int = 64,
                  interpret: bool | None = None):
-        if cfg.inside_mode != "parity":
+        if cfg.inside_mode not in ("parity", "raystab"):
             raise ValueError(
-                "-chips supports the parity inside mode only "
+                "-chips supports the parity and raystab inside modes "
                 f"(got {cfg.inside_mode!r})"
+            )
+        if cfg.inside_mode == "raystab" and deforming:
+            raise ValueError(
+                "-chips raystab requires static geometry (the accel is "
+                "built once, like the reference's AS — Voxelizer.cpp:264)"
             )
         if render_impl not in ("warp", "fast", "auto"):
             raise ValueError(
@@ -74,25 +81,52 @@ class ShardedFramePipeline:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
         # per-device queue capacity from the rest mesh (deformation head-
-        # room absorbed by the DeformingVoxelizer sizing rule)
-        self.num_chunks_cap = queue_capacity(
-            mesh_buffers.positions_norm, mesh_buffers.tris,
-            cfg.grid_size, chips, k_chunk=k_chunk,
-            headroom=1.5 if deforming else 1.1,
-        )
+        # room absorbed by the DeformingVoxelizer sizing rule); parity only
+        self.num_chunks_cap = None
+        if cfg.inside_mode == "parity":
+            self.num_chunks_cap = queue_capacity(
+                mesh_buffers.positions_norm, mesh_buffers.tris,
+                cfg.grid_size, chips, k_chunk=k_chunk,
+                headroom=1.5 if deforming else 1.1,
+            )
         self._frames: dict[tuple, object] = {}  # statics -> compiled frame
         self._clear = jnp.asarray(np.array(cfg.clear_color, np.float32))
         self._inflight: list[jax.Array] = []
+        self.accel = None
+        if cfg.inside_mode == "raystab":
+            # init-built AS, strip-sharded per-frame re-trace
+            # (parallel/raystab_shard.py)
+            from dxrvoxelizer_tpu.ops.raystab_fast import (
+                build_raystab_accel2,
+            )
+
+            self.accel = build_raystab_accel2(
+                mesh_buffers.positions_norm, mesh_buffers.tris,
+                mesh_buffers.normals, cfg.grid_size,
+            )
 
     def _frame_fn(self, statics: tuple):
         fn = self._frames.get(statics)
         if fn is None:
-            fn = sharded_frame_fast(
-                self.device_mesh, self.cfg.grid_size, self.cfg.width,
-                self.cfg.height, int(self.mesh.tris.shape[0]),
-                num_chunks_cap=self.num_chunks_cap, k_chunk=self.k_chunk,
-                interpret=self.interpret, statics=statics,
-            )
+            if self.accel is not None:
+                from dxrvoxelizer_tpu.parallel.raystab_shard import (
+                    sharded_frame_raystab,
+                )
+
+                fn = sharded_frame_raystab(
+                    self.device_mesh, self.accel,
+                    int(self.mesh.tris.shape[0]), self.cfg.grid_size,
+                    self.cfg.width, self.cfg.height, statics,
+                    threshold=self.cfg.inside_threshold,
+                    interpret=self.interpret,
+                )
+            else:
+                fn = sharded_frame_fast(
+                    self.device_mesh, self.cfg.grid_size, self.cfg.width,
+                    self.cfg.height, int(self.mesh.tris.shape[0]),
+                    num_chunks_cap=self.num_chunks_cap, k_chunk=self.k_chunk,
+                    interpret=self.interpret, statics=statics,
+                )
             self._frames[statics] = fn
         return fn
 

@@ -1,0 +1,228 @@
+"""Multi-chip ray-stab query — the DispatchRays analog sharded over ICI.
+
+The gen-4 query (ops/raystab_fast) streams per-class strip blocks through
+one fused Pallas kernel; strips are independent, so the kernel's leading
+strip axis shards cleanly over a 1-D device mesh: each chip folds 1/N of
+every capacity class (and of the shared overflow pass), then the cheap
+sort-merge runs on the gathered winner streams. Per-frame cross-chip
+traffic is the winner streams themselves (t, id, 4 channels — ~9 MB at
+64^3), riding the all-gathers GSPMD inserts between the shard_map region
+and the replicated sort.
+
+Strip counts are padded per class to a multiple of 8 x n_devices inside
+the wrapper (no accel-build changes): all-zero ray strips are inert by the
+kernel's own padding contract (zero direction rows -> t = -inf, id = BIG,
+zero channels) and their output slots are sliced off before the sort, so
+the sharded query is bit-identical to the single-device one.
+
+The reference app is single-GPU (SURVEY.md section 2c); this is the
+TPU-native scale-out of its DispatchRays(64, 64*64, 1) voxelize dispatch
+(Voxelizer.cpp:367-368).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dxrvoxelizer_tpu.ops.raystab_fast import (
+    INSIDE_THRESHOLD,
+    RaystabAccel2,
+    _merge_winners2,
+)
+from dxrvoxelizer_tpu.ops.raystab_pallas import (
+    CELLS_PER_STEP,
+    stab_fold_extract2,
+)
+
+
+def _pad_lead(x, c_pad: int, fill: float = 0.0):
+    c = x.shape[0]
+    if c == c_pad:
+        return x
+    pad = jnp.full((c_pad - c,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def _make_run_class(mesh: Mesh, t_count: int, threshold: float, rule: str,
+                    interpret: bool):
+    """A shard_map-wrapped class runner for _merge_winners2.
+
+    Pads the strip axis to 8 x n_devices, shards it, and slices the
+    padding back off. Padded coef/ntab rows are zeros with id 0; padded
+    strips' lanes carry winner id BIG, which matches no zero-id row, so
+    their channels stay exactly zero (and are sliced off regardless).
+    Padded bounds rows are +inf so the kernel skips every chunk for them.
+    """
+    (axis,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    unit = CELLS_PER_STEP * n_dev
+
+    def run_class(rays, coefs, ntab, k, bounds, shared):
+        c = rays.shape[0]
+        c_pad = -(-c // unit) * unit
+        rays_p = _pad_lead(rays, c_pad)
+        kern = partial(
+            stab_fold_extract2, k=k, t_count=t_count, threshold=threshold,
+            rule=rule, shared=shared, interpret=interpret,
+        )
+        if shared:
+            fn = jax.shard_map(
+                lambda r, cf, nt: kern(r, cf, nt),
+                mesh=mesh,
+                in_specs=(P(axis), P(), P()),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+            t, i, ns = fn(rays_p, coefs, ntab)
+        elif bounds is not None:
+            fn = jax.shard_map(
+                lambda r, cf, nt, b: kern(r, cf, nt, bounds=b),
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+            t, i, ns = fn(
+                rays_p, _pad_lead(coefs, c_pad), _pad_lead(ntab, c_pad),
+                _pad_lead(bounds, c_pad, fill=jnp.inf),  # [C, k_steps]
+            )
+        else:
+            fn = jax.shard_map(
+                lambda r, cf, nt: kern(r, cf, nt),
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+            t, i, ns = fn(
+                rays_p, _pad_lead(coefs, c_pad), _pad_lead(ntab, c_pad)
+            )
+        return t[:c], i[:c], ns[:c]
+
+    return run_class
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "threshold", "ks", "ov_k", "t_count", "interpret",
+                     "rule", "mesh"),
+)
+def _sharded_query2(
+    levels, sort_keys, ov_dense, n: int, threshold: float, ks: tuple,
+    ov_k: int, t_count: int, interpret: bool, rule: str, mesh: Mesh,
+):
+    rep = NamedSharding(mesh, P())
+    levels, sort_keys, ov_dense = jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, rep),
+        (levels, sort_keys, ov_dense),
+    )
+    run_class = _make_run_class(mesh, t_count, threshold, rule, interpret)
+    _, _, nx, ny, nz, a = _merge_winners2(
+        levels, sort_keys, ov_dense, n, ks, ov_k, t_count, threshold, rule,
+        interpret, run_class=run_class,
+    )
+    rgba = jnp.stack([nx, ny, nz, a], axis=-1)
+    return (a != 0.0).reshape(n, n, n), rgba.reshape(n, n, n, 4)
+
+
+def raystab_query2_sharded(
+    verts_norm: jnp.ndarray,
+    normals: jnp.ndarray,
+    tris: jnp.ndarray,
+    accel: RaystabAccel2,
+    mesh: Mesh,
+    threshold: float = INSIDE_THRESHOLD,
+    interpret: bool = False,
+    rule: str = "backface",
+):
+    """Multi-chip gen-4 trace -> (occupancy, rgba), bit-identical to
+    :func:`~dxrvoxelizer_tpu.ops.raystab_fast.raystab_query2`.
+
+    ``mesh``: a 1-D device mesh (parallel.make_device_mesh). The geometry
+    args must be what the accel was built from (DXR-analog contract).
+    """
+    del verts_norm, normals
+    ks = tuple(
+        tuple(int(c[1].shape[1]) for c in level) for level in accel.levels
+    )
+    ov_k = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+    return _sharded_query2(
+        accel.levels, accel.sort_keys, accel.ov_dense, accel.n, threshold,
+        ks, ov_k, int(tris.shape[0]), interpret, rule, mesh,
+    )
+
+
+def sharded_frame_raystab(
+    mesh: Mesh,
+    accel: RaystabAccel2,
+    t_count: int,
+    n: int,
+    width: int,
+    height: int,
+    statics: tuple,
+    threshold: float = INSIDE_THRESHOLD,
+    interpret: bool = False,
+):
+    """Multi-chip raystab frame: sharded DispatchRays + band-sharded render.
+
+    Returns ``frame(verts_norm, tris, s2l, eye, light, clear) -> image``
+    (same signature as shard.sharded_frame_fast; the geometry args are
+    accepted for pipeline symmetry — the accel bakes the geometry, like
+    the reference's init-built AS, Voxelizer.cpp:264-326). Per frame: the
+    strip-sharded gen-4 query re-traces every voxel ray, the winner rgba
+    is R10G10B10A2-quantized (the reference grid format), and each device
+    shear-warps its horizontal screen band from the replicated density.
+    """
+    from dxrvoxelizer_tpu.ops import raymarch_warp as rw
+    from dxrvoxelizer_tpu.ops.packing import quantize_r10g10b10a2
+
+    (axis,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    assert height % n_dev == 0, f"height {height} not divisible by {n_dev}"
+    band = height // n_dev
+    waxis, wflip, wswap, m, res_win, l_axis, l_flip = statics
+    ks = tuple(
+        tuple(int(c[1].shape[1]) for c in level) for level in accel.levels
+    )
+    ov_k = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+
+    def render_band(density, s2l, eye, light, clear):
+        d = jax.lax.axis_index(axis)
+        lv = rw.light_sweep(density, light, n, l_axis, l_flip)
+        return rw._shearwarp_core(
+            density, lv, s2l, eye, clear, n, m, width, band,
+            waxis, wflip, wswap, not interpret, res_win=res_win,
+            y_off=(d * band).astype(jnp.float32).reshape(()),
+        )
+
+    render = jax.shard_map(
+        render_band,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def frame(verts_norm, tris, s2l, eye, light, clear):
+        del verts_norm, tris  # baked into the accel
+        s2l, eye, light, clear = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep),
+            (s2l, eye, light, clear),
+        )
+        _, rgba = _sharded_query2(
+            accel.levels, accel.sort_keys, accel.ov_dense, n,
+            float(threshold), ks, ov_k, t_count, interpret, "backface",
+            mesh,
+        )
+        density = quantize_r10g10b10a2(rgba)[..., 3]
+        return render(density, s2l, eye, light, clear)
+
+    return frame

@@ -181,3 +181,82 @@ def test_sharded_pipeline_full_orbit_matches_single_chip():
     # the orbit must have crossed at least one major-axis boundary and the
     # per-orientation cache must have handled each rebuild
     assert len(sharded._frames) >= 2
+
+
+def test_sharded_raystab_query_bitexact_vs_single_device():
+    """The strip-sharded gen-4 query (parallel/raystab_shard.py) must be
+    bit-identical to the single-device raystab_query2 — padding strips are
+    inert and sliced off, the kernel math per strip is untouched. The
+    dense-cone fixture exercises multi-chunk classes with skip bounds
+    under the sharding."""
+    from dxrvoxelizer_tpu.ops.raystab_fast import (
+        build_raystab_accel2,
+        raystab_query2,
+    )
+    from dxrvoxelizer_tpu.parallel.raystab_shard import (
+        raystab_query2_sharded,
+    )
+    from tests.meshes import icosphere_mesh
+
+    v_np, n_np, t_np = icosphere_mesh(3, radius=0.08,
+                                      center=(0.5, 0.3, -0.4))
+    v, nr, t = (jnp.asarray(v_np), jnp.asarray(n_np), jnp.asarray(t_np))
+    n = 16
+    accel = build_raystab_accel2(v, t, nr, n=n)
+    occ1, rgba1 = raystab_query2(v, nr, t, accel, interpret=True)
+    mesh = make_device_mesh(8)
+    occ8, rgba8 = raystab_query2_sharded(
+        v, nr, t, accel, mesh, interpret=True
+    )
+    assert bool((np.asarray(occ8) == np.asarray(occ1)).all())
+    assert bool((np.asarray(rgba8) == np.asarray(rgba1)).all())
+
+
+def test_sharded_raystab_frame_matches_single_device_image():
+    """Full multi-chip raystab frame (sharded DispatchRays + band-sharded
+    shear-warp) must reproduce the single-device raystab frame image."""
+    from dxrvoxelizer_tpu.models.camera import OrbitCamera
+    from dxrvoxelizer_tpu.ops import raymarch_warp as rw
+    from dxrvoxelizer_tpu.ops.packing import quantize_r10g10b10a2
+    from dxrvoxelizer_tpu.ops.raystab_fast import (
+        build_raystab_accel2,
+        raystab_query2,
+    )
+    from dxrvoxelizer_tpu.parallel.raystab_shard import sharded_frame_raystab
+    from dxrvoxelizer_tpu.parallel.shard import frame_statics
+    from tests.meshes import icosphere_mesh
+    from tests.test_raymarch import _frame_consts
+
+    n, w, h = 16, 48, 32
+    v_np, n_np, t_np = icosphere_mesh(2)
+    v, nr, t = (jnp.asarray(v_np), jnp.asarray(n_np), jnp.asarray(t_np))
+    accel = build_raystab_accel2(v, t, nr, n=n)
+    s2l, eye_l, light_l = _frame_consts(w, h)
+
+    class _C:
+        screen_to_local = np.asarray(s2l)
+        local_space_eye_pt = np.asarray(eye_l)
+        local_space_light_pt = np.asarray(light_l)
+
+    statics = frame_statics(_C, w, h)
+    mesh = make_device_mesh(8)
+    frame = sharded_frame_raystab(
+        mesh, accel, int(t.shape[0]), n, w, h, statics, interpret=True
+    )
+    img8 = np.asarray(frame(
+        v, t, jnp.asarray(s2l), jnp.asarray(eye_l), jnp.asarray(light_l),
+        jnp.asarray(CLEAR),
+    ))
+
+    # single-device reference: same query + same warp statics
+    _, rgba = raystab_query2(v, nr, t, accel, interpret=True)
+    density = quantize_r10g10b10a2(rgba)[..., 3]
+    waxis, wflip, wswap, m, res_win, l_axis, l_flip = statics
+    lv = rw.light_sweep(density, jnp.asarray(light_l), n, l_axis, l_flip)
+    img1 = np.asarray(rw._shearwarp_core(
+        density, lv, jnp.asarray(s2l), jnp.asarray(eye_l),
+        jnp.asarray(CLEAR), n, m, w, h, waxis, wflip, wswap, False,
+        res_win=res_win, y_off=jnp.float32(0.0),
+    ))
+    assert img8.shape == img1.shape
+    np.testing.assert_allclose(img8, img1, atol=2e-6)
