@@ -260,3 +260,30 @@ def test_sharded_raystab_frame_matches_single_device_image():
     ))
     assert img8.shape == img1.shape
     np.testing.assert_allclose(img8, img1, atol=2e-6)
+
+
+def test_sharded_pipeline_raystab_contracts():
+    """-chips raystab rejects deforming (the accel is init-built, like the
+    reference AS) and unknown inside modes reject with a clear error."""
+    import pytest
+
+    from dxrvoxelizer_tpu.models.mesh import MeshBuffers
+    from dxrvoxelizer_tpu.parallel.pipeline import ShardedFramePipeline
+    from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
+    from dxrvoxelizer_tpu.utils.objloader import ObjMesh
+    from tests.meshes import tetrahedron_mesh
+
+    verts, normals, tris = tetrahedron_mesh()
+    buffers = MeshBuffers.from_obj(ObjMesh(
+        positions=verts, normals=normals,
+        indices=tris.reshape(-1).astype(np.int32),
+        aabb_min=verts.min(0), aabb_max=verts.max(0),
+    ))
+    cfg = VoxelizerConfig(grid_size=16, width=32, height=32,
+                          inside_mode="raystab")
+    with pytest.raises(ValueError, match="static geometry"):
+        ShardedFramePipeline(cfg, buffers, chips=8, deforming=True)
+    cfg_bad = VoxelizerConfig(grid_size=16, width=32, height=32,
+                              inside_mode="nonsense")
+    with pytest.raises(ValueError, match="parity and raystab"):
+        ShardedFramePipeline(cfg_bad, buffers, chips=8)
