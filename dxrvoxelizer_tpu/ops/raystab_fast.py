@@ -60,19 +60,31 @@ class RadialBinStats:
 
 
 def _dir_cells_host(d: np.ndarray, g: int) -> np.ndarray:
-    """Direction [V,3] -> cubemap cell id [V] (host, float64 for stability)."""
-    d = np.asarray(d, np.float64)
-    ad = np.abs(d)
-    a = np.argmax(ad, axis=-1)
-    i = np.arange(d.shape[0])
-    da = d[i, a]
-    f = 2 * a + (da < 0)
-    b, c = _OTHERS[a, 0], _OTHERS[a, 1]
-    u = d[i, b] / np.abs(da)
-    v = d[i, c] / np.abs(da)
-    iu = np.clip(((u + 1.0) * 0.5 * g).astype(np.int64), 0, g - 1)
-    iv = np.clip(((v + 1.0) * 0.5 * g).astype(np.int64), 0, g - 1)
-    return (f * g * g + iu * g + iv).astype(np.int64)
+    """Direction [V,3] -> cubemap cell id [V] (host).
+
+    Scale-invariant (u = d_b / |d_a|), so callers may pass UNNORMALIZED
+    direction proxies (e.g. raw voxel centers). f32 single-pass math: a
+    boundary ray can land one cell over vs exact arithmetic, which is safe
+    — the triangle cone binning pads every rectangle by a 1e-4 rad guard
+    (_cone_keys) that dwarfs f32 rounding, so each ray's candidate list
+    stays a conservative superset wherever it lands. (The f64
+    normalize-then-index version of this took 46 s of the 100 s 256^3
+    accel build on the host.)
+    """
+    d = np.asarray(d, np.float32)
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    # np.argmax's first-max tie rule, branchless
+    a = np.where(ax >= ay, np.where(ax >= az, 0, 2),
+                 np.where(ay >= az, 1, 2)).astype(np.int8)
+    da = np.where(a == 0, x, np.where(a == 1, y, z))
+    db = np.where(a == 0, y, x)  # _OTHERS[a, 0]
+    dc = np.where(a == 2, y, z)  # _OTHERS[a, 1]
+    f = 2 * a.astype(np.int64) + (da < 0)
+    ada = np.abs(da)
+    iu = np.clip(((db / ada + 1.0) * (0.5 * g)).astype(np.int64), 0, g - 1)
+    iv = np.clip(((dc / ada + 1.0) * (0.5 * g)).astype(np.int64), 0, g - 1)
+    return f * (g * g) + iu * g + iv
 
 
 @lru_cache(maxsize=8)
@@ -85,9 +97,9 @@ def ray_tables(n: int, g: int):
     cx, cy, cz = voxel_centers_norm(n)
     pos = np.stack(
         np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1
-    ).reshape(-1, 3).astype(np.float64)
-    dirs = pos / np.maximum(np.linalg.norm(pos, axis=-1, keepdims=True), 1e-20)
-    cells = _dir_cells_host(dirs, g)
+    ).reshape(-1, 3).astype(np.float32)
+    # _dir_cells_host is scale-invariant: no need to normalize 16.7M rays
+    cells = _dir_cells_host(pos, g)
     n_cells = 6 * g * g
     order = np.argsort(cells, kind="stable")
     sorted_cells = cells[order]
@@ -751,20 +763,29 @@ def _ray_params(n: int):
     return dirs, jnp.linalg.norm(pos, axis=-1)
 
 
-def _dense_rays_host(ray_table128, dirs_h, s0_h, n: int):
+def _pad_ray_params(dirs_h, s0_h):
+    """One shared zero-padded copy of (dirs, s0) for _dense_rays_host —
+    hoisted out so the 13-odd class assemblies at 256^3 don't each
+    re-concatenate the 200 MB direction table."""
+    dirs_p = np.concatenate([dirs_h, np.zeros((1, 3), np.float32)])
+    s0_p = np.concatenate([s0_h, np.zeros((1,), np.float32)])
+    return dirs_p, s0_p
+
+
+def _dense_rays_host(ray_table128, dirs_p, s0_p):
     """Assemble radial-row ray blocks [VC, 8, 128] in host numpy.
 
     Rows: dx dy dz s0 + 4 pad; padding slots (id -1) give d = 0, s0 = 0
-    -> den == 0 -> guaranteed miss. ``dirs_h``/``s0_h`` are host copies of
-    the device-computed values (bit-preserving round trip).
+    -> den == 0 -> guaranteed miss. ``dirs_p``/``s0_p`` are the PADDED
+    host copies from :func:`_pad_ray_params` (device-computed values,
+    bit-preserving round trip).
     """
-    v = n * n * n
+    v = dirs_p.shape[0] - 1
     idx = np.where(ray_table128 >= 0, ray_table128, v)
-    dirs_p = np.concatenate([dirs_h, np.zeros((1, 3), np.float32)])
-    s0_p = np.concatenate([s0_h, np.zeros((1,), np.float32)])
     vc = ray_table128.shape[0]
     rows = np.zeros((vc, 8, 128), np.float32)
-    rows[:, 0:3, :] = dirs_p[idx].transpose(0, 2, 1)
+    for k in range(3):  # per-component gather: contiguous writes, no
+        rows[:, k, :] = dirs_p[:, k][idx]  # [VC,128,3]-transpose copy
     rows[:, 3, :] = s0_p[idx]
     return rows
 
@@ -788,7 +809,7 @@ def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
     return jnp.concatenate([cf, pad_row]).astype(jnp.float32)
 
 
-def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
+def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
                     ncoef_h, tri_bounds=None):
     """Partition one level's rays into capacity classes of packed strips
     -> 5-tuples (rays, coefs, scatter, bounds-or-None, ntab) per class.
@@ -858,7 +879,7 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
             # chunk_R_min - max(s0 over the strip's lanes), so radius-band
             # strips keep the bound tight for near-origin strips instead
             # of every strip inheriting the cell's farthest voxel
-            full = full[np.argsort(s0_h[full], kind="stable")]
+            full = full[np.argsort(s0_p[full], kind="stable")]
             for s in range(0, nray, 128):
                 seg = full[s : s + 128]
                 if seg.shape[0] == 128:
@@ -892,24 +913,24 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
         if sel.size == 0:
             continue
         sel = sel[np.argsort(-sizes[sel], kind="stable")]
-        rt_rows = []
-        tab_rows = []
-        for i in sel:
-            rays_p, ids_p = packs[i]
-            row = np.full((128,), -1, np.int32)
-            row[: rays_p.shape[0]] = rays_p
-            rt_rows.append(row)
-            tr = np.full((k,), -1, np.int64)
-            tr[: ids_p.shape[0]] = ids_p
-            tab_rows.append(tr)
-        vc = len(rt_rows)
-        pad = (-vc) % CELLS_PER_STEP
-        for _ in range(pad):
-            rt_rows.append(np.full((128,), -1, np.int32))
-            tab_rows.append(np.full((k,), -1, np.int64))
-        rt128 = np.stack(rt_rows)
+        # vectorized row assembly: row-major boolean-mask fill == the
+        # per-row loop this replaces (same order, same padding)
+        vc = sel.size
+        vc_pad = vc + (-vc) % CELLS_PER_STEP
+        ray_lens = np.array(
+            [packs[i][0].shape[0] for i in sel], np.int64
+        )
+        rt128 = np.full((vc_pad, 128), -1, np.int32)
+        rt128[:vc][np.arange(128)[None, :] < ray_lens[:, None]] = (
+            np.concatenate([packs[i][0] for i in sel])
+            if vc else np.zeros((0,), np.int32)
+        )
+        tab = np.full((vc_pad, k), -1, np.int64)
+        tab[:vc][np.arange(k)[None, :] < sizes[sel][:, None]] = (
+            np.concatenate([packs[i][1] for i in sel])
+            if vc else np.zeros((0,), np.int64)
+        )
         sc128 = np.where(rt128 >= 0, rt128, v).astype(np.int32)
-        tab = np.stack(tab_rows)
         coefs = coef_h[np.where(tab >= 0, tab, coef_h.shape[0] - 1)]
         bounds_dev = None
         if tri_bounds is not None and k > 256:
@@ -919,13 +940,13 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_h, s0_h, n,
             tb = np.where(tab >= 0, tri_bounds[np.maximum(tab, 0)], np.inf)
             chunk_lo = tb[:, ::256]  # [rows, k//256]
             idx = np.where(rt128 >= 0, rt128, 0)
-            s0m = np.where(rt128 >= 0, s0_h[idx], 0.0).max(axis=1)
+            s0m = np.where(rt128 >= 0, s0_p[idx], 0.0).max(axis=1)
             bounds_dev = jnp.asarray(
                 np.maximum(chunk_lo - s0m[:, None], 0.0).astype(np.float32)
             )
         ntab = ncoef_h[np.where(tab >= 0, tab, ncoef_h.shape[0] - 1)]
         classes.append((
-            jnp.asarray(_dense_rays_host(rt128, dirs_h, s0_h, n)),
+            jnp.asarray(_dense_rays_host(rt128, dirs_p, s0_p)),
             jnp.asarray(coefs),
             jnp.asarray(sc128),
             bounds_dev,
@@ -996,6 +1017,7 @@ def build_raystab_accel2(
     coef_full, dirs_h, s0_h, norm_h, tris_h = jax.device_get(
         (coef_d, dirs_d, s0_d, normals, tris)
     )
+    dirs_p, s0_p = _pad_ray_params(dirs_h, s0_h)
     # per-triangle normal rows n0(3) n1(3) n2(3) pad(3) for the winner
     # extraction kernel; raw vertex-normal gathers (pure memory movement,
     # bit-identical to the oracle's normals[tris[:, k]]), last row
@@ -1066,7 +1088,7 @@ def build_raystab_accel2(
         tri_bounds = np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
         ray_table, _ = ray_tables(n, g_fine)
         cls, sc_host, total_vc = _level_classes2(
-            merged, ray_table, coef_full, dirs_h, s0_h, n,
+            merged, ray_table, coef_full, dirs_p, s0_p, n,
             tri_bounds=tri_bounds, ncoef_h=ncoef_full,
         )
     levels.append(tuple(cls))
@@ -1104,7 +1126,7 @@ def build_raystab_accel2(
             (ids >= 0)[:, None], ncoef_full[:-1][np.maximum(ids, 0)], 0.0
         ).astype(np.float32)
         ov_dense = (
-            jnp.asarray(_dense_rays_host(all_rays, dirs_h, s0_h, n)),
+            jnp.asarray(_dense_rays_host(all_rays, dirs_p, s0_p)),
             jnp.asarray(cf_ov),
             jnp.asarray(nf_ov),
         )
