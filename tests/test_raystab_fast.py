@@ -119,3 +119,34 @@ def test_pallas_query_matches_oracle(name):
     )
     assert (np.asarray(occ_r) == np.asarray(occ_p)).all()
     np.testing.assert_array_equal(np.asarray(rgba_r), np.asarray(rgba_p))
+
+
+def test_dir_cells_host_matches_argmax_reference_and_scale():
+    """The branchless f32 cell assignment keeps np.argmax's first-max tie
+    rule and is scale-invariant (callers pass unnormalized voxel centers)."""
+    import numpy as np
+
+    from dxrvoxelizer_tpu.ops.raystab_fast import _OTHERS, _dir_cells_host
+
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal((50000, 3)).astype(np.float32)
+    d[:2000, 0] = d[:2000, 1]  # x/y axis ties
+    d[2000:4000, 1] = d[2000:4000, 2]  # y/z ties
+    d[4000:5000] = np.abs(d[4000:5000])  # positive octant
+    for g in (4, 32):
+        got = _dir_cells_host(d, g)
+        # reference: literal argmax/fancy-index formulation (f32)
+        ad = np.abs(d)
+        a = np.argmax(ad, axis=-1)
+        i = np.arange(d.shape[0])
+        da = d[i, a]
+        f = 2 * a + (da < 0)
+        u = d[i, _OTHERS[a, 0]] / np.abs(da)
+        v = d[i, _OTHERS[a, 1]] / np.abs(da)
+        iu = np.clip(((u + 1.0) * (0.5 * g)).astype(np.int64), 0, g - 1)
+        iv = np.clip(((v + 1.0) * (0.5 * g)).astype(np.int64), 0, g - 1)
+        ref = f * g * g + iu * g + iv
+        assert (got == ref).all()
+        # scale invariance under power-of-two scales (exact in f32)
+        s = np.float32(2.0) ** rng.integers(-2, 3, size=(d.shape[0], 1))
+        assert (_dir_cells_host(d * s.astype(np.float32), g) == got).all()
