@@ -189,6 +189,25 @@ def voxelize(
     return VoxelGrid(words=words, rgba=rgba)
 
 
+def _stab_accel_for(cfg, mesh):
+    """The gen-2/4 accel for (cfg, mesh), through the on-disk cache when
+    ``cfg.accel_cache`` (the reference ships precompiled pipeline blobs;
+    utils/accel_cache.py is the AS-analog of that)."""
+    if getattr(cfg, "accel_cache", True):
+        from dxrvoxelizer_tpu.utils.accel_cache import (
+            cached_build_raystab_accel2,
+        )
+
+        return cached_build_raystab_accel2(
+            mesh.positions_norm, mesh.tris, mesh.normals, cfg.grid_size
+        )
+    from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel2
+
+    return build_raystab_accel2(
+        mesh.positions_norm, mesh.tris, mesh.normals, cfg.grid_size
+    )
+
+
 def _pallas_ok(n: int) -> bool:
     if n % voxelize_pallas.TILE != 0:
         return False
@@ -295,14 +314,7 @@ class FramePipeline:
                     self.cfg.grid_size,
                 )
             else:
-                from dxrvoxelizer_tpu.ops.raystab_fast import (
-                    build_raystab_accel2,
-                )
-
-                self._stab_accel = build_raystab_accel2(
-                    self.mesh.positions_norm, self.mesh.tris,
-                    self.mesh.normals, self.cfg.grid_size,
-                )
+                self._stab_accel = _stab_accel_for(self.cfg, self.mesh)
             self._stab_mesh = self.mesh
         return self._stab_accel
 

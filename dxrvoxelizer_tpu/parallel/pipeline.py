@@ -95,15 +95,11 @@ class ShardedFramePipeline:
         self.accel = None
         if cfg.inside_mode == "raystab":
             # init-built AS, strip-sharded per-frame re-trace
-            # (parallel/raystab_shard.py)
-            from dxrvoxelizer_tpu.ops.raystab_fast import (
-                build_raystab_accel2,
-            )
+            # (parallel/raystab_shard.py); disk-cached like the
+            # reference's precompiled pipeline blobs (-noaccelcache)
+            from dxrvoxelizer_tpu.core.pipeline import _stab_accel_for
 
-            self.accel = build_raystab_accel2(
-                mesh_buffers.positions_norm, mesh_buffers.tris,
-                mesh_buffers.normals, cfg.grid_size,
-            )
+            self.accel = _stab_accel_for(cfg, mesh_buffers)
 
     def _frame_fn(self, statics: tuple):
         fn = self._frames.get(statics)

@@ -53,6 +53,10 @@ class VoxelizerConfig:
     # (DXRVoxelizer.hlsl:83-84): radial first-hit normals gated by the
     # parity occupancy bit (-normals flag; extra raystab-query cost)
     parity_normals: bool = False
+    # persist built ray-stab accels on disk keyed by (geometry, grid,
+    # ladder, backend) — the precompiled-AS analog (utils/accel_cache.py);
+    # -noaccelcache disables
+    accel_cache: bool = True
     # midpoint-subdivision levels applied at load (4x tris per level) — the
     # hi-poly bench configs (BASELINE.md: the 871k-tri full Stanford dragon
     # is not shipped; the 100k decimation at -subdiv 1 is the 400k-tri
@@ -128,6 +132,8 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
                 kw["subdiv"] = int(argv[i])
         elif is_flag(a, "usemutex"):
             kw["use_mutex"] = True
+        elif is_flag(a, "noaccelcache"):
+            kw["accel_cache"] = False
         elif is_flag(a, "pointlight"):
             kw["point_light"] = True
         elif is_flag(a, "normals"):

@@ -27,9 +27,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from dxrvoxelizer_tpu.ops.raystab_fast import (
-        build_raystab_accel2,
-        raystab_query2,
+    from dxrvoxelizer_tpu.ops.raystab_fast import raystab_query2
+    from dxrvoxelizer_tpu.utils.accel_cache import (
+        cached_build_raystab_accel2,
     )
     from dxrvoxelizer_tpu.ops.voxelize_ref import voxelize_raystab_radial_ref
     from meshes import icosphere_mesh
@@ -45,7 +45,7 @@ def main() -> int:
         nr = jnp.asarray(nr)
         t = jnp.asarray(t)
         t0 = time.perf_counter()
-        accel = build_raystab_accel2(v, t, nr, n=n)
+        accel = cached_build_raystab_accel2(v, t, nr, n=n)
         print(f"# {n}^3 accel build: {time.perf_counter()-t0:.1f} s, "
               f"levels={accel.stats.levels} near={accel.stats.near_origin}",
               flush=True)
