@@ -291,12 +291,12 @@ def main() -> int:
               key=f"voxelize_subdiv400k_{n}_ms")
 
         # ---- reference-rule ray-stab (binned TraceRay analog, gen-2) --------
-        from dxrvoxelizer_tpu.ops.raystab_fast import (
-            _raystab_query2,
-            build_raystab_accel2,
+        from dxrvoxelizer_tpu.ops.raystab_fast import _raystab_query2
+        from dxrvoxelizer_tpu.utils.accel_cache import (
+            cached_build_raystab_accel2,
         )
 
-        accel = build_raystab_accel2(
+        accel = cached_build_raystab_accel2(
             scene64.buffers.positions_norm, scene64.buffers.tris,
             scene64.buffers.normals, 64,
         )

@@ -809,6 +809,142 @@ def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
     return jnp.concatenate([cf, pad_row]).astype(jnp.float32)
 
 
+def _csr_gather(data, offs, sel):
+    """Concatenate CSR runs ``sel`` of (data, offs) — vectorized equivalent
+    of ``np.concatenate([data[offs[i]:offs[i+1]] for i in sel])``."""
+    lens = offs[sel + 1] - offs[sel]
+    total = int(lens.sum())
+    if total == 0:
+        return data[:0]
+    heads = np.repeat(offs[sel], lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    return data[heads + within]
+
+
+def _fold_levels_csr(level_runs, g_fine: int):
+    """Fold every ladder level's cell bins into the FINEST level's cells
+    as one CSR (offs [C+1] i64, data i64 global ids).
+
+    Each fine cell has exactly one ancestor cell per level, so its merged
+    list is the concatenation of (at most) one run per level, in ladder
+    order (fine -> coarse), each run in its level's bin order — identical
+    to the per-cell append loop this replaces, fully vectorized.
+    """
+    nc_fine = 6 * g_fine * g_fine
+    fine = np.arange(nc_fine, dtype=np.int64)
+    f, rem = np.divmod(fine, g_fine * g_fine)
+    iu, iv = np.divmod(rem, g_fine)
+    per_level = []
+    lens = np.zeros((nc_fine,), np.int64)
+    for glob_ids, starts, counts, g in level_runs:
+        factor = g_fine // g
+        parent = f * (g * g) + (iu // factor) * g + (iv // factor)
+        m = counts[parent]
+        per_level.append((glob_ids, starts[parent].astype(np.int64), m))
+        lens += m
+    offs = np.zeros((nc_fine + 1,), np.int64)
+    np.cumsum(lens, out=offs[1:])
+    data = np.empty((int(offs[-1]),), np.int64)
+    prefix = offs[:-1].copy()
+    for glob_ids, pstart, m in per_level:
+        total = int(m.sum())
+        if total == 0:
+            continue
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(m) - m, m
+        )
+        data[np.repeat(prefix, m) + within] = (
+            glob_ids[np.repeat(pstart, m) + within]
+        )
+        prefix += m
+    return offs, data
+
+
+def _make_packs_py(cell_csr, ray_table, rc, s0_p, tri_bounds):
+    """Greedy strip packing (see _level_classes2 docstring) — pure-Python
+    reference implementation. Returns CSR quadruple
+    (ray_data i32, ray_offs i64, id_data i64, id_offs i64): pack p owns
+    rays ray_data[ray_offs[p]:ray_offs[p+1]] (<= 128 of them) and the
+    bound-sorted unique candidate ids id_data[id_offs[p]:id_offs[p+1]]."""
+    cell_offs, cell_data = cell_csr
+    packs: list = []  # (rays [<=128] int32, union candidate ids)
+    cur_rays: list = []
+    cur_ids: list = []
+    cur_n = 0
+
+    def by_distance(ids):
+        if tri_bounds is None:
+            return ids
+        return ids[np.argsort(tri_bounds[ids], kind="stable")]
+
+    def close():
+        nonlocal cur_rays, cur_ids, cur_n
+        if cur_rays:
+            ids = by_distance(np.unique(np.concatenate(cur_ids)))
+            packs.append((np.concatenate(cur_rays), ids))
+        cur_rays, cur_ids, cur_n = [], [], 0
+
+    for cell in range(cell_offs.shape[0] - 1):
+        ids_c = cell_data[cell_offs[cell] : cell_offs[cell + 1]]
+        nray = int(rc[cell])
+        if ids_c.shape[0] == 0 or nray == 0:
+            continue  # no candidates / no voxel direction in this cell
+        if nray > 128:
+            close()
+            ids_sorted = by_distance(np.unique(ids_c))
+            full = ray_table[cell, :nray]
+            # split strips in origin-radius order: the chunk skip bound is
+            # chunk_R_min - max(s0 over the strip's lanes), so radius-band
+            # strips keep the bound tight for near-origin strips instead
+            # of every strip inheriting the cell's farthest voxel
+            full = full[np.argsort(s0_p[full], kind="stable")]
+            for s in range(0, nray, 128):
+                seg = full[s : s + 128]
+                if seg.shape[0] == 128:
+                    packs.append((seg, ids_sorted))
+                else:  # tail strip joins the packing pool
+                    cur_rays.append(seg)
+                    cur_ids.append(ids_c)
+                    cur_n = seg.shape[0]
+            continue
+        if cur_n + nray > 128:
+            close()
+        cur_rays.append(ray_table[cell, :nray])
+        cur_ids.append(ids_c)
+        cur_n += nray
+    close()
+
+    ray_offs = np.zeros((len(packs) + 1,), np.int64)
+    id_offs = np.zeros((len(packs) + 1,), np.int64)
+    if packs:
+        ray_offs[1:] = np.cumsum([p[0].shape[0] for p in packs])
+        id_offs[1:] = np.cumsum([p[1].shape[0] for p in packs])
+        ray_data = np.concatenate([p[0] for p in packs]).astype(np.int32)
+        id_data = np.concatenate([p[1] for p in packs]).astype(np.int64)
+    else:
+        ray_data = np.zeros((0,), np.int32)
+        id_data = np.zeros((0,), np.int64)
+    return ray_data, ray_offs, id_data, id_offs
+
+
+def _make_packs(cell_csr, ray_table, rc, s0_p, tri_bounds):
+    """Strip packing, via the native C++ packer when available (the
+    AS-builder hot loop: the greedy pack walk is irregular sequential
+    work, exactly what the native runtime tier is for) with the
+    pure-Python implementation as the behavioral reference and fallback.
+    Both return identical CSR quadruples (pinned by tests)."""
+    from dxrvoxelizer_tpu.utils import native
+
+    out = native.accel_pack_native(
+        cell_csr[0], cell_csr[1], ray_table, rc, s0_p, tri_bounds
+    )
+    if out is not None:
+        return out
+    return _make_packs_py(cell_csr, ray_table, rc, s0_p, tri_bounds)
+
+
 def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
                     ncoef_h, tri_bounds=None):
     """Partition one level's rays into capacity classes of packed strips
@@ -817,10 +953,10 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
     ``ncoef_h`` [T+1, 12]: per-triangle normal rows (n0 n1 n2 pad) the
     fused kernel extracts winner normals from; required.
 
-    ``cell_ids``: per-cell candidate id arrays (rows of ``coef_h``; the
-    merged-level build passes GLOBAL triangle ids, folding coarser cubemap
-    levels into the finest level's cells — same pair count, one sort-merge
-    stream instead of one per level).
+    ``cell_ids``: CSR (offs [C+1], data) of per-cell candidate GLOBAL
+    triangle ids (rows of ``coef_h``), from :func:`_fold_levels_csr` —
+    coarser cubemap levels folded into the finest level's cells (same
+    pair count, one sort-merge stream instead of one per level).
 
     ``tri_bounds`` (per global id, f64): strict lower bound on any hit
     distance R of the triangle from the grid origin (bounding-ball
@@ -848,61 +984,14 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
     v = n * n * n
     rc = (ray_table >= 0).sum(axis=1)
 
-    packs: list = []  # (rays [<=128] int32, union candidate ids)
-    cur_rays: list = []
-    cur_ids: list = []
-    cur_n = 0
-
-    def by_distance(ids):
-        if tri_bounds is None:
-            return ids
-        return ids[np.argsort(tri_bounds[ids], kind="stable")]
-
-    def close():
-        nonlocal cur_rays, cur_ids, cur_n
-        if cur_rays:
-            ids = by_distance(np.unique(np.concatenate(cur_ids)))
-            packs.append((np.concatenate(cur_rays), ids))
-        cur_rays, cur_ids, cur_n = [], [], 0
-
-    for cell in range(len(cell_ids)):
-        ids_c = cell_ids[cell]
-        nray = int(rc[cell])
-        if ids_c is None or ids_c.shape[0] == 0 or nray == 0:
-            continue  # no candidates / no voxel direction in this cell
-        ids_c = ids_c.astype(np.int64)
-        if nray > 128:
-            close()
-            ids_sorted = by_distance(np.unique(ids_c))
-            full = ray_table[cell, :nray]
-            # split strips in origin-radius order: the chunk skip bound is
-            # chunk_R_min - max(s0 over the strip's lanes), so radius-band
-            # strips keep the bound tight for near-origin strips instead
-            # of every strip inheriting the cell's farthest voxel
-            full = full[np.argsort(s0_p[full], kind="stable")]
-            for s in range(0, nray, 128):
-                seg = full[s : s + 128]
-                if seg.shape[0] == 128:
-                    packs.append((seg, ids_sorted))
-                else:  # tail strip joins the packing pool
-                    cur_rays.append(seg)
-                    cur_ids.append(ids_c)
-                    cur_n = seg.shape[0]
-            continue
-        if cur_n + nray > 128:
-            close()
-        cur_rays.append(ray_table[cell, :nray])
-        cur_ids.append(ids_c)
-        cur_n += nray
-    close()
+    ray_data, ray_offs, id_data, id_offs = _make_packs(
+        cell_ids, ray_table, rc, s0_p, tri_bounds
+    )  # cell_ids: CSR (offs, data) from _fold_levels_csr
 
     classes = []
     sc_host = []
     total_vc = 0
-    sizes = (
-        np.array([p[1].shape[0] for p in packs], np.int64)
-        if packs else np.zeros((0,), np.int64)
-    )
+    sizes = id_offs[1:] - id_offs[:-1]
     max_k = int(sizes.max()) if sizes.size else 0
     caps = [k for k in CLASS_CAPS2 if k < max_k]
     caps.append(max(_pow2cap(max_k), 8))
@@ -913,22 +1002,18 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
         if sel.size == 0:
             continue
         sel = sel[np.argsort(-sizes[sel], kind="stable")]
-        # vectorized row assembly: row-major boolean-mask fill == the
-        # per-row loop this replaces (same order, same padding)
+        # vectorized row assembly: row-major boolean-mask fill == a
+        # per-pack loop (same order, same padding)
         vc = sel.size
         vc_pad = vc + (-vc) % CELLS_PER_STEP
-        ray_lens = np.array(
-            [packs[i][0].shape[0] for i in sel], np.int64
-        )
+        ray_lens = ray_offs[sel + 1] - ray_offs[sel]
         rt128 = np.full((vc_pad, 128), -1, np.int32)
         rt128[:vc][np.arange(128)[None, :] < ray_lens[:, None]] = (
-            np.concatenate([packs[i][0] for i in sel])
-            if vc else np.zeros((0,), np.int32)
+            _csr_gather(ray_data, ray_offs, sel)
         )
         tab = np.full((vc_pad, k), -1, np.int64)
         tab[:vc][np.arange(k)[None, :] < sizes[sel][:, None]] = (
-            np.concatenate([packs[i][1] for i in sel])
-            if vc else np.zeros((0,), np.int64)
+            _csr_gather(id_data, id_offs, sel)
         )
         sc128 = np.where(rt128 >= 0, rt128, v).astype(np.int32)
         coefs = coef_h[np.where(tab >= 0, tab, coef_h.shape[0] - 1)]
@@ -1041,8 +1126,7 @@ def build_raystab_accel2(
     # ONE sort-merge stream instead of one per level (each level's sort was
     # ~0.5 ms at 64^3).
     g_fine = gs[0]
-    nc_fine = 6 * g_fine * g_fine
-    cell_lists: list = [[] for _ in range(nc_fine)]
+    level_runs = []  # per level: (global ids in bin order, starts, counts, g)
     for g in gs:
         if sub_ids.size == 0:
             break
@@ -1053,31 +1137,19 @@ def build_raystab_accel2(
         sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
             keys_h, over_h, g
         )
-        factor = g_fine // g
-        gg = g * g
-        for cell in np.nonzero(counts_h)[0]:
-            ids_g = sub_ids[sorted_tris[starts[cell] : starts[cell + 1]]]
-            f, rem = divmod(int(cell), gg)
-            iu, iv = divmod(rem, g)
-            base_u, base_v = iu * factor, iv * factor
-            for a in range(factor):
-                row = f * g_fine * g_fine + (base_u + a) * g_fine + base_v
-                for b in range(factor):
-                    cell_lists[row + b].append(ids_g)
+        level_runs.append((
+            sub_ids[sorted_tris].astype(np.int64), starts,
+            counts_h.astype(np.int64), g,
+        ))
         stat_levels.append((g, int((counts_h > 0).sum()), 0,
                             int(counts_h.max()) if counts_h.size else 0, 0))
         sub_ids = sub_ids[ov_np]
         del sorted_tris, starts, counts_h
 
-    merged = [
-        (np.concatenate(ls) if len(ls) > 1 else (ls[0] if ls else None))
-        for ls in cell_lists
-    ]
-    m_counts = np.array(
-        [0 if x is None else x.shape[0] for x in merged], np.int64
-    )
+    cell_offs, cell_data = _fold_levels_csr(level_runs, g_fine)
+    m_counts = cell_offs[1:] - cell_offs[:-1]
     cls, sc_host, total_vc = (), [], 0
-    if m_counts.max() > 0:
+    if m_counts.size and m_counts.max() > 0:
         # per-triangle strict lower bound on hit distance from the origin
         # (bounding ball |c| - r, f64, conservative margin for the f32
         # kernel's rounding) — drives near-to-far chunk skipping
@@ -1088,7 +1160,7 @@ def build_raystab_accel2(
         tri_bounds = np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
         ray_table, _ = ray_tables(n, g_fine)
         cls, sc_host, total_vc = _level_classes2(
-            merged, ray_table, coef_full, dirs_p, s0_p, n,
+            (cell_offs, cell_data), ray_table, coef_full, dirs_p, s0_p, n,
             tri_bounds=tri_bounds, ncoef_h=ncoef_full,
         )
     levels.append(tuple(cls))

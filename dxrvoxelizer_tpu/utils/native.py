@@ -162,3 +162,106 @@ def write_png_native(path, img: np.ndarray) -> bool:
     if rc != 0:
         raise OSError(f"native png write failed: rc={rc} path={path}")
     return True
+
+
+# ---- accel strip packer (AS-builder hot loop) --------------------------------
+
+_PACK_SRC = _NATIVE_DIR / "accelpack.cpp"
+_PACK_LIB = _NATIVE_DIR / "libaccelpack.so"
+_pack_lock = threading.Lock()
+_pack_lib = None
+_pack_tried = False
+
+
+def get_pack_lib():
+    """The loaded native strip packer; None if toolchain unavailable."""
+    global _pack_lib, _pack_tried
+    with _pack_lock:
+        if _pack_lib is not None or _pack_tried:
+            return _pack_lib
+        _pack_tried = True
+        if not _PACK_SRC.exists():
+            return None
+        if (
+            not _PACK_LIB.exists()
+            or _PACK_LIB.stat().st_mtime < _PACK_SRC.stat().st_mtime
+        ):
+            if not _compile(_PACK_SRC, _PACK_LIB):
+                return None
+        try:
+            lib = ctypes.CDLL(str(_PACK_LIB))
+        except OSError:
+            return None
+        lib.accelpack_run.restype = ctypes.c_void_p
+        lib.accelpack_run.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,  # cell CSR
+            ctypes.c_void_p, ctypes.c_longlong,  # ray_table, r_cap
+            ctypes.c_void_p,  # rc
+            ctypes.c_void_p,  # s0
+            ctypes.c_void_p,  # tri_bounds or NULL
+        ]
+        for name, restype in (
+            ("n_packs", ctypes.c_longlong),
+            ("ray_total", ctypes.c_longlong),
+            ("id_total", ctypes.c_longlong),
+        ):
+            fn = getattr(lib, f"accelpack_{name}")
+            fn.restype = restype
+            fn.argtypes = [ctypes.c_void_p]
+        lib.accelpack_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.accelpack_free.argtypes = [ctypes.c_void_p]
+        _pack_lib = lib
+        return _pack_lib
+
+
+def accel_pack_native(cell_offs, cell_data, ray_table, rc, s0_p, tri_bounds):
+    """Greedy strip packing in C++ (ops/raystab_fast._make_packs_py is the
+    behavioral reference — outputs are bit-identical).
+
+    Returns (ray_data i32, ray_offs i64, id_data i64, id_offs i64) or None
+    when the native library is unavailable.
+    """
+    lib = get_pack_lib()
+    if lib is None:
+        return None
+    cell_offs = np.ascontiguousarray(cell_offs, np.int64)
+    cell_data = np.ascontiguousarray(cell_data, np.int64)
+    ray_table = np.ascontiguousarray(ray_table, np.int32)
+    rc = np.ascontiguousarray(rc, np.int64)
+    s0_p = np.ascontiguousarray(s0_p, np.float32)
+    if tri_bounds is not None:
+        tri_bounds = np.ascontiguousarray(tri_bounds, np.float64)
+    n_cells = cell_offs.shape[0] - 1
+    assert ray_table.shape[0] == n_cells and rc.shape[0] == n_cells
+    h = lib.accelpack_run(
+        cell_offs.ctypes.data_as(ctypes.c_void_p),
+        cell_data.ctypes.data_as(ctypes.c_void_p),
+        n_cells,
+        ray_table.ctypes.data_as(ctypes.c_void_p),
+        ray_table.shape[1],
+        rc.ctypes.data_as(ctypes.c_void_p),
+        s0_p.ctypes.data_as(ctypes.c_void_p),
+        tri_bounds.ctypes.data_as(ctypes.c_void_p)
+        if tri_bounds is not None else None,
+    )
+    if not h:
+        return None
+    try:
+        n_packs = lib.accelpack_n_packs(h)
+        ray_data = np.empty((lib.accelpack_ray_total(h),), np.int32)
+        id_data = np.empty((lib.accelpack_id_total(h),), np.int64)
+        ray_offs = np.empty((n_packs + 1,), np.int64)
+        id_offs = np.empty((n_packs + 1,), np.int64)
+        lib.accelpack_copy(
+            h,
+            ray_data.ctypes.data_as(ctypes.c_void_p),
+            ray_offs.ctypes.data_as(ctypes.c_void_p),
+            id_data.ctypes.data_as(ctypes.c_void_p),
+            id_offs.ctypes.data_as(ctypes.c_void_p),
+        )
+    finally:
+        lib.accelpack_free(h)
+    return ray_data, ray_offs, id_data, id_offs

@@ -297,3 +297,62 @@ def test_fused_fold_matches_standalone_fold():
                     assert (got == 0.0).all()
             checked_multichunk |= k > 256 and bounds is not None
     assert checked_multichunk  # fixture must cover the skip branch
+
+
+def test_native_pack_matches_python_pack():
+    """The C++ strip packer (utils/_native/accelpack.cpp) must reproduce
+    _make_packs_py bit-for-bit: same packs, same ray order, same
+    bound-sorted unique candidate lists (incl. bound ties), same CSR."""
+    import dxrvoxelizer_tpu.ops.raystab_fast as rf
+    from dxrvoxelizer_tpu.utils import native
+
+    if native.get_pack_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(5)
+    C, rcap, V, T = 400, 192, 2048, 300
+    rc = rng.integers(0, 190, C).astype(np.int64)  # > 128 hits big cells
+    ray_table = np.full((C, rcap), -1, np.int32)
+    for c in range(C):
+        ray_table[c, : rc[c]] = rng.choice(V, rc[c], replace=False)
+    lens = rng.integers(0, 16, C).astype(np.int64)
+    offs = np.zeros(C + 1, np.int64)
+    offs[1:] = np.cumsum(lens)
+    data = rng.integers(0, T, int(offs[-1])).astype(np.int64)
+    s0 = rng.uniform(0.0, 2.0, V + 1).astype(np.float32)
+    tb = rng.uniform(0.0, 1.0, T)
+    tb[rng.choice(T, 40)] = tb[0]  # bound ties exercise sort stability
+    for bounds in (tb, None):
+        py = rf._make_packs_py((offs, data), ray_table, rc, s0, bounds)
+        nat = native.accel_pack_native(offs, data, ray_table, rc, s0, bounds)
+        assert nat is not None
+        for a, b in zip(py, nat):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_accel_build_native_and_python_paths_identical():
+    """build_raystab_accel2 through the native packer == through the
+    pure-Python fallback, array for array."""
+    import jax.tree_util as jtu
+
+    import dxrvoxelizer_tpu.ops.raystab_fast as rf
+    from dxrvoxelizer_tpu.utils import native
+
+    v_np, n_np, t_np = icosphere_mesh(2, radius=0.5, center=(0.2, 0.0, -0.1))
+    v, nr, t = jnp.asarray(v_np), jnp.asarray(n_np), jnp.asarray(t_np)
+    a_auto = rf.build_raystab_accel2(v, t, nr, n=16)
+    orig = native.accel_pack_native
+    native.accel_pack_native = lambda *a, **k: None
+    try:
+        a_py = rf.build_raystab_accel2(v, t, nr, n=16)
+    finally:
+        native.accel_pack_native = orig
+    assert a_auto.stats == a_py.stats
+    la = jtu.tree_leaves((a_auto.levels, a_auto.ov_dense, a_auto.sort_keys))
+    lp = jtu.tree_leaves((a_py.levels, a_py.ov_dense, a_py.sort_keys))
+    assert len(la) == len(lp)
+    for x, y in zip(la, lp):
+        assert x.shape == y.shape
+        assert bool((np.asarray(x) == np.asarray(y)).all())
