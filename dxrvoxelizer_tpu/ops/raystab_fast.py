@@ -94,12 +94,16 @@ def ray_tables(n: int, g: int):
     Returns (ray_table [C, R_cap] int32 voxel ids / -1, scatter [C, R_cap]
     int32 positions into a V+1 output / V for padding).
     """
-    cx, cy, cz = voxel_centers_norm(n)
-    pos = np.stack(
-        np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1
-    ).reshape(-1, 3).astype(np.float32)
-    # _dir_cells_host is scale-invariant: no need to normalize 16.7M rays
-    cells = _dir_cells_host(pos, g)
+    from dxrvoxelizer_tpu.utils import native
+
+    cells = native.dir_cells_native(n, g)
+    if cells is None:  # pure-numpy fallback (bit-identical, see tests)
+        cx, cy, cz = voxel_centers_norm(n)
+        pos = np.stack(
+            np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1
+        ).reshape(-1, 3).astype(np.float32)
+        # _dir_cells_host is scale-invariant: no normalize over 16.7M rays
+        cells = _dir_cells_host(pos, g)
     n_cells = 6 * g * g
     order = np.argsort(cells, kind="stable")
     sorted_cells = cells[order]

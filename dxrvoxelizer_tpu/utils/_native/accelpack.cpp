@@ -143,4 +143,49 @@ void accelpack_copy(void* h, int32_t* ray_data, int64_t* ray_offs,
 
 void accelpack_free(void* h) { delete static_cast<AccelPackResult*>(h); }
 
+// Voxel-center -> direction-cubemap cell id for every voxel of an n^3
+// grid, fused with the center generation (the numpy path materializes a
+// [V,3] meshgrid first). Bit-identical to
+// ops/raystab_fast._dir_cells_host over ops/packing.voxel_centers_norm:
+// same f32 expressions, same first-max tie rule, same trunc-toward-zero
+// cast (pinned by tests/test_raystab_fast.py).
+void accelpack_dir_cells(int64_t n, int64_t g, int64_t* out) {
+    std::vector<float> t(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i) {
+        t[static_cast<size_t>(i)] =
+            (static_cast<float>(i) + 0.5f) / static_cast<float>(n) * 2.0f -
+            1.0f;
+    }
+    const float half_g = 0.5f * static_cast<float>(g);
+    const int64_t gg = g * g;
+    int64_t v = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const float x = t[static_cast<size_t>(i)];
+        const float ax = x < 0 ? -x : x;
+        for (int64_t j = 0; j < n; ++j) {
+            const float y = -t[static_cast<size_t>(j)];
+            const float ay = y < 0 ? -y : y;
+            for (int64_t k = 0; k < n; ++k, ++v) {
+                const float z = t[static_cast<size_t>(k)];
+                const float az = z < 0 ? -z : z;
+                // np.argmax's first-max tie rule
+                const int a = (ax >= ay) ? (ax >= az ? 0 : 2)
+                                         : (ay >= az ? 1 : 2);
+                const float da = a == 0 ? x : (a == 1 ? y : z);
+                const float db = a == 0 ? y : x;  // _OTHERS[a, 0]
+                const float dc = a == 2 ? y : z;  // _OTHERS[a, 1]
+                const float ada = da < 0 ? -da : da;
+                int64_t iu =
+                    static_cast<int64_t>((db / ada + 1.0f) * half_g);
+                int64_t iv =
+                    static_cast<int64_t>((dc / ada + 1.0f) * half_g);
+                iu = iu < 0 ? 0 : (iu > g - 1 ? g - 1 : iu);
+                iv = iv < 0 ? 0 : (iv > g - 1 ? g - 1 : iv);
+                const int64_t f = 2 * a + (da < 0 ? 1 : 0);
+                out[v] = f * gg + iu * g + iv;
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -213,6 +213,9 @@ def get_pack_lib():
             ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.accelpack_free.argtypes = [ctypes.c_void_p]
+        lib.accelpack_dir_cells.argtypes = [
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+        ]
         _pack_lib = lib
         return _pack_lib
 
@@ -265,3 +268,16 @@ def accel_pack_native(cell_offs, cell_data, ray_table, rc, s0_p, tri_bounds):
     finally:
         lib.accelpack_free(h)
     return ray_data, ray_offs, id_data, id_offs
+
+
+def dir_cells_native(n: int, g: int):
+    """Voxel-center -> cubemap cell ids [n^3] int64 for the whole grid,
+    fused with center generation in C++ (bit-identical to the numpy path
+    in ops/raystab_fast.ray_tables). None when the toolchain is missing.
+    """
+    lib = get_pack_lib()
+    if lib is None:
+        return None
+    out = np.empty((n * n * n,), np.int64)
+    lib.accelpack_dir_cells(n, g, out.ctypes.data_as(ctypes.c_void_p))
+    return out

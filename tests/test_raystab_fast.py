@@ -150,3 +150,25 @@ def test_dir_cells_host_matches_argmax_reference_and_scale():
         # scale invariance under power-of-two scales (exact in f32)
         s = np.float32(2.0) ** rng.integers(-2, 3, size=(d.shape[0], 1))
         assert (_dir_cells_host(d * s.astype(np.float32), g) == got).all()
+
+
+def test_native_dir_cells_bitidentical():
+    """accelpack.cpp's fused center-generation + cell assignment must be
+    bit-identical to the numpy path in ray_tables."""
+    import numpy as np
+    import pytest
+
+    from dxrvoxelizer_tpu.ops.packing import voxel_centers_norm
+    from dxrvoxelizer_tpu.ops.raystab_fast import _dir_cells_host
+    from dxrvoxelizer_tpu.utils import native
+
+    if native.get_pack_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    for n, g in ((16, 4), (32, 8), (32, 32)):
+        cx, cy, cz = voxel_centers_norm(n)
+        pos = np.stack(
+            np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1
+        ).reshape(-1, 3).astype(np.float32)
+        ref = _dir_cells_host(pos, g)
+        nat = native.dir_cells_native(n, g)
+        np.testing.assert_array_equal(ref, nat)
