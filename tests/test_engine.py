@@ -82,6 +82,8 @@ def test_cli_parse_reference_flags():
     assert cfg.backend == "cpu"
     cfg = parse_args(["-grid", "128", "-width", "640", "-height", "360"])
     assert (cfg.grid_size, cfg.width, cfg.height) == (128, 640, 360)
+    assert parse_args([]).accel_cache is True
+    assert parse_args(["-noaccelcache"]).accel_cache is False
 
 
 def test_app_main_end_to_end(tmp_path, reference_assets_available):
