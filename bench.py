@@ -300,11 +300,32 @@ def main() -> int:
             scene64.buffers.positions_norm, scene64.buffers.tris,
             scene64.buffers.normals, 64,
         )
+        from dxrvoxelizer_tpu.ops.raystab_fast import table_k
+
         ks = tuple(
-            tuple(int(c[1].shape[1]) for c in lv) for lv in accel.levels
+            tuple(table_k(c[1]) for c in lv) for lv in accel.levels
         )
-        ovk = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+        ovk = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
         tc = int(scene64.buffers.tris.shape[0])
+
+        def _phys_bytes(a):
+            # TPU-resident estimate: trailing dim pads to 128 lanes,
+            # second-to-last to 8 sublanes (f32 (8, 128) tiling)
+            s = list(a.shape)
+            s[-1] = -(-s[-1] // 128) * 128
+            if len(s) >= 2:
+                s[-2] = -(-s[-2] // 8) * 8
+            from functools import reduce
+
+            return reduce(lambda x, y: x * y, s, 1) * a.dtype.itemsize
+
+        acc_arrays = jax.tree.leaves(
+            (accel.levels, accel.ov_dense, accel.sort_keys)
+        )
+        phys_mb = sum(_phys_bytes(a) for a in acc_arrays) / 2**20
+        print(f"# ray-stab accel 64^3 physical footprint: {phys_mb:.1f} MiB "
+              "(gen-5 lane-aligned tables)", file=sys.stderr)
+        secondaries["raystab_accel64_phys_mib"] = round(phys_mb, 1)
 
         def stab_body(carry, _):
             # perturb EVERY float input: perturbing only ftab leaves the

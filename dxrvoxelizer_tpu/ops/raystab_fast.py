@@ -813,6 +813,55 @@ def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
     return jnp.concatenate([cf, pad_row]).astype(jnp.float32)
 
 
+LANE_MIN_K = 96
+"""Capacity classes with K >= this store their tables TRANSPOSED
+([..., 12, K], gen-5 lane-aligned) and run stab_fold_extract3; smaller
+classes keep the classic [..., K, 12] layout and run stab_fold_extract2.
+
+Why a threshold and not all-transposed: the two layouts flip which axis
+rides the 128 VPU lanes. Classic puts RAYS in lanes and candidates in
+sublane groups of 8 -> ceil(K/8) register ops per strip; gen-5 puts
+CANDIDATES in lanes and rays in sublane groups -> 16 * ceil(K/128) ops.
+For K >= 128 the op counts match and gen-5 cuts physical HBM ~8x (the
+classic 12-float minor dim pads to 128 lanes); below 128 gen-5 still
+shrinks memory (K/16 x: the K-minor dim pads to 128 while 12 sublanes pad
+only to 16) but wastes 128/K of the compute (a [8, K<128] op costs a full
+vreg op). Both are VPU-compute-bound (~50 ops per ray-candidate pair vs
+~0.4 bytes/pair of HBM traffic), so small-K classes stay classic; the
+threshold trades the K=96 class's 1.33x compute for 6x less HBM.
+Bump utils/accel_cache._FORMAT when changing (table layout is cached)."""
+
+
+def table_k(coefs) -> int:
+    """Candidate count K of a class table, either layout: gen-4
+    [..., K, 12] or gen-5 lane-aligned [..., 12, K] (K is never 12 —
+    class caps start at 16 and overflow capacities are multiples of 8)."""
+    s = coefs.shape
+    if s[-2] == 12 and s[-1] != 12:
+        return int(s[-1])
+    return int(s[-2])
+
+
+def fold_extract_dispatch(rays, coefs, ntab, k, t_count, threshold,
+                          rule="backface", shared=False, interpret=False,
+                          bounds=None):
+    """Route a class to the fused kernel matching its table layout:
+    gen-5 (ops/raystab_pallas.stab_fold_extract3) for lane-aligned
+    [..., 12, K] tables, gen-4 otherwise. Outputs are bit-identical."""
+    from dxrvoxelizer_tpu.ops.raystab_pallas import (
+        stab_fold_extract2,
+        stab_fold_extract3,
+    )
+
+    s = coefs.shape
+    fn = (
+        stab_fold_extract3 if (s[-2] == 12 and s[-1] != 12)
+        else stab_fold_extract2
+    )
+    return fn(rays, coefs, ntab, k, t_count, threshold, rule=rule,
+              shared=shared, interpret=interpret, bounds=bounds)
+
+
 def _csr_gather(data, offs, sel):
     """Concatenate CSR runs ``sel`` of (data, offs) — vectorized equivalent
     of ``np.concatenate([data[offs[i]:offs[i+1]] for i in sel])``."""
@@ -1034,6 +1083,14 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
                 np.maximum(chunk_lo - s0m[:, None], 0.0).astype(np.float32)
             )
         ntab = ncoef_h[np.where(tab >= 0, tab, ncoef_h.shape[0] - 1)]
+        if k >= LANE_MIN_K:
+            # gen-5 lane-aligned layout [VC, 12, K] (raystab_pallas
+            # stab_fold_extract3): K on the 128-lane axis — 8x less
+            # physical HBM than [VC, K, 12] (whose 12-lane minor dim
+            # tiles pad to 128) at matched register-op counts; smaller
+            # classes keep the classic layout (see LANE_MIN_K)
+            coefs = np.ascontiguousarray(coefs.transpose(0, 2, 1))
+            ntab = np.ascontiguousarray(ntab.transpose(0, 2, 1))
         classes.append((
             jnp.asarray(_dense_rays_host(rt128, dirs_p, s0_p)),
             jnp.asarray(coefs),
@@ -1186,6 +1243,8 @@ def build_raystab_accel2(
         size = int(sub_ids.size)
         if size > K_BLOCK:
             o_cap = -(-size // K_BLOCK) * K_BLOCK
+        elif size > 96:
+            o_cap = 128 if size <= 128 else K_BLOCK
         else:
             o_cap = max(-(-size // 8) * 8, 8)
         ids = np.full((o_cap,), -1, np.int32)
@@ -1201,6 +1260,9 @@ def build_raystab_accel2(
         nf_ov = np.where(
             (ids >= 0)[:, None], ncoef_full[:-1][np.maximum(ids, 0)], 0.0
         ).astype(np.float32)
+        if o_cap >= LANE_MIN_K:
+            cf_ov = np.ascontiguousarray(cf_ov.T)  # [12, O] lane-aligned
+            nf_ov = np.ascontiguousarray(nf_ov.T)
         ov_dense = (
             jnp.asarray(_dense_rays_host(all_rays, dirs_p, s0_p)),
             jnp.asarray(cf_ov),
@@ -1253,14 +1315,12 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
     around multi-payload sort consumers), and the gen-2 ftab-gather
     finalize before it cost 3.4 ms in situ (row gathers ~10 ns/row x
     262k rays)."""
-    from dxrvoxelizer_tpu.ops.raystab_pallas import stab_fold_extract2
-
     if run_class is None:
-        # single-device: direct fused-kernel dispatch. parallel/
-        # raystab_shard.py passes a shard_map-wrapped runner instead
-        # (same kernel, strip axis sharded over the device mesh).
+        # single-device: direct fused-kernel dispatch (per-class layout
+        # routing). parallel/raystab_shard.py passes a shard_map-wrapped
+        # runner instead (same kernels, strip axis sharded over the mesh).
         def run_class(rays, coefs, ntab, k, bounds, shared):
-            return stab_fold_extract2(
+            return fold_extract_dispatch(
                 rays, coefs, ntab, k, t_count, threshold, rule=rule,
                 shared=shared, interpret=interpret, bounds=bounds,
             )
@@ -1360,9 +1420,9 @@ def raystab_query2(
     """
     del verts_norm, normals  # baked into the accel (kept for API parity)
     ks = tuple(
-        tuple(int(c[1].shape[1]) for c in level) for level in accel.levels
+        tuple(table_k(c[1]) for c in level) for level in accel.levels
     )
-    ov_k = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+    ov_k = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
     return _raystab_query2(
         accel.levels, accel.sort_keys, accel.ov_dense,
         accel.n, threshold, ks, ov_k, int(tris.shape[0]), interpret,

@@ -507,6 +507,257 @@ def _fold_extract_kernel2(*refs, kblk: int, shared: bool, skip: bool,
             out_ref[ci, 3:4, :] = jnp.where(inside, 1.0, zero)
 
 
+# ---- gen-5: lane-aligned tables (transposed) ------------------------------
+#
+# The gen-4 tables [C, K, 12] put the 12-float coefficient row in the
+# LANE dimension; TPU's (8, 128) f32 tiling pads that to 128 lanes, so
+# the physical HBM footprint and the per-query DMA traffic are ~10.7x
+# the logical bytes — the binding constraint at 256^3 (the accel's
+# logical ~1 GB of tables becomes ~10 GB resident / streamed). Gen-5
+# stores the tables TRANSPOSED, [C, 12, K]: sublanes 12 -> 16 (1.33x),
+# lanes K unpadded for K a multiple of 128, an ~8x cut. The kernel flips
+# its vector geometry to match: CANDIDATES ride the 128 lanes and rays
+# stream in groups of 8 on the sublane axis (the mirror image of gen-4),
+# so the tables are consumed in their native layout with zero per-chunk
+# transposes. Winners accumulate in a transposed scratch
+# (rays-on-sublanes) and transpose back once per strip at the last
+# chunk. Small-K classes transpose too: [C, 12, K<=128] pads to one
+# (16, 128) tile pair — never worse than the classic (K, 128) padding
+# and 1.5-6x smaller for K in 24..96 (the kernel's lane chunks take the
+# class's true width).
+#
+# Bit-exactness vs gen-4/the oracle: radial_hit's scalarized chains are
+# elementwise — identical per (candidate, ray) regardless of which axis
+# broadcasts; the lexicographic (t, id) winner fold is a total order
+# (no NaNs by construction), so reduction order is irrelevant; the
+# extraction one-hot matmuls copy exact values (products with 0/1, sums
+# with zeros); the finalize chain is verbatim gen-4. The query
+# dispatches per class on table shape (raystab_fast
+# fold_extract_dispatch), so pre-gen-5 classic tables still run.
+
+
+def _fold_extract_kernel3(*refs, kblk: int, shared: bool, skip: bool,
+                          t_count: int, threshold: float, rule: str):
+    """Gen-5 fused fold + extraction + finalize over transposed tables.
+
+    Inputs: rays [8, 8, 128], coefs/ntab [8, 12, kblk] (or [12, kblk]
+    when shared), optional bounds SMEM. Outputs as gen-4: t/i [8, 128],
+    out [8, 4, 128]. Scratch: acc [8, 18, 128] winner rows (as gen-4)
+    and w [8, 128, 8] transposed winners (lane 0 = t, lane 1 = id).
+    """
+    if skip:
+        (ray_ref, coef_ref, ntab_ref, bnd_ref, t_ref, i_ref, out_ref,
+         acc_ref, w_ref) = refs
+    else:
+        ray_ref, coef_ref, ntab_ref, t_ref, i_ref, out_ref, acc_ref, w_ref = (
+            refs)
+        bnd_ref = None
+    kc = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    # variable-width lane chunks: full 128-lane chunks + a short tail
+    # (small-K classes are a single short chunk)
+    cc_slices = [
+        slice(o, min(o + 128, kblk)) for o in range(0, kblk, 128)
+    ]
+
+    for ci in range(CELLS_PER_STEP):
+        rayT = jnp.transpose(ray_ref[ci], (1, 0))  # [128, 8] cols dx dy dz s0
+        drx = rayT[:, 0:1]
+        dry = rayT[:, 1:2]
+        drz = rayT[:, 2:3]
+        sr0 = rayT[:, 3:4]
+
+        @pl.when(kc == 0)
+        def _(ci=ci, drx=drx, dry=dry, drz=drz):
+            padT = (drx == 0.0) & (dry == 0.0) & (drz == 0.0)  # [128,1]
+            w_ref[ci, :, 0:1] = jnp.where(padT, -jnp.inf, jnp.inf)
+            w_ref[ci, :, 1:2] = jnp.full((128, 1), float(BIG_ID), jnp.float32)
+            acc_ref[ci] = jnp.zeros_like(acc_ref[ci])
+
+        def body(ci=ci, drx=drx, dry=dry, drz=drz, sr0=sr0):
+            cfT = coef_ref[...] if shared else coef_ref[ci]  # [12, kblk]
+            ntT = ntab_ref[...] if shared else ntab_ref[ci]
+            for sl in cc_slices:
+
+                def row(j, cfT=cfT, sl=sl):
+                    return cfT[j : j + 1, sl]  # [1, 128] candidates
+
+                ids_row = row(ID_ROW2)
+                # ---- fold: 16 ray groups x 128 candidates ----
+                for rg in range(16):
+                    rs = slice(rg * 8, (rg + 1) * 8)
+                    tt, hit = radial_hit(
+                        drx[rs], dry[rs], drz[rs], sr0[rs],
+                        row(0), row(1), row(2),
+                        row(3), row(4), row(5),
+                        row(6), row(7), row(8),
+                        row(C_ROW),
+                    )  # [8, 128] rays x candidates
+                    ii = jnp.where(hit, ids_row, float(BIG_ID))
+                    tmin = jnp.min(tt, axis=1, keepdims=True)  # [8,1]
+                    imin = jnp.min(
+                        jnp.where(tt == tmin, ii, float(BIG_ID)),
+                        axis=1, keepdims=True,
+                    )
+                    bt = w_ref[ci, rs, 0:1]
+                    bi = w_ref[ci, rs, 1:2]
+                    nt, ni = _lexmin(bt, bi, tmin, imin)
+                    w_ref[ci, rs, 0:1] = nt
+                    w_ref[ci, rs, 1:2] = ni
+                # ---- extraction: select-overwrite vs the running winner
+                # (post-fold for this chunk, same argument as gen-4) ----
+                biT = w_ref[ci, :, 1:2]  # [128, 1] rays on sublanes
+                oh = (ids_row == biT).astype(jnp.float32)  # [128r, 128c]
+                gT = jax.lax.dot_general(
+                    oh, cfT[0:9, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [128, 9]
+                nT = jax.lax.dot_general(
+                    oh, ntT[0:9, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [128, 9]
+                here = jnp.transpose(
+                    jnp.max(oh, axis=1, keepdims=True), (1, 0)
+                ) > 0.5  # [1, 128]
+                g9 = jnp.transpose(gT, (1, 0))  # [9, 128]
+                n9 = jnp.transpose(nT, (1, 0))
+                acc_ref[ci, 0:9, :] = jnp.where(here, g9, acc_ref[ci, 0:9, :])
+                acc_ref[ci, 9:18, :] = jnp.where(
+                    here, n9, acc_ref[ci, 9:18, :]
+                )
+
+        if skip:
+            worst = jnp.max(w_ref[ci, :, 0])
+            pl.when(bnd_ref[ci, kc] <= worst)(body)
+        else:
+            body()
+
+        @pl.when(kc == nsteps - 1)
+        def _(ci=ci):
+            wt = jnp.transpose(w_ref[ci, :, 0:1], (1, 0))  # [1, 128]
+            wi = jnp.transpose(w_ref[ci, :, 1:2], (1, 0))
+            t_ref[ci : ci + 1, :] = wt
+            i_ref[ci : ci + 1, :] = wi
+            dx = ray_ref[ci, 0:1, :]
+            dy = ray_ref[ci, 1:2, :]
+            dz = ray_ref[ci, 2:3, :]
+            gr = acc_ref[ci]  # [18, 128]
+            # finalize chain verbatim from _fold_extract_kernel2
+            w0 = dx * gr[0:1] + dy * gr[1:2] + dz * gr[2:3]
+            w1 = dx * gr[3:4] + dy * gr[4:5] + dz * gr[5:6]
+            w2 = dx * gr[6:7] + dy * gr[7:8] + dz * gr[8:9]
+            den = (w0 + w1) + w2
+            nsx = w0 * gr[9:10] + w1 * gr[12:13] + w2 * gr[15:16]
+            nsy = w0 * gr[10:11] + w1 * gr[13:14] + w2 * gr[16:17]
+            nsz = w0 * gr[11:12] + w1 * gr[14:15] + w2 * gr[17:18]
+            dn = jnp.where(den == 0.0, 1.0, den)
+            nx, ny, nz = nsx / dn, nsy / dn, nsz / dn
+            ss = (nx * nx + ny * ny) + nz * nz
+            ln = jnp.maximum(jnp.sqrt(ss), 1e-20)
+            nx, ny, nz = nx / ln, ny / ln, nz / ln
+            hit = jnp.isfinite(wt) & (wi < float(t_count))
+            if rule == "hit":
+                inside = hit
+            else:
+                dot = (nx * dx + ny * dy) + nz * dz
+                inside = hit & (dot > threshold)
+            zero = jnp.zeros_like(nx)
+            out_ref[ci, 0:1, :] = jnp.where(inside, nx, zero)
+            out_ref[ci, 1:2, :] = jnp.where(inside, ny, zero)
+            out_ref[ci, 2:3, :] = jnp.where(inside, nz, zero)
+            out_ref[ci, 3:4, :] = jnp.where(inside, 1.0, zero)
+
+
+@partial(jax.jit, static_argnames=("k", "shared", "interpret", "t_count",
+                                   "threshold", "rule"))
+def stab_fold_extract3(
+    rays: jnp.ndarray,   # [C, 8, 128] f32 (dx dy dz s0 rows)
+    coefs: jnp.ndarray,  # [C, 12, K] f32 (or [12, K] when shared)
+    ntab: jnp.ndarray,   # [C, 12, K] f32 (or [12, K] when shared)
+    k: int,
+    t_count: int,
+    threshold: float,
+    shared: bool = False,
+    interpret: bool = False,
+    bounds: jnp.ndarray | None = None,
+    rule: str = "backface",
+):
+    """Gen-5 fused query over lane-aligned (transposed) candidate tables.
+
+    Same contract and outputs as :func:`stab_fold_extract2` — (t, id, ns)
+    are bit-identical.
+    """
+    c = rays.shape[0]
+    assert c % CELLS_PER_STEP == 0 and k % 8 == 0
+    steps = c // CELLS_PER_STEP
+    kblk = min(k, K_BLOCK)
+    assert k % kblk == 0, f"k={k} not a multiple of K_BLOCK={K_BLOCK}"
+    k_steps = k // kblk
+    skip = bounds is not None and k_steps > 1 and not shared
+    if shared:
+        coef_spec = pl.BlockSpec(
+            (NCF2, kblk), lambda i, kc: (0, kc), memory_space=pltpu.VMEM
+        )
+        ntab_spec = pl.BlockSpec(
+            (NNC, kblk), lambda i, kc: (0, kc), memory_space=pltpu.VMEM
+        )
+    else:
+        coef_spec = pl.BlockSpec(
+            (CELLS_PER_STEP, NCF2, kblk), lambda i, kc: (i, 0, kc),
+            memory_space=pltpu.VMEM,
+        )
+        ntab_spec = pl.BlockSpec(
+            (CELLS_PER_STEP, NNC, kblk), lambda i, kc: (i, 0, kc),
+            memory_space=pltpu.VMEM,
+        )
+    in_specs = [
+        pl.BlockSpec(
+            (CELLS_PER_STEP, 8, 128), lambda i, kc: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        coef_spec,
+        ntab_spec,
+    ]
+    args = [rays, coefs, ntab]
+    if skip:
+        in_specs.append(pl.BlockSpec(
+            (CELLS_PER_STEP, k_steps), lambda i, kc: (i, 0),
+            memory_space=pltpu.SMEM,
+        ))
+        args.append(bounds)
+    row_spec = pl.BlockSpec(
+        (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    t_out, i_out, ns = pl.pallas_call(
+        partial(_fold_extract_kernel3, kblk=kblk, shared=shared, skip=skip,
+                t_count=t_count, threshold=threshold, rule=rule),
+        grid=(steps, k_steps),
+        in_specs=in_specs,
+        out_specs=[
+            row_spec,
+            row_spec,
+            pl.BlockSpec(
+                (CELLS_PER_STEP, 4, 128), lambda i, kc: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 4, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CELLS_PER_STEP, 18, 128), jnp.float32),
+            pltpu.VMEM((CELLS_PER_STEP, 128, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return t_out, i_out.astype(jnp.int32), ns
+
+
 @partial(jax.jit, static_argnames=("k", "shared", "interpret", "t_count",
                                    "threshold", "rule"))
 def stab_fold_extract2(

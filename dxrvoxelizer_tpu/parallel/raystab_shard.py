@@ -33,11 +33,10 @@ from dxrvoxelizer_tpu.ops.raystab_fast import (
     INSIDE_THRESHOLD,
     RaystabAccel2,
     _merge_winners2,
+    fold_extract_dispatch,
+    table_k,
 )
-from dxrvoxelizer_tpu.ops.raystab_pallas import (
-    CELLS_PER_STEP,
-    stab_fold_extract2,
-)
+from dxrvoxelizer_tpu.ops.raystab_pallas import CELLS_PER_STEP
 
 
 def _pad_lead(x, c_pad: int, fill: float = 0.0):
@@ -67,8 +66,9 @@ def _make_run_class(mesh: Mesh, t_count: int, threshold: float, rule: str,
         c_pad = -(-c // unit) * unit
         rays_p = _pad_lead(rays, c_pad)
         kern = partial(
-            stab_fold_extract2, k=k, t_count=t_count, threshold=threshold,
-            rule=rule, shared=shared, interpret=interpret,
+            fold_extract_dispatch, k=k, t_count=t_count,
+            threshold=threshold, rule=rule, shared=shared,
+            interpret=interpret,
         )
         if shared:
             fn = jax.shard_map(
@@ -148,9 +148,9 @@ def raystab_query2_sharded(
     """
     del verts_norm, normals
     ks = tuple(
-        tuple(int(c[1].shape[1]) for c in level) for level in accel.levels
+        tuple(table_k(c[1]) for c in level) for level in accel.levels
     )
-    ov_k = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+    ov_k = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
     return _sharded_query2(
         accel.levels, accel.sort_keys, accel.ov_dense, accel.n, threshold,
         ks, ov_k, int(tris.shape[0]), interpret, rule, mesh,
@@ -187,9 +187,9 @@ def sharded_frame_raystab(
     band = height // n_dev
     waxis, wflip, wswap, m, res_win, l_axis, l_flip = statics
     ks = tuple(
-        tuple(int(c[1].shape[1]) for c in level) for level in accel.levels
+        tuple(table_k(c[1]) for c in level) for level in accel.levels
     )
-    ov_k = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+    ov_k = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
 
     def render_band(density, s2l, eye, light, clear):
         d = jax.lax.axis_index(axis)

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_FORMAT = 1  # bump when RaystabAccel2's layout changes
+_FORMAT = 3  # bump when RaystabAccel2's layout changes
+# (2: gen-5 lane-aligned tables; 3: lane-aligned only for K >= LANE_MIN_K)
 
 
 def default_cache_dir() -> str:

@@ -32,18 +32,17 @@ def main() -> int:
         _raystab_query2,
         build_raystab_accel2,
     )
-    from dxrvoxelizer_tpu.ops.raystab_pallas import (
-        stab_closest_hit2,
-        stab_fold_extract2,
-    )
+    from dxrvoxelizer_tpu.ops.raystab_fast import fold_extract_dispatch
     from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
 
     n = 64
     scene = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=n))
     b = scene.buffers
     accel = build_raystab_accel2(b.positions_norm, b.tris, b.normals, n)
-    ks = tuple(tuple(int(c[1].shape[1]) for c in lv) for lv in accel.levels)
-    ovk = int(accel.ov_dense[1].shape[0]) if accel.ov_dense else 0
+    from dxrvoxelizer_tpu.ops.raystab_fast import table_k
+
+    ks = tuple(tuple(table_k(c[1]) for c in lv) for lv in accel.levels)
+    ovk = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
     tc = int(b.tris.shape[0])
     print(f"# levels: {accel.stats.levels} near={accel.stats.near_origin}",
           file=sys.stderr)
@@ -114,7 +113,7 @@ def main() -> int:
             for (rays, coefs, scatter, bounds, ntab), k in zip(
                 level, level_ks
             ):
-                t_c, i_c, ns = stab_fold_extract2(
+                t_c, i_c, ns = fold_extract_dispatch(
                     rays + carry * 1e-38, coefs, ntab, k, tc, 0.12,
                     bounds=bounds,
                 )
@@ -122,35 +121,16 @@ def main() -> int:
                        + ns[0, 0, 0] * 1e-38)
         if accel.ov_dense is not None:
             rays_ov, cf_ov, nf_ov = accel.ov_dense
-            t_ov, i_ov, ns_ov = stab_fold_extract2(
+            t_ov, i_ov, ns_ov = fold_extract_dispatch(
                 rays_ov + carry * 1e-38, cf_ov, nf_ov, ovk, tc, 0.12,
                 shared=True,
             )
             acc = acc + t_ov[0, 0] * 1e-38 + ns_ov[0, 0, 0] * 1e-38
         return acc, None
 
-    def fold_body(carry, _):
-        acc = jnp.float32(0.0)
-        for level, level_ks in zip(accel.levels, ks):
-            for (rays, coefs, scatter, bounds, ntab), k in zip(
-                level, level_ks
-            ):
-                t_c, i_c = stab_closest_hit2(
-                    rays + carry * 1e-38, coefs, k, bounds=bounds
-                )
-                acc = acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
-        if accel.ov_dense is not None:
-            rays_ov, cf_ov, nf_ov = accel.ov_dense
-            t_ov, _ = stab_closest_hit2(
-                rays_ov + carry * 1e-38, cf_ov, ovk, shared=True
-            )
-            acc = acc + t_ov[0, 0] * 1e-38
-        return acc, None
-
     slope(full_body, label="full query")
     slope(merge_body, label="kernels + extract + sort-merge")
     slope(kernels_body, label="fused fold+extract kernels only")
-    slope(fold_body, label="fold kernels only")
     return 0
 
 

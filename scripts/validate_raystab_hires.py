@@ -1,24 +1,31 @@
-"""Validate + bench the gen-2 ray-stab path at hi-res grids on the TPU.
+"""Validate the gen-5 ray-stab query at hi-res grids against the radial
+oracle, on the real device (the CPU interpret path would take hours at
+256^3: 16.7M rays x 100k triangles).
 
-128^3 and 256^3 (VERDICT r1 item 5): build the resolution-scaled accel,
-run the gen-2 query, assert bit-exactness (occupancy AND rgba) against the
-radial oracle on an icosphere fixture, and slope-time the dragon query.
+Checks occupancy AND rgba bit-exactness (the round-1/2 contract: the fused
+fold+extract kernel reproduces the oracle's scalarized expression chains,
+ops/intersect.radial_hit), then slope-times the query.
 
-Run: python scripts/validate_raystab_hires.py [--n 256] [--skip-oracle]
+Run: python scripts/validate_raystab_hires.py [-n 256] [-mesh dragon.obj]
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
 def main() -> int:
-    import numpy as np
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=256)
+    ap.add_argument("-mesh", default="dragon.obj")
+    ap.add_argument("--skip-oracle", action="store_true",
+                    help="only build + time the query (no bit-exact check)")
+    args = ap.parse_args()
 
     from dxrvoxelizer_tpu.utils.backend import enable_compile_cache
 
@@ -26,52 +33,133 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from dxrvoxelizer_tpu.ops.raystab_fast import raystab_query2
+    from dxrvoxelizer_tpu.models.scene import Scene
+    from dxrvoxelizer_tpu.ops.raystab_fast import (
+        raystab_query2,
+        table_k,
+    )
     from dxrvoxelizer_tpu.utils.accel_cache import (
         cached_build_raystab_accel2,
     )
-    from dxrvoxelizer_tpu.ops.voxelize_ref import voxelize_raystab_radial_ref
-    from meshes import icosphere_mesh
+    from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
 
-    ns = [128, 256]
-    if "--n" in sys.argv:
-        ns = [int(sys.argv[sys.argv.index("--n") + 1])]
-    skip_oracle = "--skip-oracle" in sys.argv
+    n = args.n
+    scene = Scene.load(VoxelizerConfig(mesh=args.mesh, grid_size=n))
+    b = scene.buffers
+    tc = int(b.tris.shape[0])
+    print(f"# mesh={args.mesh} tris={tc} n={n}", file=sys.stderr)
 
-    for n in ns:
-        v, nr, t = icosphere_mesh(3)
-        v = jnp.asarray(v)
-        nr = jnp.asarray(nr)
-        t = jnp.asarray(t)
+    t0 = time.perf_counter()
+    accel = cached_build_raystab_accel2(
+        b.positions_norm, b.tris, b.normals, n
+    )
+    print(f"# accel build/load: {time.perf_counter() - t0:.1f} s "
+          f"levels={accel.stats.levels} near={accel.stats.near_origin}",
+          file=sys.stderr)
+
+    def phys_bytes(a):
+        s = list(a.shape)
+        s[-1] = -(-s[-1] // 128) * 128
+        if len(s) >= 2:
+            s[-2] = -(-s[-2] // 8) * 8
+        from functools import reduce
+
+        return reduce(lambda x, y: x * y, s, 1) * a.dtype.itemsize
+
+    leaves = jax.tree.leaves((accel.levels, accel.ov_dense, accel.sort_keys))
+    log_mb = sum(a.size * a.dtype.itemsize for a in leaves) / 2**20
+    phys_mb = sum(phys_bytes(a) for a in leaves) / 2**20
+    ks = [table_k(c[1]) for lv in accel.levels for c in lv]
+    print(f"# accel tables: {log_mb:.0f} MiB logical / {phys_mb:.0f} MiB "
+          f"physical (lane-aligned); class Ks={ks}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    occ_f, rgba_f = raystab_query2(
+        b.positions_norm, b.normals, b.tris, accel
+    )
+    occ_f.block_until_ready()
+    print(f"# query cold (compile+run): {time.perf_counter() - t0:.1f} s",
+          file=sys.stderr)
+    inside = int(jnp.sum(occ_f))
+    print(f"# inside voxels: {inside} / {n**3}", file=sys.stderr)
+
+    ok = True
+    if not args.skip_oracle:
+        from dxrvoxelizer_tpu.ops.voxelize_ref import (
+            voxelize_raystab_radial_ref,
+        )
+
         t0 = time.perf_counter()
-        accel = cached_build_raystab_accel2(v, t, nr, n=n)
-        print(f"# {n}^3 accel build: {time.perf_counter()-t0:.1f} s, "
-              f"levels={accel.stats.levels} near={accel.stats.near_origin}",
-              flush=True)
-        t0 = time.perf_counter()
-        occ2, rgba2 = raystab_query2(v, nr, t, accel)
-        occ2_h, rgba2_h = jax.device_get((occ2, rgba2))
-        print(f"# {n}^3 query (cold): {time.perf_counter()-t0:.1f} s, "
-              f"occupied={int(occ2_h.sum())}", flush=True)
+        occ_r, rgba_r = voxelize_raystab_radial_ref(
+            b.positions_norm, b.normals, b.tris, n=n,
+            ray_chunk=16384, tri_chunk=2048,
+        )
+        occ_r.block_until_ready()
+        print(f"# oracle: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+        occ_f_h, occ_r_h, rgba_f_h, rgba_r_h = jax.device_get(
+            (occ_f, occ_r, rgba_f, rgba_r)
+        )
+        occ_diff = int((occ_f_h != occ_r_h).sum())
+        rgba_diff = int((rgba_f_h != rgba_r_h).sum())
+        print(f"# occ mismatches: {occ_diff}  rgba mismatches: {rgba_diff}",
+              file=sys.stderr)
+        ok = occ_diff == 0 and rgba_diff == 0
+        if not ok:
+            bad = np.argwhere(occ_f_h != occ_r_h)[:8]
+            print(f"# first occ diffs at: {bad.tolist()}", file=sys.stderr)
 
-        if not skip_oracle:
+    # slope-timed query (tunnel latency cancels; checksum-consume both
+    # outputs, perturb every float input — see bench.py)
+    from dxrvoxelizer_tpu.ops.raystab_fast import _raystab_query2
+
+    ks_t = tuple(
+        tuple(table_k(c[1]) for c in lv) for lv in accel.levels
+    )
+    ovk = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
+
+    def stab_body(carry, _):
+        lv = jax.tree.map(
+            lambda x: x + carry * 1e-38 if x.dtype == jnp.float32 else x,
+            accel.levels,
+        )
+        ov = jax.tree.map(
+            lambda x: x + carry * 1e-38 if x.dtype == jnp.float32 else x,
+            accel.ov_dense,
+        )
+        occ, rgba = _raystab_query2(
+            lv, accel.sort_keys, ov, n, 0.12, ks_t, ovk, tc, False,
+        )
+        return (jnp.sum(rgba * 1e-38)
+                + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+
+    def make(r):
+        @jax.jit
+        def run():
+            out, _ = jax.lax.scan(stab_body, jnp.float32(0.0), None,
+                                  length=r)
+            return out
+
+        return run
+
+    ra, rb = 2, 6
+    fa, fb = make(ra), make(rb)
+    float(fa()); float(fb())
+
+    def best(f, reps=3):
+        t = 1e9
+        for _ in range(reps):
             t0 = time.perf_counter()
-            occ_r, rgba_r = voxelize_raystab_radial_ref(
-                v, nr, t, n=n, ray_chunk=65536
-            )
-            occ_r_h, rgba_r_h = jax.device_get((occ_r, rgba_r))
-            print(f"# {n}^3 radial oracle: {time.perf_counter()-t0:.1f} s",
-                  flush=True)
-            occ_ok = bool((occ2_h == occ_r_h).all())
-            rgba_ok = bool((rgba2_h == rgba_r_h).all())
-            print(f"{n}^3 bit-exact: occ={occ_ok} rgba={rgba_ok}", flush=True)
-            if not (occ_ok and rgba_ok):
-                mism = int((occ2_h != occ_r_h).sum())
-                print(f"  occ mismatches: {mism} / {occ_r_h.size}")
-                return 1
-    print("OK")
-    return 0
+            float(f())
+            t = min(t, time.perf_counter() - t0)
+        return t
+
+    dt = (best(fb) - best(fa)) / (rb - ra)
+    print(f"raystab query {n}^3: {dt*1e3:.2f} ms  bit_exact="
+          f"{'yes' if ok and not args.skip_oracle else 'SKIPPED' if args.skip_oracle else 'NO'}",
+          flush=True)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -27,6 +27,21 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Release live compiled executables between test modules.
+
+    XLA:CPU's JIT segfaults sequence-dependently once enough distinct
+    executables accumulate in one process (reproduced: test_raystab2.py's
+    29 tests followed by test_accel_cache.py crash inside
+    backend_compile_and_load on the 31st test; every module passes in
+    isolation, 128 GB RAM free, serialized LLVM codegen does not help).
+    Dropping the live-executable caches at module boundaries keeps the
+    resident JIT state bounded; within a module jits still share."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def reference_assets_available():
     from dxrvoxelizer_tpu.utils.assets import find_asset

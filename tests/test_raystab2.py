@@ -226,7 +226,9 @@ def test_accel2_chunk_skip_dense_cone_bitexact():
     n = 16
     accel = build_raystab_accel2(v, t, nr, n=n)
     # the dense cone must actually produce a multi-chunk class
-    ks = [c[1].shape[1] for lv in accel.levels for c in lv]
+    from dxrvoxelizer_tpu.ops.raystab_fast import table_k
+
+    ks = [table_k(c[1]) for lv in accel.levels for c in lv]
     assert max(ks) > 256, ks
     assert any(c[3] is not None for lv in accel.levels for c in lv)
     occ_r, rgba_r = voxelize_raystab_radial_ref(v, nr, t, n=n, ray_chunk=2048)
@@ -237,15 +239,18 @@ def test_accel2_chunk_skip_dense_cone_bitexact():
 
 
 def test_fused_fold_matches_standalone_fold():
-    """stab_fold_extract2's (t, id) must be bit-identical to
-    stab_closest_hit2's fold on every class, and its extracted channels
-    must be the finished rgba rows (the select-overwrite extraction must
-    not disturb the fold it is interleaved with). Uses the dense-cone
-    fixture so multi-chunk classes with skip bounds are exercised."""
-    from dxrvoxelizer_tpu.ops.raystab_pallas import (
-        stab_closest_hit2,
-        stab_fold_extract2,
+    """The fused kernels' (t, id) must be bit-identical to
+    stab_closest_hit2's fold on every class — including gen-5 classes
+    whose lane-aligned tables are fed to the classic kernel through a
+    transpose — and the extracted channels must be the finished rgba rows
+    (the select-overwrite extraction must not disturb the fold it is
+    interleaved with). Uses the dense-cone fixture so multi-chunk classes
+    with skip bounds are exercised in BOTH layouts."""
+    from dxrvoxelizer_tpu.ops.raystab_fast import (
+        fold_extract_dispatch,
+        table_k,
     )
+    from dxrvoxelizer_tpu.ops.raystab_pallas import stab_closest_hit2
 
     v_np, n_np, t_np = icosphere_mesh(3, radius=0.08,
                                       center=(0.5, 0.3, -0.4))
@@ -254,15 +259,22 @@ def test_fused_fold_matches_standalone_fold():
     tc = int(t.shape[0])
     accel = build_raystab_accel2(v, t, nr, n=n)
     ks = tuple(
-        tuple(int(c[1].shape[1]) for c in lv) for lv in accel.levels
+        tuple(table_k(c[1]) for c in lv) for lv in accel.levels
     )
     checked_multichunk = False
+    checked_lanes = False
     for level, level_ks in zip(accel.levels, ks):
         for (rays, coefs, scatter, bounds, ntab), k in zip(level, level_ks):
+            lanes = coefs.shape[-2] == 12 and coefs.shape[-1] != 12
+            checked_lanes |= lanes
+            cf_cl = (
+                jnp.swapaxes(coefs, -1, -2) if lanes else coefs
+            )  # classic [C, K, 12] view for the standalone fold + numpy
+            nt_cl = jnp.swapaxes(ntab, -1, -2) if lanes else ntab
             t_ref, i_ref = stab_closest_hit2(
-                rays, coefs, k, interpret=True, bounds=bounds
+                rays, cf_cl, k, interpret=True, bounds=bounds
             )
-            t_f, i_f, ns = stab_fold_extract2(
+            t_f, i_f, ns = fold_extract_dispatch(
                 rays, coefs, ntab, k, tc, 0.12, interpret=True,
                 bounds=bounds,
             )
@@ -273,8 +285,8 @@ def test_fused_fold_matches_standalone_fold():
             # recompute the finished channels from the tables per hit lane
             # (numpy; tolerance covers FMA contraction vs the kernel)
             tn, iN, nsn = (np.asarray(t_f), np.asarray(i_f), np.asarray(ns))
-            rn, cf, nt = (np.asarray(rays), np.asarray(coefs),
-                          np.asarray(ntab))
+            rn, cf, nt = (np.asarray(rays), np.asarray(cf_cl),
+                          np.asarray(nt_cl))
             hits = np.argwhere(np.isfinite(tn) & (tn > -np.inf)
                                & (iN < tc))
             rng_idx = hits[:: max(1, len(hits) // 64)][:64]
@@ -297,6 +309,7 @@ def test_fused_fold_matches_standalone_fold():
                     assert (got == 0.0).all()
             checked_multichunk |= k > 256 and bounds is not None
     assert checked_multichunk  # fixture must cover the skip branch
+    assert checked_lanes  # and at least one gen-5 lane-aligned class
 
 
 def test_native_pack_matches_python_pack():
