@@ -24,42 +24,14 @@ from __future__ import annotations
 import json
 import os
 import sys
-import threading
 import time
-
-
-def _filter_benign_aot_noise() -> None:
-    """Drop XLA's known-benign CPU AOT feature-mismatch log from stderr.
-
-    The persistent compile cache is keyed per host ISA (utils/backend.py
-    _host_cache_key), which removes the real SIGILL hazard; the remaining
-    cpu_aot_loader complaint fires on the ``+prefer-no-gather`` /
-    ``+prefer-no-scatter`` LLVM *tuning* flags the compile side records but
-    host detection never reports — same-host artifacts trigger it too, and
-    avoiding gathers cannot raise SIGILL. It is multi-KB of noise in the
-    recorded bench tail, so swallow exactly that message and pass
-    everything else through.
-    """
-    real = os.dup(2)
-    r, w = os.pipe()
-    os.dup2(w, 2)
-    os.close(w)
-
-    def pump():
-        with os.fdopen(r, "rb") as f:
-            for line in f:
-                if (b"cpu_aot_loader" in line
-                        or b"Machine type used for XLA:CPU compilation"
-                        in line):
-                    continue
-                os.write(real, line)
-
-    threading.Thread(target=pump, daemon=True).start()
 
 
 def main() -> int:
     quick = "--quick" in sys.argv
-    _filter_benign_aot_noise()
+    from dxrvoxelizer_tpu.utils.backend import filter_benign_aot_noise
+
+    filter_benign_aot_noise()
 
     import jax
     import jax.numpy as jnp

@@ -95,12 +95,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from dxrvoxelizer_tpu.utils.backend import (
         enable_compile_cache,
+        filter_benign_aot_noise,
         select_backend,
     )
 
     # device ladder: preferred accelerator, else CPU — the reference's
     # discrete -> UMA -> WARP fallback analog (DXRVoxelizer.cpp:89-128);
     # -warp maps straight to CPU (DXRVoxelizer.cpp:392)
+    filter_benign_aot_noise()
     enable_compile_cache()
     platform = select_backend("cpu" if cfg.backend == "cpu" else "default")
 

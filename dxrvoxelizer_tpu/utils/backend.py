@@ -35,6 +35,36 @@ def _host_cache_key() -> str:
     return hashlib.sha1(sig.encode()).hexdigest()[:10]
 
 
+def filter_benign_aot_noise() -> None:
+    """Drop XLA's known-benign CPU AOT feature-mismatch log from stderr.
+
+    The persistent compile cache is keyed per host ISA (_host_cache_key),
+    which removes the real SIGILL hazard; the remaining cpu_aot_loader
+    complaint fires on the ``+prefer-no-gather`` / ``+prefer-no-scatter``
+    LLVM *tuning* flags the compile side records but host detection never
+    reports — same-host artifacts trigger it too, and avoiding gathers
+    cannot raise SIGILL. It is multi-KB of noise per process, so swallow
+    exactly that message and pass everything else through.
+    """
+    import threading
+
+    real = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump():
+        with os.fdopen(r, "rb") as f:
+            for line in f:
+                if (b"cpu_aot_loader" in line
+                        or b"Machine type used for XLA:CPU compilation"
+                        in line):
+                    continue
+                os.write(real, line)
+
+    threading.Thread(target=pump, daemon=True).start()
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     """Enable JAX's persistent compilation cache (opt-out via env).
 
