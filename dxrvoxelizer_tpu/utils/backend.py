@@ -53,16 +53,48 @@ def filter_benign_aot_noise() -> None:
     os.dup2(w, 2)
     os.close(w)
 
-    def pump():
-        with os.fdopen(r, "rb") as f:
-            for line in f:
-                if (b"cpu_aot_loader" in line
-                        or b"Machine type used for XLA:CPU compilation"
-                        in line):
-                    continue
-                os.write(real, line)
+    def drop(line: bytes) -> bool:
+        return (b"cpu_aot_loader" in line
+                or b"Machine type used for XLA:CPU compilation" in line)
 
-    threading.Thread(target=pump, daemon=True).start()
+    def pump():
+        # os.read, not file iteration: `for line in f` readahead-buffers
+        # up to 8 KB, trapping progress lines for minutes (and losing them
+        # outright when the daemon thread dies at interpreter exit).
+        # Forward every complete line as soon as it arrives; only a
+        # trailing partial line is held back.
+        part = b""
+        while True:
+            chunk = os.read(r, 65536)
+            if not chunk:
+                if part and not drop(part):
+                    os.write(real, part)
+                os.close(r)
+                return
+            part += chunk
+            lines = part.split(b"\n")
+            part = lines.pop()
+            for line in lines:
+                if not drop(line):
+                    os.write(real, line + b"\n")
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+
+    def restore():
+        # Point fd 2 back at the terminal and close the pipe's write end:
+        # the pump sees EOF, flushes any held partial line, and exits
+        # before the interpreter kills daemon threads.
+        try:
+            sys.stderr.flush()
+        except Exception:
+            pass
+        os.dup2(real, 2)
+        t.join(timeout=2.0)
+
+    import atexit
+
+    atexit.register(restore)
 
 
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
