@@ -120,12 +120,13 @@ def ray_tables(n: int, g: int):
 
 @partial(jax.jit, static_argnames=("g", "span"))
 def _cone_keys(verts_norm, tris, g: int, span: int):
-    """Per-triangle direction cones -> cubemap cell keys + overflow mask.
+    """Per-triangle direction cones -> cubemap cell rectangles + overflow.
 
-    Returns (keys [6, span, span, T] int32 with 6*g*g padding sentinel,
-    over [T] bool). The sort/segment phase runs on the host (numpy radix
-    sort) — a 38M-key stable sort is seconds there vs ~35 s as a
-    single-threaded XLA CPU comparison sort."""
+    Returns (rects [6, 5, T] int32 rows (iu0, iu1, iv0, iv1, fits),
+    over [T] bool). Only the compact per-face rectangles leave the device;
+    the span*span*6*T (cell, triangle) expansion runs on the host
+    (_cone_bins_host) — materializing the expanded key tensor on device
+    and copying it out cost ~10x the whole rest of the binning."""
     v0 = verts_norm[tris[:, 0]]
     v1 = verts_norm[tris[:, 1]]
     v2 = verts_norm[tris[:, 2]]
@@ -173,10 +174,8 @@ def _cone_keys(verts_norm, tris, g: int, span: int):
     # angle(c_hat, s*e_a) - alpha <= acos(1/sqrt(3))
     max_face_angle = jnp.float32(np.arccos(1.0 / np.sqrt(3.0)) + 1e-3)
 
-    keys = []
+    rects = []
     spans = []
-    du = jnp.arange(span, dtype=jnp.int32)[:, None, None]  # [span,1,1]
-    dv = jnp.arange(span, dtype=jnp.int32)[None, :, None]  # [1,span,1]
     for f in range(6):
         a = f >> 1
         s = 1.0 if f % 2 == 0 else -1.0
@@ -196,17 +195,9 @@ def _cone_keys(verts_norm, tris, g: int, span: int):
         sv = iv1 - iv0 + 1
         fits = face_ok & (su <= span) & (sv <= span)
         spans.append((face_ok, fits))
-        # one broadcast expression for the whole span x span rectangle
-        # (384 separately-stacked slices made the XLA graph so large that
-        # its compile dominated the accel build)
-        cell = f * g * g + (iu0[None, None, :] + du) * g + (
-            iv0[None, None, :] + dv
-        )  # [span, span, T]
-        ok = (
-            fits[None, None, :] & (du < su[None, None, :])
-            & (dv < sv[None, None, :])
+        rects.append(
+            jnp.stack([iu0, iu1, iv0, iv1, fits.astype(jnp.int32)], axis=0)
         )
-        keys.append(jnp.where(ok, cell, n_cells))
     # overflow: near-origin balls or any face whose rectangle exceeds span
     over = near_origin
     for face_ok, fits in spans:
@@ -214,27 +205,56 @@ def _cone_keys(verts_norm, tris, g: int, span: int):
     valid_tri = jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1) > 0.0
     over = over & valid_tri
 
-    return jnp.stack(keys, axis=0), over
+    return jnp.stack(rects, axis=0), over
 
 
-def _cone_bins_host(keys_h: np.ndarray, over_h: np.ndarray, g: int):
-    """Host half of the cone binning: filter + stable radix sort + CSR.
+def _cone_bins_host(rects_h: np.ndarray, over_h: np.ndarray, g: int,
+                    span: int):
+    """Host half of the cone binning: rectangle expansion + stable radix
+    sort + CSR.
 
-    Order contract: identical to stable-sorting the full padded key
-    stream (padding keys are the maximum, so dropping them first leaves
-    the relative order of every valid (cell, tri) pair unchanged).
+    Order contract: within every cell the candidate order is
+    (du, dv, tri)-ascending — identical to stable-sorting the historical
+    (face, du, dv, tri)-ordered key stream (a cell's face is fixed, so
+    the interleaving of faces across the emission loop is irrelevant).
     Returns (sorted_tris, starts, counts, ov_ids) as numpy arrays.
     """
     n_cells = 6 * g * g
-    t_count = keys_h.shape[-1]
-    keys_f = keys_h.reshape(-1)
-    # flatten order is (face, du, dv, tri) with tri fastest
-    tri_ids = np.tile(
-        np.arange(t_count, dtype=np.int32), keys_f.shape[0] // max(t_count, 1)
+    t_count = rects_h.shape[-1]
+    iu0 = rects_h[:, 0].reshape(-1)  # [6*T], face-major
+    iv0 = rects_h[:, 2].reshape(-1)
+    su = rects_h[:, 1].reshape(-1) - iu0 + 1
+    sv = rects_h[:, 3].reshape(-1) - iv0 + 1
+    fits = rects_h[:, 4].reshape(-1) != 0
+    face_base = (
+        np.repeat(np.arange(6, dtype=np.int64), t_count) * (g * g)
     )
-    mask = keys_f < n_cells
-    kv = keys_f[mask]
-    tv = tri_ids[mask]
+    kparts, tparts = [], []
+    for du in range(span):
+        okr = fits & (du < su)
+        rows = np.flatnonzero(okr)
+        if rows.size == 0:
+            continue
+        cell_u = face_base[rows] + (iu0[rows] + du).astype(np.int64) * g
+        cell_v0 = iv0[rows].astype(np.int64)
+        svr = sv[rows]
+        tri = (rows % t_count).astype(np.int32)
+        for dv in range(span):
+            sel = dv < svr
+            if dv > 0:
+                cell_u, cell_v0, svr, tri = (
+                    cell_u[sel], cell_v0[sel], svr[sel], tri[sel]
+                )
+            if tri.size == 0:
+                break
+            kparts.append(cell_u + cell_v0 + dv)
+            tparts.append(tri)
+    if kparts:
+        kv = np.concatenate(kparts)
+        tv = np.concatenate(tparts)
+    else:
+        kv = np.zeros((0,), np.int64)
+        tv = np.zeros((0,), np.int32)
     order = np.argsort(kv, kind="stable")
     sorted_keys = kv[order]
     sorted_tris = tv[order]
@@ -279,7 +299,9 @@ def bin_triangles_radial(
     else:
         keys_d, over_d = _cone_keys(verts_norm, tris, g, span)
         keys_h, over_h = np.asarray(keys_d), np.asarray(over_d)
-    sorted_tris, starts, counts_h, ov_np = _cone_bins_host(keys_h, over_h, g)
+    sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
+        keys_h, over_h, g, span
+    )
     max_bin = int(counts_h.max()) if counts_h.size else 0
     n_ov = int(ov_np.size)
     cap = 8
@@ -1196,7 +1218,7 @@ def build_raystab_accel2(
             keys_d, over_d = _cone_keys(verts_bin, cur, g, span)
             keys_h, over_h = np.asarray(keys_d), np.asarray(over_d)
         sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
-            keys_h, over_h, g
+            keys_h, over_h, g, span
         )
         level_runs.append((
             sub_ids[sorted_tris].astype(np.int64), starts,

@@ -172,3 +172,56 @@ def test_native_dir_cells_bitidentical():
         ref = _dir_cells_host(pos, g)
         nat = native.dir_cells_native(n, g)
         np.testing.assert_array_equal(ref, nat)
+
+
+def test_cone_bins_host_matches_padded_key_stream():
+    """The rectangle-expansion binning (_cone_bins_host) must produce the
+    SAME CSR as stable-sorting the historical dense (face, du, dv, tri)
+    key stream — the order contract that keeps candidate tables (and the
+    on-disk accel cache) bit-stable across the expansion rewrite."""
+    import jax.numpy as jnp
+
+    from dxrvoxelizer_tpu.ops.raystab_fast import _cone_bins_host, _cone_keys
+
+    iv, inr, it = icosphere_mesh(3)
+    span, g = 8, 16
+    rects_d, over_d = _cone_keys(
+        jnp.asarray(iv), jnp.asarray(it, jnp.int32), g, span
+    )
+    rects, over = np.asarray(rects_d), np.asarray(over_d)
+    t_count = rects.shape[-1]
+    n_cells = 6 * g * g
+
+    # reference: materialize the padded key tensor exactly as the pre-
+    # rewrite device code did, then tile + mask + stable sort
+    du = np.arange(span)[:, None, None]
+    dv = np.arange(span)[None, :, None]
+    keys = []
+    for f in range(6):
+        iu0, iu1, iv0, iv1 = (rects[f, i] for i in range(4))
+        fits = rects[f, 4] != 0
+        su, sv = iu1 - iu0 + 1, iv1 - iv0 + 1
+        cell = f * g * g + (iu0[None, None, :] + du) * g + (
+            iv0[None, None, :] + dv
+        )
+        ok = (
+            fits[None, None, :] & (du < su[None, None, :])
+            & (dv < sv[None, None, :])
+        )
+        keys.append(np.where(ok, cell, n_cells))
+    keys_f = np.stack(keys, 0).reshape(-1)
+    tri_ids = np.tile(
+        np.arange(t_count, dtype=np.int32), keys_f.shape[0] // t_count
+    )
+    mask = keys_f < n_cells
+    kv, tv = keys_f[mask], tri_ids[mask]
+    order = np.argsort(kv, kind="stable")
+    sk, ref_tris = kv[order], tv[order]
+    ref_starts = np.searchsorted(sk, np.arange(n_cells + 1)).astype(np.int64)
+
+    st, starts, counts, ov = _cone_bins_host(rects, over, g, span)
+    assert st.size > 0  # the fixture must actually exercise the bins
+    np.testing.assert_array_equal(st, ref_tris)
+    np.testing.assert_array_equal(starts, ref_starts)
+    np.testing.assert_array_equal(counts, (ref_starts[1:] - ref_starts[:-1]))
+    np.testing.assert_array_equal(ov, np.flatnonzero(over))
