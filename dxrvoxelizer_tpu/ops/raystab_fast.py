@@ -240,8 +240,10 @@ def _cone_bins_host(rects_h: np.ndarray, over_h: np.ndarray, g: int,
         svr = sv[rows]
         tri = (rows % t_count).astype(np.int32)
         for dv in range(span):
+            # applied uniformly (at dv=0 it is all-true: _cone_keys clips
+            # rectangles to the face, so sv >= 1 for every emitted row)
             sel = dv < svr
-            if dv > 0:
+            if not sel.all():
                 cell_u, cell_v0, svr, tri = (
                     cell_u[sel], cell_v0[sel], svr[sel], tri[sel]
                 )
@@ -291,16 +293,16 @@ def bin_triangles_radial(
     cpu = _host_cpu()
     if cpu is not None:
         with jax.default_device(cpu):
-            keys_d, over_d = _cone_keys(
+            rects_d, over_d = _cone_keys(
                 jnp.asarray(np.asarray(verts_norm)),
                 jnp.asarray(np.asarray(tris)), g, span,
             )
-            keys_h, over_h = np.asarray(keys_d), np.asarray(over_d)
+            rects_h, over_h = np.asarray(rects_d), np.asarray(over_d)
     else:
-        keys_d, over_d = _cone_keys(verts_norm, tris, g, span)
-        keys_h, over_h = np.asarray(keys_d), np.asarray(over_d)
+        rects_d, over_d = _cone_keys(verts_norm, tris, g, span)
+        rects_h, over_h = np.asarray(rects_d), np.asarray(over_d)
     sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
-        keys_h, over_h, g, span
+        rects_h, over_h, g, span
     )
     max_bin = int(counts_h.max()) if counts_h.size else 0
     n_ov = int(ov_np.size)
@@ -837,20 +839,22 @@ def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
 
 LANE_MIN_K = 96
 """Capacity classes with K >= this store their tables TRANSPOSED
-([..., 12, K], gen-5 lane-aligned) and run stab_fold_extract3; smaller
-classes keep the classic [..., K, 12] layout and run stab_fold_extract2.
+([..., 12, K], lane-aligned) and run stab_fold_extract3 (the gen-6
+kernel); smaller classes keep the classic [..., K, 12] layout and run
+stab_fold_extract2 (gen-4).
 
-Why a threshold and not all-transposed: the two layouts flip which axis
-rides the 128 VPU lanes. Classic puts RAYS in lanes and candidates in
-sublane groups of 8 -> ceil(K/8) register ops per strip; gen-5 puts
-CANDIDATES in lanes and rays in sublane groups -> 16 * ceil(K/128) ops.
-For K >= 128 the op counts match and gen-5 cuts physical HBM ~8x (the
-classic 12-float minor dim pads to 128 lanes); below 128 gen-5 still
-shrinks memory (K/16 x: the K-minor dim pads to 128 while 12 sublanes pad
-only to 16) but wastes 128/K of the compute (a [8, K<128] op costs a full
-vreg op). Both are VPU-compute-bound (~50 ops per ray-candidate pair vs
-~0.4 bytes/pair of HBM traffic), so small-K classes stay classic; the
-threshold trades the K=96 class's 1.33x compute for 6x less HBM.
+Why: the classic layout's 12-float minor dim pads to 128 lanes in the
+TPU's (8, 128) f32 tiling — ~10.7x physical HBM and DMA traffic, the
+binding constraint at 256^3. Transposing puts K on the lanes (unpadded
+for K a multiple of 128, ~8x cut). The gen-6 kernel transposes each
+chunk back ONCE in VMEM and runs the gen-4 fold, so compute is gen-4's
+(measured r03 at 64^3: 3.28 ms full query vs gen-4's 3.82 — the
+lane-aligned extraction matmuls skip a relayout; the retired gen-5
+kernel that computed directly in the transposed geometry was 3.5x
+SLOWER, see ops/raystab_pallas.py layout-history comment). Below
+K ~ 96 the transposed table pads K up to 128 lanes, so the memory win
+fades while the per-chunk transpose overhead stays — small classes keep
+the classic layout.
 Bump utils/accel_cache._FORMAT when changing (table layout is cached)."""
 
 
@@ -1106,11 +1110,11 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
             )
         ntab = ncoef_h[np.where(tab >= 0, tab, ncoef_h.shape[0] - 1)]
         if k >= LANE_MIN_K:
-            # gen-5 lane-aligned layout [VC, 12, K] (raystab_pallas
-            # stab_fold_extract3): K on the 128-lane axis — 8x less
-            # physical HBM than [VC, K, 12] (whose 12-lane minor dim
-            # tiles pad to 128) at matched register-op counts; smaller
-            # classes keep the classic layout (see LANE_MIN_K)
+            # lane-aligned layout [VC, 12, K] (raystab_pallas
+            # stab_fold_extract3, the gen-6 kernel): K on the 128-lane
+            # axis — 8x less physical HBM than [VC, K, 12] (whose
+            # 12-lane minor dim tiles pad to 128) at gen-4 compute;
+            # smaller classes keep the classic layout (see LANE_MIN_K)
             coefs = np.ascontiguousarray(coefs.transpose(0, 2, 1))
             ntab = np.ascontiguousarray(ntab.transpose(0, 2, 1))
         classes.append((
@@ -1215,10 +1219,10 @@ def build_raystab_accel2(
             break
         with bin_ctx():
             cur = jnp.asarray(tris_h[sub_ids])
-            keys_d, over_d = _cone_keys(verts_bin, cur, g, span)
-            keys_h, over_h = np.asarray(keys_d), np.asarray(over_d)
+            rects_d, over_d = _cone_keys(verts_bin, cur, g, span)
+            rects_h, over_h = np.asarray(rects_d), np.asarray(over_d)
         sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
-            keys_h, over_h, g, span
+            rects_h, over_h, g, span
         )
         level_runs.append((
             sub_ids[sorted_tris].astype(np.int64), starts,

@@ -507,7 +507,7 @@ def _fold_extract_kernel2(*refs, kblk: int, shared: bool, skip: bool,
             out_ref[ci, 3:4, :] = jnp.where(inside, 1.0, zero)
 
 
-# ---- gen-5: lane-aligned tables (transposed) ------------------------------
+# ---- gen-5/6: lane-aligned tables (transposed) -----------------------------
 #
 # The gen-4 tables [C, K, 12] put the 12-float coefficient row in the
 # LANE dimension; TPU's (8, 128) f32 tiling pads that to 128 lanes, so
@@ -515,136 +515,139 @@ def _fold_extract_kernel2(*refs, kblk: int, shared: bool, skip: bool,
 # the logical bytes — the binding constraint at 256^3 (the accel's
 # logical ~1 GB of tables becomes ~10 GB resident / streamed). Gen-5
 # stores the tables TRANSPOSED, [C, 12, K]: sublanes 12 -> 16 (1.33x),
-# lanes K unpadded for K a multiple of 128, an ~8x cut. The kernel flips
-# its vector geometry to match: CANDIDATES ride the 128 lanes and rays
-# stream in groups of 8 on the sublane axis (the mirror image of gen-4),
-# so the tables are consumed in their native layout with zero per-chunk
-# transposes. Winners accumulate in a transposed scratch
-# (rays-on-sublanes) and transpose back once per strip at the last
-# chunk. Small-K classes transpose too: [C, 12, K<=128] pads to one
-# (16, 128) tile pair — never worse than the classic (K, 128) padding
-# and 1.5-6x smaller for K in 24..96 (the kernel's lane chunks take the
-# class's true width).
+# lanes K unpadded for K a multiple of 128, an ~8x cut.
 #
-# Bit-exactness vs gen-4/the oracle: radial_hit's scalarized chains are
-# elementwise — identical per (candidate, ray) regardless of which axis
-# broadcasts; the lexicographic (t, id) winner fold is a total order
-# (no NaNs by construction), so reduction order is irrelevant; the
-# extraction one-hot matmuls copy exact values (products with 0/1, sums
-# with zeros); the finalize chain is verbatim gen-4. The query
-# dispatches per class on table shape (raystab_fast
-# fold_extract_dispatch), so pre-gen-5 classic tables still run.
+# Gen-5 HISTORY (kernel retired, layout kept): the first kernel over
+# these tables flipped its vector geometry to match — candidates on the
+# 128 lanes, rays in sublane groups of 8. Measured on TPU it was ~3.5x
+# SLOWER than gen-4 (12.5 ms vs 3.6 ms kernels-only at 64^3, r03 A/B):
+# the winner fold needed two CROSS-LANE min-reductions per 8-ray group
+# per chunk (vs gen-4's 3-op sublane lexmin tree), the per-(ray-group)
+# winners lived in a [128, 8] scratch written through strided [8, 1]
+# single-lane slices, and the extraction matmuls ran once per 128-lane
+# slice instead of once per 256-candidate chunk. Both layouts are VPU-
+# compute-bound (~50 ops/pair vs ~0.4 B/pair of HBM), so the op-count
+# regression hit the headline directly.
+#
+# Gen-6 (_fold_extract_kernel6 below) keeps the gen-5 TABLES but not the
+# gen-5 geometry: each [12, kblk] chunk is transposed ONCE into a
+# [kblk, 12] VMEM scratch (a handful of vreg transposes, amortized over
+# the kblk/8 fold steps) and the fold + in-slot finalize run VERBATIM
+# gen-4 (rays on lanes, candidates on sublanes, sublane lexmin tree).
+# The extraction matmuls consume the lane-aligned chunk DIRECTLY —
+# cfT[0:9, :] @ onehot is already [9, kblk] x [kblk, 128] — so they
+# skip gen-4's implicit relayout. Net: gen-4 compute, gen-5 memory.
+#
+# Bit-exactness vs gen-4/the oracle: the transpose is a copy; every
+# arithmetic chain (radial_hit, lexmin fold, one-hot extraction
+# products with 0/1, finalize) is the gen-4 expression order on the
+# same values. The query dispatches per class on table shape
+# (raystab_fast.fold_extract_dispatch), so classic tables still run.
 
 
-def _fold_extract_kernel3(*refs, kblk: int, shared: bool, skip: bool,
+def _fold_extract_kernel6(*refs, kblk: int, shared: bool, skip: bool,
                           t_count: int, threshold: float, rule: str):
-    """Gen-5 fused fold + extraction + finalize over transposed tables.
+    """Gen-6 fused fold + extraction + finalize over transposed tables.
 
     Inputs: rays [8, 8, 128], coefs/ntab [8, 12, kblk] (or [12, kblk]
     when shared), optional bounds SMEM. Outputs as gen-4: t/i [8, 128],
     out [8, 4, 128]. Scratch: acc [8, 18, 128] winner rows (as gen-4)
-    and w [8, 128, 8] transposed winners (lane 0 = t, lane 1 = id).
+    and cscr [kblk, 12] — the current cell's coefficient chunk transposed
+    back to classic orientation ONCE, then consumed by the verbatim gen-4
+    fold. ntab is never transposed: the extraction matmul contracts the
+    lane-aligned chunk directly.
     """
     if skip:
         (ray_ref, coef_ref, ntab_ref, bnd_ref, t_ref, i_ref, out_ref,
-         acc_ref, w_ref) = refs
+         acc_ref, cscr_ref) = refs
     else:
-        ray_ref, coef_ref, ntab_ref, t_ref, i_ref, out_ref, acc_ref, w_ref = (
-            refs)
+        (ray_ref, coef_ref, ntab_ref, t_ref, i_ref, out_ref, acc_ref,
+         cscr_ref) = refs
         bnd_ref = None
     kc = pl.program_id(1)
     nsteps = pl.num_programs(1)
-    # variable-width lane chunks: full 128-lane chunks + a short tail
-    # (small-K classes are a single short chunk)
-    cc_slices = [
-        slice(o, min(o + 128, kblk)) for o in range(0, kblk, 128)
-    ]
+
+    @pl.when(kc == 0)
+    def _():
+        pad = (
+            (ray_ref[:, 0, :] == 0.0)
+            & (ray_ref[:, 1, :] == 0.0)
+            & (ray_ref[:, 2, :] == 0.0)
+        )
+        t_ref[...] = jnp.where(pad, -jnp.inf, jnp.inf)
+        i_ref[...] = jnp.full_like(i_ref, float(BIG_ID))
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for ci in range(CELLS_PER_STEP):
-        rayT = jnp.transpose(ray_ref[ci], (1, 0))  # [128, 8] cols dx dy dz s0
-        drx = rayT[:, 0:1]
-        dry = rayT[:, 1:2]
-        drz = rayT[:, 2:3]
-        sr0 = rayT[:, 3:4]
+        dx = ray_ref[ci, 0:1, :]
+        dy = ray_ref[ci, 1:2, :]
+        dz = ray_ref[ci, 2:3, :]
+        s0 = ray_ref[ci, 3:4, :]
 
-        @pl.when(kc == 0)
-        def _(ci=ci, drx=drx, dry=dry, drz=drz):
-            padT = (drx == 0.0) & (dry == 0.0) & (drz == 0.0)  # [128,1]
-            w_ref[ci, :, 0:1] = jnp.where(padT, -jnp.inf, jnp.inf)
-            w_ref[ci, :, 1:2] = jnp.full((128, 1), float(BIG_ID), jnp.float32)
-            acc_ref[ci] = jnp.zeros_like(acc_ref[ci])
-
-        def body(ci=ci, drx=drx, dry=dry, drz=drz, sr0=sr0):
+        def body(ci=ci, dx=dx, dy=dy, dz=dz, s0=s0):
             cfT = coef_ref[...] if shared else coef_ref[ci]  # [12, kblk]
             ntT = ntab_ref[...] if shared else ntab_ref[ci]
-            for sl in cc_slices:
+            # one chunk transpose back to classic orientation; its cost
+            # amortizes over the kblk/8 fold steps below
+            cscr_ref[...] = jnp.transpose(cfT, (1, 0))  # [kblk, 12]
 
-                def row(j, cfT=cfT, sl=sl):
-                    return cfT[j : j + 1, sl]  # [1, 128] candidates
+            # ---- fold (verbatim _stab_kernel2 chain) ----
+            def step(g, carry, ci=ci, dx=dx, dy=dy, dz=dz, s0=s0):
+                bt, bi = carry
+                cf = cscr_ref[pl.ds(g * 8, 8), :]  # [8, 12]
 
-                ids_row = row(ID_ROW2)
-                # ---- fold: 16 ray groups x 128 candidates ----
-                for rg in range(16):
-                    rs = slice(rg * 8, (rg + 1) * 8)
-                    tt, hit = radial_hit(
-                        drx[rs], dry[rs], drz[rs], sr0[rs],
-                        row(0), row(1), row(2),
-                        row(3), row(4), row(5),
-                        row(6), row(7), row(8),
-                        row(C_ROW),
-                    )  # [8, 128] rays x candidates
-                    ii = jnp.where(hit, ids_row, float(BIG_ID))
-                    tmin = jnp.min(tt, axis=1, keepdims=True)  # [8,1]
-                    imin = jnp.min(
-                        jnp.where(tt == tmin, ii, float(BIG_ID)),
-                        axis=1, keepdims=True,
-                    )
-                    bt = w_ref[ci, rs, 0:1]
-                    bi = w_ref[ci, rs, 1:2]
-                    nt, ni = _lexmin(bt, bi, tmin, imin)
-                    w_ref[ci, rs, 0:1] = nt
-                    w_ref[ci, rs, 1:2] = ni
-                # ---- extraction: select-overwrite vs the running winner
-                # (post-fold for this chunk, same argument as gen-4) ----
-                biT = w_ref[ci, :, 1:2]  # [128, 1] rays on sublanes
-                oh = (ids_row == biT).astype(jnp.float32)  # [128r, 128c]
-                gT = jax.lax.dot_general(
-                    oh, cfT[0:9, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [128, 9]
-                nT = jax.lax.dot_general(
-                    oh, ntT[0:9, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [128, 9]
-                here = jnp.transpose(
-                    jnp.max(oh, axis=1, keepdims=True), (1, 0)
-                ) > 0.5  # [1, 128]
-                g9 = jnp.transpose(gT, (1, 0))  # [9, 128]
-                n9 = jnp.transpose(nT, (1, 0))
-                acc_ref[ci, 0:9, :] = jnp.where(here, g9, acc_ref[ci, 0:9, :])
-                acc_ref[ci, 9:18, :] = jnp.where(
-                    here, n9, acc_ref[ci, 9:18, :]
-                )
+                def col(j):
+                    return cf[:, j : j + 1]  # [8,1]
+
+                tt, hit = radial_hit(
+                    dx, dy, dz, s0,
+                    col(0), col(1), col(2),
+                    col(3), col(4), col(5),
+                    col(6), col(7), col(8),
+                    col(C_ROW),
+                )  # [8,128]
+                ii = jnp.where(hit, col(ID_ROW2), float(BIG_ID))
+
+                t4, i4 = _lexmin(tt[0:4], ii[0:4], tt[4:8], ii[4:8])
+                t2, i2 = _lexmin(t4[0:2], i4[0:2], t4[2:4], i4[2:4])
+                t1, i1 = _lexmin(t2[0:1], i2[0:1], t2[1:2], i2[1:2])
+                return _lexmin(bt, bi, t1, i1)
+
+            init = (t_ref[ci : ci + 1, :], i_ref[ci : ci + 1, :])
+            bt, bi = jax.lax.fori_loop(0, kblk // 8, step, init, unroll=True)
+            t_ref[ci : ci + 1, :] = bt
+            i_ref[ci : ci + 1, :] = bi
+
+            # ---- extraction: select-overwrite with the running winner
+            # (same argument as gen-4) — the lane-aligned chunk is already
+            # the matmul's left operand, [9, kblk] x [kblk, 128] ----
+            ids = cscr_ref[:, ID_ROW2 : ID_ROW2 + 1]  # [kblk, 1]
+            oh = (ids == bi).astype(jnp.float32)  # [kblk, 128]
+            g = jax.lax.dot_general(
+                cfT[0:9, :], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [9, 128]
+            nm = jax.lax.dot_general(
+                ntT[0:9, :], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [9, 128]
+            f = jnp.max(oh, axis=0, keepdims=True)  # [1,128] 1 iff present
+            here = f > 0.5
+            acc_ref[ci, 0:9, :] = jnp.where(here, g, acc_ref[ci, 0:9, :])
+            acc_ref[ci, 9:18, :] = jnp.where(here, nm, acc_ref[ci, 9:18, :])
 
         if skip:
-            worst = jnp.max(w_ref[ci, :, 0])
+            worst = jnp.max(t_ref[ci, :])
             pl.when(bnd_ref[ci, kc] <= worst)(body)
         else:
             body()
 
         @pl.when(kc == nsteps - 1)
-        def _(ci=ci):
-            wt = jnp.transpose(w_ref[ci, :, 0:1], (1, 0))  # [1, 128]
-            wi = jnp.transpose(w_ref[ci, :, 1:2], (1, 0))
-            t_ref[ci : ci + 1, :] = wt
-            i_ref[ci : ci + 1, :] = wi
-            dx = ray_ref[ci, 0:1, :]
-            dy = ray_ref[ci, 1:2, :]
-            dz = ray_ref[ci, 2:3, :]
+        def _(ci=ci, dx=dx, dy=dy, dz=dz):
             gr = acc_ref[ci]  # [18, 128]
-            # finalize chain verbatim from _fold_extract_kernel2
+            # w / ns / finalize chains verbatim from _fold_extract_kernel2
             w0 = dx * gr[0:1] + dy * gr[1:2] + dz * gr[2:3]
             w1 = dx * gr[3:4] + dy * gr[4:5] + dz * gr[5:6]
             w2 = dx * gr[6:7] + dy * gr[7:8] + dz * gr[8:9]
@@ -657,6 +660,8 @@ def _fold_extract_kernel3(*refs, kblk: int, shared: bool, skip: bool,
             ss = (nx * nx + ny * ny) + nz * nz
             ln = jnp.maximum(jnp.sqrt(ss), 1e-20)
             nx, ny, nz = nx / ln, ny / ln, nz / ln
+            wt = t_ref[ci : ci + 1, :]
+            wi = i_ref[ci : ci + 1, :]
             hit = jnp.isfinite(wt) & (wi < float(t_count))
             if rule == "hit":
                 inside = hit
@@ -684,10 +689,11 @@ def stab_fold_extract3(
     bounds: jnp.ndarray | None = None,
     rule: str = "backface",
 ):
-    """Gen-5 fused query over lane-aligned (transposed) candidate tables.
+    """Gen-6 fused query over lane-aligned (transposed) candidate tables.
 
     Same contract and outputs as :func:`stab_fold_extract2` — (t, id, ns)
-    are bit-identical.
+    are bit-identical. (Name kept from the gen-5 entry point; the kernel
+    behind it is gen-6 — see the layout-history comment above.)
     """
     c = rays.shape[0]
     assert c % CELLS_PER_STEP == 0 and k % 8 == 0
@@ -732,7 +738,7 @@ def stab_fold_extract3(
         memory_space=pltpu.VMEM,
     )
     t_out, i_out, ns = pl.pallas_call(
-        partial(_fold_extract_kernel3, kblk=kblk, shared=shared, skip=skip,
+        partial(_fold_extract_kernel6, kblk=kblk, shared=shared, skip=skip,
                 t_count=t_count, threshold=threshold, rule=rule),
         grid=(steps, k_steps),
         in_specs=in_specs,
@@ -751,7 +757,7 @@ def stab_fold_extract3(
         ],
         scratch_shapes=[
             pltpu.VMEM((CELLS_PER_STEP, 18, 128), jnp.float32),
-            pltpu.VMEM((CELLS_PER_STEP, 128, 8), jnp.float32),
+            pltpu.VMEM((kblk, NCF2), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
