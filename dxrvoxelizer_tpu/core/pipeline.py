@@ -262,11 +262,19 @@ def render(
     from dxrvoxelizer_tpu.ops.raymarch_warp import (
         light_sweep_host,
         light_sweep_point_host,
+        light_sweep_ref_host,
         raymarch_shearwarp,
     )
 
     if light_volume is None:
-        sweep = light_sweep_point_host if cfg.point_light else light_sweep_host
+        if cfg.point_light:
+            sweep = light_sweep_point_host
+        elif cfg.render_ss > 1:
+            # -hq: reference-step light field (the dominant error of the
+            # fast sweep was its light model — docs/RENDER_QUALITY.md)
+            sweep = light_sweep_ref_host
+        else:
+            sweep = light_sweep_host
         light_volume = sweep(
             density, consts.local_space_light_pt, density.shape[0]
         )
@@ -274,6 +282,7 @@ def render(
         density, light_volume, consts.screen_to_local,
         consts.local_space_eye_pt, np.array(cfg.clear_color, np.float32),
         cfg.width, cfg.height, m_cap=cfg.intermediate_cap,
+        ss=cfg.render_ss,
     )
 
 

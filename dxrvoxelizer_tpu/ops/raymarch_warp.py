@@ -235,6 +235,152 @@ def light_statics(light_local: np.ndarray) -> tuple[int, bool]:
     return axis, flip
 
 
+def light_ref_statics(light_local: np.ndarray, n: int,
+                      n_light: int = 32) -> tuple[int, bool, int]:
+    """Host statics for :func:`light_sweep_ref`: (axis, flip, d0).
+
+    ``d0`` = whole slabs per reference light step along the major axis
+    (the recurrence's static window size). d0 == 0 means the step spans
+    less than one slab (tiny grids) — callers fall back to the exact
+    per-voxel field (``light_sweep_ref_host`` does).
+    """
+    from dxrvoxelizer_tpu.ops.raymarch_ref import MAX_DIST
+
+    light_local = np.asarray(light_local)
+    ld = light_local / np.linalg.norm(light_local)
+    s_t = np.asarray(TEX_SCALE) * ld * (MAX_DIST / n_light)
+    axis = int(np.argmax(np.abs(s_t)))
+    flip = bool(s_t[axis] < 0)
+    d0 = int(np.floor(abs(s_t[axis]) * n))
+    return axis, flip, d0
+
+
+@partial(jax.jit, static_argnames=("n", "axis", "flip", "d0", "n_light"))
+def light_sweep_ref(density: jnp.ndarray, light_local: jnp.ndarray,
+                    n: int, axis: int, flip: bool, d0: int,
+                    n_light: int = 32) -> jnp.ndarray:
+    """REFERENCE-step directional light field -> [N,N,N] transmittance.
+
+    The reference's light loop (PSRayCast.hlsl:156-173) marches
+    ``n_light`` steps of constant vector ``s = dir * MAX_DIST/n_light``
+    from the sample toward the light, sampling density trilinearly with
+    LINEAR_CLAMP and breaking at the first out-of-box step. Because
+    ``n_light * |s| = MAX_DIST`` equals the box diagonal, the step-count
+    cap never truncates a ray inside the box, so the loop's product obeys
+    the exact recurrence ``L(p) = att(p+s) * L(p+s)`` — computable on the
+    slab grid far-to-near along the step's major tex axis:
+
+    - ``att(p+s)``: the shader's attenuation at the trilinearly resampled
+      density (2-slab z-mix + constant-shift CLAMP xy warp — two shared
+      matmuls per slab, batched);
+    - ``L(p+s)``: 2-slab z-mix of already-computed L slabs + constant-
+      shift xy warp where out-of-volume reads contribute 1 (no absorption
+      outside);
+    - out-of-box sample positions (exactly decidable per texel: voxel
+      centers shift by the constant s) yield L = 1 — the loop's
+      first-step break.
+
+    ``d0``/``axis``/``flip`` come from :func:`light_ref_statics`
+    (``d0 >= 1`` required — tiny grids fall back). The only semantic gap
+    vs the exact per-voxel march (raymarch_fast.precompute_light_volume)
+    is (a) the ``transmit < 0.01`` early-break (absolute error <= 0.01 in
+    a region that is essentially black) and (b) L between slabs is
+    interpolated rather than re-marched — the -hq image bounds
+    (tests/test_goldens.py) pin the end-to-end effect.
+    """
+    from dxrvoxelizer_tpu.ops.raymarch_ref import MAX_DIST
+
+    assert d0 >= 1, "light step spans < 1 slab; use the exact field"
+    ls = MAX_DIST / n_light
+    ld = light_local / jnp.linalg.norm(light_local)
+    s_full = jnp.asarray(TEX_SCALE) * ld * ls  # tex-space step vector
+    perm = _perm_for_axis(axis)
+    dens = jnp.transpose(density, perm)  # [X, Y, K]
+    s_t = s_full[jnp.asarray(perm)]
+    if flip:
+        dens = dens[:, :, ::-1]
+        s_t = s_t * jnp.asarray([1.0, 1.0, -1.0])
+    dvol = jnp.moveaxis(dens, -1, 0)  # [K, X, Y]
+
+    delta = s_t[2] * n  # slabs per step (> 0 by flip), d0 = floor(delta)
+    w = delta - d0  # traced fractional part (host floor is consistent)
+    sx = s_t[0] * n  # xy shift in texels (constant across slabs)
+    sy = s_t[1] * n
+
+    i = jnp.arange(n, dtype=jnp.float32)
+    coords_x = i + sx
+    coords_y = i + sy
+    # L resample: zero-weight outside + complement (outside the volume the
+    # transmittance is 1 — nothing absorbs)
+    wx_l = interp_matrix(coords_x, n)  # [n, n]
+    wy_l = interp_matrix(coords_y, n)
+    corr_l = 1.0 - wx_l.sum(-1)[:, None] * wy_l.sum(-1)[None, :]
+    # density resample: LINEAR_CLAMP (the sampler clamps the coordinate)
+    wx_d = interp_matrix(jnp.clip(coords_x, 0.0, n - 1.0), n)
+    wy_d = interp_matrix(jnp.clip(coords_y, 0.0, n - 1.0), n)
+
+    # exact per-texel out-of-box mask for p+s (voxel centers are exactly
+    # (i+0.5)/n, the shift is constant)
+    px = (i + 0.5) / n + s_t[0]
+    py = (i + 0.5) / n + s_t[1]
+    in_xy = ((px >= 0.0) & (px <= 1.0))[:, None] & (
+        (py >= 0.0) & (py <= 1.0)
+    )[None, :]  # [X, Y]
+    k = jnp.arange(n, dtype=jnp.float32)
+    in_z = (k + 0.5) / n + s_t[2] <= 1.0  # [K] (s_z > 0: lower bound holds)
+
+    # attenuation at p+s for every slab (batched; no scan dependence):
+    # z-mix with CLAMP indices, then the shared xy warp
+    ki = jnp.arange(n)
+    z0 = jnp.clip(ki + d0, 0, n - 1)
+    z1 = jnp.clip(ki + d0 + 1, 0, n - 1)
+    dmix = dvol[z0] * (1.0 - w) + dvol[z1] * w  # [K, X, Y]
+    dres = jnp.einsum("mn,kny->kmy", wx_d, dmix, precision="highest")
+    dres = jnp.einsum("kmy,py->kmp", dres, wy_d, precision="highest")
+    g = jnp.minimum(dres * 8.0, 16.0)
+    att = jnp.clip(1.0 - ABSORPTION * ls * g, 0.0, 1.0)  # [K, X, Y]
+    mask = in_xy[None] & in_z[:, None, None]  # [K, X, Y]
+
+    def body(win, xs):
+        # win[j] = L[k+1+j]; reads land at slabs k+d0 (j=d0-1), k+d0+1 (j=d0)
+        att_k, mask_k = xs
+        lmix = win[d0 - 1] * (1.0 - w) + win[d0] * w
+        lres = (
+            wx_l @ lmix @ wy_l.T + corr_l
+        )
+        l_k = jnp.where(mask_k, att_k * lres, 1.0)
+        return jnp.concatenate([l_k[None], win[:-1]], axis=0), l_k
+
+    init = jnp.ones((d0 + 1, n, n), jnp.float32)  # beyond the far face: 1
+    _, ls_stack = jax.lax.scan(body, init, (att[::-1], mask[::-1]))
+    lvol = ls_stack[::-1]  # [K, X, Y]
+
+    lvol = jnp.moveaxis(lvol, 0, -1)
+    if flip:
+        lvol = lvol[:, :, ::-1]
+    inv = np.argsort(perm)
+    return jnp.transpose(lvol, tuple(inv))
+
+
+def light_sweep_ref_host(density: jnp.ndarray, light_local: np.ndarray,
+                         n: int, n_light: int = 32) -> jnp.ndarray:
+    """Reference-step light field: the matmul recurrence when the step
+    spans >= 1 slab, else the exact per-voxel march (tiny grids)."""
+    axis, flip, d0 = light_ref_statics(light_local, n, n_light)
+    if d0 < 1:
+        from dxrvoxelizer_tpu.ops.raymarch_fast import (
+            precompute_light_volume,
+        )
+
+        return precompute_light_volume(
+            density, jnp.asarray(light_local), n_light=n_light
+        )
+    return light_sweep_ref(
+        density, jnp.asarray(light_local), n, axis, flip, d0,
+        n_light=n_light,
+    )
+
+
 def light_sweep_host(density: jnp.ndarray, light_local: np.ndarray,
                      n: int) -> jnp.ndarray:
     axis, flip = light_statics(light_local)
@@ -245,7 +391,7 @@ def light_sweep_host(density: jnp.ndarray, light_local: np.ndarray,
     jax.jit,
     static_argnames=(
         "n", "m", "width", "height", "axis", "flip", "swap", "use_pallas",
-        "res_win",
+        "res_win", "ss",
     ),
 )
 def _shearwarp_core(
@@ -264,6 +410,7 @@ def _shearwarp_core(
     use_pallas: bool,
     res_win: int = 32,
     y_off: jnp.ndarray | None = None,
+    ss: int = 1,
 ):
     perm = _perm_for_axis(axis)
     inv_scale = jnp.asarray(TEX_SCALE)[jnp.asarray(perm)]
@@ -273,6 +420,24 @@ def _shearwarp_core(
     if flip:
         vol2 = vol2[..., ::-1]
     slabs = jnp.moveaxis(vol2, -1, 1)  # [2, K, X, Y]
+
+    # ``ss``: z-supersampling factor (the high-fidelity mode). ss=1 marches
+    # one sample per voxel slab (point-sampled in z, the speed default);
+    # ss>1 marches n*ss sub-slabs whose density/light planes are z-LERPed
+    # between adjacent voxel slabs with LINEAR_CLAMP edge semantics — with
+    # the warp's bilinear xy this makes every sub-slab sample fully
+    # trilinear, matching the reference's SampleLevel along the ray
+    # (PSRayCast.hlsl:103-112) at 2x its 64-slab z-rate for ss=2.
+    ks = n * ss
+    if ss > 1:
+        pos = (jnp.arange(ks, dtype=jnp.float32) + 0.5) / ss - 0.5
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+        i1 = jnp.clip(i0 + 1, 0, n - 1)
+        w1 = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+        slabs = (
+            slabs[:, i0] * (1.0 - w1)[None, :, None, None]
+            + slabs[:, i1] * w1[None, :, None, None]
+        )  # [2, KS, X, Y]
 
     e_t_full = _to_tex(eye_local)[jnp.asarray(perm)]
     if flip:
@@ -296,9 +461,9 @@ def _shearwarp_core(
     gmax = jnp.stack([gx_c.max(), gy_c.max()])
     gext = gmax - gmin
 
-    # per-slab warp matrices
-    k = jnp.arange(n, dtype=jnp.float32)
-    z_k = (k + 0.5) / n
+    # per-(sub-)slab warp matrices
+    k = jnp.arange(ks, dtype=jnp.float32)
+    z_k = (k + 0.5) / ks
     s_k = jnp.maximum((z_k - e_z) / c_ref, 0.0)  # <=0: slab behind the eye
     scale_x = s_k * gext[0] * n / m
     off_x = n * (e_xy[0] + s_k * (gmin[0] - e_xy[0])) - 0.5
@@ -318,7 +483,7 @@ def _shearwarp_core(
     w_y = (g_y - e_xy[1])[None, :]
     # tex -> normalized direction scale is uniform (|2|) per axis, so the
     # obliquity ratio is computable in tex space directly
-    delta = (2.0 / n) * jnp.sqrt(w_x**2 + w_y**2 + c_ref**2) / jnp.abs(c_ref)
+    delta = (2.0 / ks) * jnp.sqrt(w_x**2 + w_y**2 + c_ref**2) / jnp.abs(c_ref)
 
     front = (s_k > S_MIN).astype(jnp.float32)  # near-clip mask per slab
 
@@ -553,11 +718,13 @@ def raymarch_shearwarp(
     m: int | None = None,
     use_pallas: bool | None = None,
     m_cap: int = 128,
+    ss: int = 1,
 ) -> jnp.ndarray:
     """Render via the shear-warp path. Host wrapper: picks the static axis/
     flip/orientation and the intermediate resolution, then calls the jitted
     core. Intermediate resolution tracks the volume's screen footprint
-    (magnification ~1) so the Pallas resolver's coherence window holds."""
+    (magnification ~1) so the Pallas resolver's coherence window holds.
+    ``ss``: z-supersampling factor (the ``-hq`` high-fidelity mode)."""
     n = density.shape[0]
     s2l_np = np.asarray(screen_to_local)
     eye_np = np.asarray(eye_local)
@@ -570,4 +737,5 @@ def raymarch_shearwarp(
         density, light_vol, jnp.asarray(s2l_np), jnp.asarray(eye_np),
         jnp.asarray(np.asarray(clear_color, np.float32)),
         n, m, width, height, axis, flip, swap, use_pallas, res_win=res_win,
+        ss=ss,
     )

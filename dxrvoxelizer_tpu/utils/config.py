@@ -45,6 +45,10 @@ class VoxelizerConfig:
     # shear-warp intermediate resolution cap (128 = speed, up to 512 =
     # sharper hi-res renders; the -quality flag raises it)
     intermediate_cap: int = 128
+    # shear-warp z-supersampling factor (the -hq high-fidelity mode):
+    # ss sub-slabs per voxel slab, z-LERPed so every sample is fully
+    # trilinear like the reference's 128-step march (PSRayCast.hlsl:117-145)
+    render_ss: int = 1
     # the reference's _POINT_LIGHT_ compile branch (PSRayCast.hlsl:151-154):
     # per-sample light direction toward the light POINT instead of the
     # directional default
@@ -140,6 +144,11 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
             kw["parity_normals"] = True
         elif is_flag(a, "quality"):
             kw["intermediate_cap"] = int(argv[i + 1]) if has_value(i) else 512
+            if has_value(i):
+                i += 1
+        elif is_flag(a, "hq"):
+            # high-fidelity render: 2x z-supersampling (optionally -hq N)
+            kw["render_ss"] = int(argv[i + 1]) if has_value(i) else 2
             if has_value(i):
                 i += 1
         i += 1

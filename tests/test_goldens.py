@@ -84,10 +84,18 @@ def test_golden_render_tet():
 RENDER_BOUNDS = {
     # measured vs the shader-exact TPU reference render at the default cap
     # (scripts/make_render_goldens.py, docs/RENDER_QUALITY.md), with margin:
-    #            u8_mean  u8_p99  u8_max   (measured: 5.4/41/117, 5.7/39/61,
+    #            u8_mean  u8_p99  u8_max   (measured: 5.4/41/68, 5.7/39/61,
     "bunny": (8.0, 55.0, 150),           #            2.1/34/94)
     "dragon": (8.0, 55.0, 150),
     "TuringBowl": (4.0, 48.0, 150),
+}
+
+HQ_RENDER_BOUNDS = {
+    # -hq mode (render_ss=2 + reference-step light sweep), measured
+    # 0.61/9/55, 1.15/15/51, 0.64/11/51 (docs/RENDER_QUALITY.md) + margin
+    "bunny": (1.5, 16.0, 80),
+    "dragon": (2.5, 24.0, 80),
+    "TuringBowl": (1.5, 18.0, 80),
 }
 
 
@@ -123,3 +131,14 @@ def test_production_render_720p_vs_reference_golden(
     assert err.mean() < mean_b, err.mean()
     assert np.percentile(err, 99) < p99_b, np.percentile(err, 99)
     assert err.max() < max_b, err.max()
+
+    # -hq high-fidelity mode: 2x z-supersampling + reference-step light
+    # sweep must land ~4x closer to the shader-exact reference
+    img_hq = to_u8(np.asarray(
+        render(grid, fc, cfg.replace(render_ss=2), impl="warp")
+    )).astype(np.int32)
+    err_hq = np.abs(img_hq - golden)
+    mean_b, p99_b, max_b = HQ_RENDER_BOUNDS[name]
+    assert err_hq.mean() < mean_b, err_hq.mean()
+    assert np.percentile(err_hq, 99) < p99_b, np.percentile(err_hq, 99)
+    assert err_hq.max() < max_b, err_hq.max()
