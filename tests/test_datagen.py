@@ -40,3 +40,41 @@ def test_batch_multiple_sizes(tmp_path):
     # bound-normalization makes a uniformly scaled copy voxelize identically
     assert results[1].occupied == results[0].occupied
     assert all(r.occupied > 0 for r in results)
+
+
+def test_batch_round_robins_devices(tmp_path):
+    """Meshes spread over the 8-device CPU mesh, one per device in order,
+    with identical results regardless of placement."""
+    import jax
+
+    devices = jax.local_devices()
+    assert len(devices) >= 2, "conftest should provide 8 virtual devices"
+    paths = [
+        _write_tet(tmp_path, f"m{i}.obj", 1.0 + 0.1 * i) for i in range(5)
+    ]
+    results = voxelize_batch(
+        paths, n=32, impl="xla", out_dir=tmp_path / "out", devices=devices
+    )
+    placed = [r.device for r in results]
+    # round-robin: mesh i on device i % D
+    assert placed == [str(devices[i % len(devices)]) for i in range(5)]
+    assert len(set(placed)) == 5  # >1 device actually received work
+    # placement must not change the result: all scaled tets voxelize equal
+    assert len({r.occupied for r in results}) == 1
+    grids = [np.load(r.out_file) for r in results]
+    for g in grids[1:]:
+        np.testing.assert_array_equal(g, grids[0])
+
+
+def test_shard_paths_strided():
+    from dxrvoxelizer_tpu.parallel.datagen import shard_paths
+
+    paths = [f"m{i}" for i in range(7)]
+    shards = [shard_paths(paths, pi, 3) for pi in range(3)]
+    assert shards[0] == ["m0", "m3", "m6"]
+    assert shards[1] == ["m1", "m4"]
+    assert shards[2] == ["m2", "m5"]
+    # every path exactly once across processes
+    assert sorted(sum(shards, [])) == sorted(paths)
+    # single-process default is a no-op
+    assert shard_paths(paths) == paths
