@@ -34,7 +34,9 @@ FRAME_COUNT = 3  # matches core.pipeline (Voxelizer.h:24)
 class ShardedFramePipeline:
     """FramePipeline-compatible multi-chip frame loop.
 
-    Supports the shear-warp renderer with either inside test: parity
+    Supports the shear-warp renderer (default) or the gather ray-marcher
+    (``render_impl="gather"``), each with directional or point light
+    (``cfg.point_light``), with either inside test: parity
     (queue voxelize, deforming-capable) or raystab (strip-sharded gen-4
     query over an init-built accel — parallel/raystab_shard.py).
     In parity mode the voxelize stage re-bins fully on device every frame
@@ -57,23 +59,19 @@ class ShardedFramePipeline:
                 "-chips raystab requires static geometry (the accel is "
                 "built once, like the reference's AS — Voxelizer.cpp:264)"
             )
-        if render_impl not in ("warp", "fast", "auto"):
+        if render_impl not in ("warp", "fast", "auto", "gather"):
             raise ValueError(
-                f"-chips supports the warp renderer only (got {render_impl!r})"
+                "-chips supports the warp and gather renderers "
+                f"(got {render_impl!r})"
             )
         if cfg.height % chips:
             raise ValueError(
                 f"height {cfg.height} not divisible by {chips} chips"
             )
-        if cfg.point_light:
-            raise ValueError(
-                "-chips does not support -pointlight yet (directional "
-                "light sweep only)"
-            )
         self.cfg = cfg
         self.mesh = mesh_buffers
         self.vox_impl = vox_impl
-        self.render_impl = "warp"
+        self.render_impl = "gather" if render_impl == "gather" else "warp"
         self.deforming = deforming
         self.k_chunk = k_chunk
         self.device_mesh = make_device_mesh(chips)
@@ -104,6 +102,12 @@ class ShardedFramePipeline:
     def _frame_fn(self, statics: tuple):
         fn = self._frames.get(statics)
         if fn is None:
+            render_kw = dict(
+                render_impl=self.render_impl,
+                n_samples=self.cfg.num_samples,
+                n_light=self.cfg.num_light_samples,
+                point_light=self.cfg.point_light,
+            )
             if self.accel is not None:
                 from dxrvoxelizer_tpu.parallel.raystab_shard import (
                     sharded_frame_raystab,
@@ -114,24 +118,29 @@ class ShardedFramePipeline:
                     int(self.mesh.tris.shape[0]), self.cfg.grid_size,
                     self.cfg.width, self.cfg.height, statics,
                     threshold=self.cfg.inside_threshold,
-                    interpret=self.interpret,
+                    interpret=self.interpret, **render_kw,
                 )
             else:
                 fn = sharded_frame_fast(
                     self.device_mesh, self.cfg.grid_size, self.cfg.width,
                     self.cfg.height, int(self.mesh.tris.shape[0]),
                     num_chunks_cap=self.num_chunks_cap, k_chunk=self.k_chunk,
-                    interpret=self.interpret, statics=statics,
+                    interpret=self.interpret, statics=statics, **render_kw,
                 )
             self._frames[statics] = fn
         return fn
 
     def frame(self, consts) -> jax.Array:
         """Voxelize + render one frame (async); returns the device image."""
-        statics = frame_statics(
-            consts, self.cfg.width, self.cfg.height,
-            m_cap=self.cfg.intermediate_cap,
-        )
+        if self.render_impl == "gather":
+            statics = ("gather",)  # orientation-free: one compiled frame
+        else:
+            statics = frame_statics(
+                consts, self.cfg.width, self.cfg.height,
+                m_cap=self.cfg.intermediate_cap,
+                point_light=self.cfg.point_light,
+                grid_size=self.cfg.grid_size,
+            )
         fn = self._frame_fn(statics)
         img = fn(
             self.mesh.positions_norm, self.mesh.tris,

@@ -167,6 +167,10 @@ def sharded_frame_raystab(
     statics: tuple,
     threshold: float = INSIDE_THRESHOLD,
     interpret: bool = False,
+    render_impl: str = "warp",
+    n_samples: int = 128,
+    n_light: int = 32,
+    point_light: bool = False,
 ):
     """Multi-chip raystab frame: sharded DispatchRays + band-sharded render.
 
@@ -176,29 +180,55 @@ def sharded_frame_raystab(
     the reference's init-built AS, Voxelizer.cpp:264-326). Per frame: the
     strip-sharded gen-4 query re-traces every voxel ray, the winner rgba
     is R10G10B10A2-quantized (the reference grid format), and each device
-    shear-warps its horizontal screen band from the replicated density.
+    renders its horizontal screen band from the replicated density —
+    shear-warp (``render_impl="warp"``, orientation ``statics`` required)
+    or the gather marcher ("gather", statics-free). ``point_light``
+    selects the point-light field in either renderer.
     """
     from dxrvoxelizer_tpu.ops import raymarch_warp as rw
     from dxrvoxelizer_tpu.ops.packing import quantize_r10g10b10a2
+    from dxrvoxelizer_tpu.parallel.shard import light_volume_from_statics
 
     (axis,) = mesh.axis_names
     n_dev = mesh.devices.size
     assert height % n_dev == 0, f"height {height} not divisible by {n_dev}"
     band = height // n_dev
-    waxis, wflip, wswap, m, res_win, l_axis, l_flip = statics
     ks = tuple(
         tuple(table_k(c[1]) for c in level) for level in accel.levels
     )
     ov_k = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
 
-    def render_band(density, s2l, eye, light, clear):
-        d = jax.lax.axis_index(axis)
-        lv = rw.light_sweep(density, light, n, l_axis, l_flip)
-        return rw._shearwarp_core(
-            density, lv, s2l, eye, clear, n, m, width, band,
-            waxis, wflip, wswap, not interpret, res_win=res_win,
-            y_off=(d * band).astype(jnp.float32).reshape(()),
+    if render_impl == "warp":
+        waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode = statics
+
+        def render_band(density, s2l, eye, light, clear):
+            d = jax.lax.axis_index(axis)
+            lv = light_volume_from_statics(
+                density, light, n, l_axis, l_flip, l_mode, n_light=n_light
+            )
+            return rw._shearwarp_core(
+                density, lv, s2l, eye, clear, n, m, width, band,
+                waxis, wflip, wswap, not interpret, res_win=res_win,
+                y_off=(d * band).astype(jnp.float32).reshape(()),
+            )
+    elif render_impl == "gather":
+        from dxrvoxelizer_tpu.ops.raymarch_fast import (
+            precompute_light_volume,
+            raymarch_fast,
         )
+
+        def render_band(density, s2l, eye, light, clear):
+            d = jax.lax.axis_index(axis)
+            lv = precompute_light_volume(
+                density, light, n_light=n_light, point_light=point_light
+            )
+            return raymarch_fast(
+                density, lv, s2l, eye, clear, width, band,
+                n_samples=n_samples,
+                y_offset=(d * band).astype(jnp.float32),
+            )
+    else:
+        raise ValueError(f"unknown sharded render impl {render_impl!r}")
 
     render = jax.shard_map(
         render_band,

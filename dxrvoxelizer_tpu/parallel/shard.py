@@ -90,13 +90,50 @@ def sharded_frame(
     return run
 
 
-def frame_statics(consts, width: int, height: int, m_cap: int = 128):
+def _light_mode(light_local, n: int) -> tuple[int, bool, str]:
+    """Host statics for a POINT light field: (axis, flip, mode).
+
+    The same decision as ops/raymarch_warp.light_sweep_point_host, hoisted
+    to compile time so the sharded frame stays a single jitted program:
+    the perspective slab sweep ("persp") needs the light outside the
+    volume along its major axis; otherwise the exact per-voxel march
+    ("exact") is used.
+    """
+    from dxrvoxelizer_tpu.ops.raymarch_warp import TEX_SCALE
+
+    l_t = np.asarray(TEX_SCALE) * np.asarray(light_local) + 0.5
+    axis = int(np.argmax(np.abs(l_t - 0.5)))
+    flip = bool(l_t[axis] < 0.5)
+    lz = 1.0 - l_t[axis] if flip else l_t[axis]
+    mode = "exact" if lz <= 1.0 + 1.0 / n else "persp"
+    return axis, flip, mode
+
+
+def light_volume_from_statics(density, light, n: int, l_axis: int,
+                              l_flip: bool, l_mode: str, n_light: int = 32):
+    """Traced light-field dispatch on the host-derived mode statics —
+    usable inside shard_map bodies (no data-dependent control flow)."""
+    from dxrvoxelizer_tpu.ops import raymarch_warp as rw
+
+    if l_mode == "persp":
+        return rw.light_sweep_point(density, light, n, l_axis, l_flip)
+    if l_mode == "exact":
+        return precompute_light_volume(
+            density, light, n_light=n_light, point_light=True
+        )
+    return rw.light_sweep(density, light, n, l_axis, l_flip)
+
+
+def frame_statics(consts, width: int, height: int, m_cap: int = 128,
+                  point_light: bool = False, grid_size: int | None = None):
     """Host-derived compile-time statics of the fast multi-chip frame.
 
     ``(warp axis, flip, swap, intermediate m, resolver window, light axis,
-    light flip)`` — hashable; cache compiled frames keyed on this tuple and
-    rebuild when an orbiting camera crosses a major-axis boundary
-    (parallel/pipeline.py does).
+    light flip, light mode)`` — hashable; cache compiled frames keyed on
+    this tuple and rebuild when an orbiting camera crosses a major-axis
+    boundary (parallel/pipeline.py does). ``point_light`` selects the
+    point-light field mode (needs ``grid_size`` for the outside-the-volume
+    check); the light mode is "dir" | "persp" | "exact".
     """
     from dxrvoxelizer_tpu.ops import raymarch_warp as rw
 
@@ -104,8 +141,15 @@ def frame_statics(consts, width: int, height: int, m_cap: int = 128):
         consts.screen_to_local, consts.local_space_eye_pt, width, height,
         m_cap=m_cap,
     )
-    l_axis, l_flip = rw.light_statics(consts.local_space_light_pt)
-    return (waxis, wflip, wswap, m, res_win, l_axis, l_flip)
+    if point_light:
+        assert grid_size is not None, "point-light statics need grid_size"
+        l_axis, l_flip, l_mode = _light_mode(
+            consts.local_space_light_pt, grid_size
+        )
+    else:
+        l_axis, l_flip = rw.light_statics(consts.local_space_light_pt)
+        l_mode = "dir"
+    return (waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode)
 
 
 def sharded_frame_fast(
@@ -119,6 +163,10 @@ def sharded_frame_fast(
     k_chunk: int = 64,
     interpret: bool = False,
     statics: tuple | None = None,
+    render_impl: str = "warp",
+    n_samples: int = 128,
+    n_light: int = 32,
+    point_light: bool = False,
 ):
     """Production multi-chip frame: Pallas kernels under ``shard_map``.
 
@@ -139,6 +187,11 @@ def sharded_frame_fast(
     ShardedFramePipeline` re-derives them per frame and caches compiled
     frames per orientation. ``interpret`` runs the Pallas kernels in
     interpret mode (the CPU-mesh dry-run configuration).
+
+    ``render_impl``: "warp" (shear-warp, orientation statics required) or
+    "gather" (the loop-free gather ray-marcher — orientation-free, so
+    ``statics`` is unused). ``point_light`` selects the point-light field
+    in either renderer (warp reads the mode from the statics tuple).
     """
     from dxrvoxelizer_tpu.ops.packing import unpack_bits_z
     from dxrvoxelizer_tpu.ops import raymarch_warp as rw
@@ -159,10 +212,37 @@ def sharded_frame_fast(
     tpd = n_tiles // n_dev
     band = height // n_dev
 
-    if statics is None:
-        assert sample_consts is not None, "need sample_consts or statics"
-        statics = frame_statics(sample_consts, width, height)
-    waxis, wflip, wswap, m, res_win, l_axis, l_flip = statics
+    if render_impl == "warp":
+        if statics is None:
+            assert sample_consts is not None, "need sample_consts or statics"
+            statics = frame_statics(
+                sample_consts, width, height, point_light=point_light,
+                grid_size=n,
+            )
+        waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode = statics
+
+        def render_band(d, density, s2l, eye, light, clear):
+            lv = light_volume_from_statics(
+                density, light, n, l_axis, l_flip, l_mode, n_light=n_light
+            )
+            return rw._shearwarp_core(
+                density, lv, s2l, eye, clear, n, m, width, band,
+                waxis, wflip, wswap, not interpret, res_win=res_win,
+                y_off=(d * band).astype(jnp.float32).reshape(()),
+            )
+    elif render_impl == "gather":
+
+        def render_band(d, density, s2l, eye, light, clear):
+            lv = precompute_light_volume(
+                density, light, n_light=n_light, point_light=point_light
+            )
+            return raymarch_fast(
+                density, lv, s2l, eye, clear, width, band,
+                n_samples=n_samples,
+                y_offset=(d * band).astype(jnp.float32),
+            )
+    else:
+        raise ValueError(f"unknown sharded render impl {render_impl!r}")
 
     def frame(verts_norm, tris, s2l, eye, light, clear):
         d = jax.lax.axis_index(axis)
@@ -180,14 +260,7 @@ def sharded_frame_fast(
         tiles_all = jax.lax.all_gather(group, axis, axis=0, tiled=True)
         words = _tiles_to_grid(tiles_all, n)
         density = unpack_bits_z(words, n).astype(jnp.float32)
-
-        lv = rw.light_sweep(density, light, n, l_axis, l_flip)
-        img_band = rw._shearwarp_core(
-            density, lv, s2l, eye, clear, n, m, width, band,
-            waxis, wflip, wswap, not interpret, res_win=res_win,
-            y_off=(d * band).astype(jnp.float32).reshape(()),
-        )
-        return img_band
+        return render_band(d, density, s2l, eye, light, clear)
 
     shmapped = jax.shard_map(
         frame,
