@@ -66,8 +66,14 @@ class _RawTTY:
 
 
 def run_interactive(engine: Engine, cam: OrbitCamera, max_frames: int | None,
-                    orbit: bool = True) -> int:
-    """Drive the engine until quit / max_frames. Returns frames rendered."""
+                    orbit: bool = True, preview=None) -> int:
+    """Drive the engine until quit / max_frames. Returns frames rendered.
+
+    ``preview``: optional :class:`~dxrvoxelizer_tpu.app.preview.
+    PreviewServer` — the latest frame is published whenever a viewer is
+    waiting for one (the swap-chain Present analog; costs nothing while
+    nobody watches).
+    """
     timer = StepTimer()
     paused = False  # Space (reference: OnKeyUp VK_SPACE -> m_pausing)
     show_fps = True  # F1 (reference: s_showFPS)
@@ -124,6 +130,8 @@ def run_interactive(engine: Engine, cam: OrbitCamera, max_frames: int | None,
             engine.update_frame(frame % 3, cam.eye, cam.view_proj)
             img = engine.render(frame % 3)
             frame += 1
+            if preview is not None and preview.wants_frame():
+                preview.publish(np.asarray(img))
             if show_fps and timer.frames_per_second != last_fps:
                 last_fps = timer.frames_per_second
                 print(f"fps: {last_fps:.1f}")

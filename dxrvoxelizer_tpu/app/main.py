@@ -41,6 +41,7 @@ def _parse_extras(argv: list[str]) -> dict:
         "load_grid": None,
         "profile": None,
         "chips": 0,
+        "preview": None,  # None = off; -1 = auto port; else the port
     }
     i = 0
     while i < len(argv):
@@ -72,6 +73,15 @@ def _parse_extras(argv: list[str]) -> dict:
             out["profile"] = argv[i + 1]
         elif key == "chips" and i + 1 < len(argv):
             out["chips"] = int(argv[i + 1])
+        elif key == "preview":
+            # optional port operand: -preview [PORT]
+            port = -1
+            if i + 1 < len(argv):
+                try:
+                    port = int(argv[i + 1])
+                except ValueError:
+                    port = -1
+            out["preview"] = port
         i += 1
     return out
 
@@ -124,15 +134,28 @@ def main(argv: list[str] | None = None) -> int:
         f"backend={platform}"
     )
 
+    preview = None
+    if extras["preview"] is not None:
+        # live view (the swap-chain Present analog): open the printed URL
+        # in any browser to watch frames as they render
+        from dxrvoxelizer_tpu.app.preview import PreviewServer
+
+        port = extras["preview"]
+        preview = PreviewServer(port=0 if port < 0 else port)
+        print(f"live preview: {preview.url}")
+
     if extras["interactive"]:
         # hotkey loop (Space/f/s/x/q — the reference's WndProc analog,
         # DXRVoxelizer.cpp:282-299); -frames still bounds it if given
         from dxrvoxelizer_tpu.app.interactive import run_interactive
 
         frames = run_interactive(
-            engine, cam, extras["frames"], orbit=extras["orbit"]
+            engine, cam, extras["frames"], orbit=extras["orbit"],
+            preview=preview,
         )
         print(f"rendered {frames} frames")
+        if preview is not None:
+            preview.close()
         return 0
 
     if extras["load_grid"]:
@@ -195,10 +218,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
             engine.update_frame(frame % 3, cam.eye, cam.view_proj)
             img = engine.render(frame % 3)
+            if preview is not None and preview.wants_frame():
+                preview.publish(np.asarray(img))
             if timer.frames_per_second != last_fps:
                 last_fps = timer.frames_per_second
                 print(f"fps: {last_fps:.1f}")
     engine.sync()
+    if preview is not None:
+        preview.close()
 
     if extras["ab"]:
         # runtime A/B of the two voxelizer paths (the reference's X-key

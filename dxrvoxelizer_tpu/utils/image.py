@@ -22,25 +22,26 @@ def to_u8(img: np.ndarray) -> np.ndarray:
     return np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
-def write_png(path: str | Path, img: np.ndarray) -> Path:
-    """Write an [H,W,3] or [H,W,4] uint8/float image as PNG.
-
-    Uses the native C++ encoder (utils/_native/pngwrite.cpp, the
-    stb_image_write analog) when available; pure-Python fallback below.
-    """
+def _normalize_u8(img: np.ndarray) -> np.ndarray:
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = to_u8(img)
     if img.ndim == 2:
         img = img[:, :, None].repeat(3, axis=2)
+    assert img.shape[2] in (1, 3, 4)
+    return img
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode an [H,W,{1,3,4}] uint8/float image to PNG bytes (in memory).
+
+    Pure Python (stdlib zlib) — the in-memory path for the live preview
+    server (app/preview.py); file writes go through :func:`write_png`,
+    which prefers the native C++ encoder. ``level``: zlib effort (preview
+    uses 1 for latency).
+    """
+    img = _normalize_u8(img)
     h, w, ch = img.shape
-    assert ch in (1, 3, 4)
-
-    from dxrvoxelizer_tpu.utils.native import write_png_native
-
-    path = Path(path)
-    if write_png_native(path, img):
-        return path
     color_type = {1: 0, 3: 2, 4: 6}[ch]
 
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
@@ -50,14 +51,28 @@ def write_png(path: str | Path, img: np.ndarray) -> Path:
         return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str | Path, img: np.ndarray) -> Path:
+    """Write an [H,W,3] or [H,W,4] uint8/float image as PNG.
+
+    Uses the native C++ encoder (utils/_native/pngwrite.cpp, the
+    stb_image_write analog) when available; pure-Python fallback.
+    """
+    img = _normalize_u8(img)
+
+    from dxrvoxelizer_tpu.utils.native import write_png_native
+
     path = Path(path)
-    path.write_bytes(png)
+    if write_png_native(path, img):
+        return path
+    path.write_bytes(encode_png(img))
     return path
 
 
