@@ -179,6 +179,29 @@ def main() -> int:
     slope(light_body, (r1, r2), "light sweep 64^3",
           key="light_sweep_64_ms")
 
+    # ---- -hq render (2x z-supersampling + reference-step light sweep) ------
+    from dxrvoxelizer_tpu.ops.raymarch_warp import (
+        light_ref_statics,
+        light_sweep_ref,
+    )
+
+    lr_axis, lr_flip, lr_d0 = light_ref_statics(light_np, rn)
+
+    def render_hq_body(carry, _):
+        d2 = density + carry * 1e-38
+        lvr = light_sweep_ref(
+            d2, jnp.asarray(light_np), rn, lr_axis, lr_flip, lr_d0
+        )
+        img = _shearwarp_core(
+            d2, lvr, s2l, eye, clear, rn, 128,
+            cfg64.width, cfg64.height, axis, flip, swap, True, ss=2,
+        )
+        return img[0, 0, 0], None
+
+    hq_s = slope(render_hq_body, (r1, r2), "shear-warp render 1080p (-hq)",
+                 key="render_1080p_grid64_hq_ms")
+    secondaries["render_1080p_grid64_hq_fps"] = round(1.0 / max(hq_s, 1e-9), 1)
+
     if not quick:
         # ---- shear-warp render 1080p from the 256^3 grid --------------------
         words256 = voxelize_parity_queue_run(coefs, ct_h, cf_h, cl_h, n,
@@ -296,34 +319,52 @@ def main() -> int:
         )
         phys_mb = sum(_phys_bytes(a) for a in acc_arrays) / 2**20
         print(f"# ray-stab accel 64^3 physical footprint: {phys_mb:.1f} MiB "
-              "(gen-5 lane-aligned tables)", file=sys.stderr)
+              "(lane-aligned tables)", file=sys.stderr)
         secondaries["raystab_accel64_phys_mib"] = round(phys_mb, 1)
 
-        def stab_body(carry, _):
-            # perturb EVERY float input: perturbing only ftab leaves the
-            # stream kernels + sort loop-invariant and XLA hoists them out
-            # of the measurement scan (under-reported the query 2x)
-            lv = jax.tree.map(
-                lambda x: x + carry * 1e-38
-                if x.dtype == jnp.float32 else x,
-                accel.levels,
-            )
-            ov = jax.tree.map(
-                lambda x: x + carry * 1e-38
-                if x.dtype == jnp.float32 else x,
-                accel.ov_dense,
-            )
-            occ, rgba = _raystab_query2(
-                lv, accel.sort_keys, ov, 64, 0.12, ks, ovk, tc, False,
-            )
-            # checksum-consume BOTH outputs: slicing one element lets XLA
-            # slice the whole finalize + merge selects out of the scan
-            # (under-reported the query 0.8 ms at 64^3)
-            return (jnp.sum(rgba * 1e-38)
-                    + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+        def make_stab_body(acc, n_stab, ks_t, ovk_t):
+            def stab_body(carry, _):
+                # perturb EVERY float input: perturbing only ftab leaves
+                # the stream kernels + sort loop-invariant and XLA hoists
+                # them out of the scan (under-reported the query 2x)
+                lv = jax.tree.map(
+                    lambda x: x + carry * 1e-38
+                    if x.dtype == jnp.float32 else x,
+                    acc.levels,
+                )
+                ov = jax.tree.map(
+                    lambda x: x + carry * 1e-38
+                    if x.dtype == jnp.float32 else x,
+                    acc.ov_dense,
+                )
+                occ, rgba = _raystab_query2(
+                    lv, acc.sort_keys, ov, n_stab, 0.12, ks_t, ovk_t, tc,
+                    False,
+                )
+                # checksum-consume BOTH outputs: slicing one element lets
+                # XLA slice the whole finalize + merge selects out of the
+                # scan (under-reported the query 0.8 ms at 64^3)
+                return (jnp.sum(rgba * 1e-38)
+                        + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
 
-        slope(stab_body, (2, 8), "dragon ray-stab gen-4 query 64^3",
+            return stab_body
+
+        slope(make_stab_body(accel, 64, ks, ovk), (2, 8),
+              "dragon ray-stab gen-6 query 64^3",
               key="raystab_query2_64_ms")
+
+        # hi-res raystab (beyond the reference's fixed 64^3): 128^3
+        accel128 = cached_build_raystab_accel2(
+            scene64.buffers.positions_norm, scene64.buffers.tris,
+            scene64.buffers.normals, 128,
+        )
+        ks128 = tuple(
+            tuple(table_k(c[1]) for c in lv) for lv in accel128.levels
+        )
+        ovk128 = table_k(accel128.ov_dense[1]) if accel128.ov_dense else 0
+        slope(make_stab_body(accel128, 128, ks128, ovk128), (2, 8),
+              "dragon ray-stab gen-6 query 128^3",
+              key="raystab_query2_128_ms")
 
         # ---- deforming mesh: re-bin + re-voxelize every frame ----------------
         from dxrvoxelizer_tpu.ops.voxelize_queue import DeformingVoxelizer
