@@ -36,6 +36,8 @@ grids match ops/voxelize_ref.voxelize_raystab_ref.
 
 from __future__ import annotations
 
+import os
+import zipfile
 from dataclasses import dataclass
 from functools import lru_cache, partial
 
@@ -87,15 +89,63 @@ def _dir_cells_host(d: np.ndarray, g: int) -> np.ndarray:
     return f * (g * g) + iu * g + iv
 
 
+def _raytab_fill(order: np.ndarray, starts: np.ndarray, n_cells: int,
+                 v: int):
+    """(order, starts) -> (ray_table, scatter), vectorized in row chunks.
+
+    Replaces the 6*g*g-iteration python fill loop (~9 s of the 256^3
+    build at g=128); each chunk is one boolean-mask gather, identical
+    rows. Chunking bounds the [rows, r_cap] index temporaries."""
+    counts = (starts[1:] - starts[:-1]).astype(np.int64)
+    r_cap = max(int(-(-counts.max() // 8) * 8), 8) if counts.size else 8
+    ray_table = np.empty((n_cells, r_cap), dtype=np.int32)
+    j = np.arange(r_cap, dtype=np.int64)[None, :]
+    hi = max(order.shape[0] - 1, 0)
+    step = max(1, (1 << 24) // r_cap)  # ~64 MB of index temporaries
+    for lo in range(0, n_cells, step):
+        sl = slice(lo, min(lo + step, n_cells))
+        in_run = j < counts[sl, None]
+        run_idx = np.clip(starts[sl][:, None] + j, 0, hi)
+        ray_table[sl] = np.where(in_run, order[run_idx], -1)
+    scatter = np.where(ray_table >= 0, ray_table, v).astype(np.int32)
+    return ray_table, scatter
+
+
+def _raytab_cache_dir() -> str | None:
+    root = os.environ.get(
+        "DXRVOX_RAYTAB_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "dxrvoxelizer_tpu", "raytab"
+        ),
+    )
+    return None if str(root) in ("0", "off", "none") else root
+
+
 @lru_cache(maxsize=8)
 def ray_tables(n: int, g: int):
     """Static voxel->cell grouping for grid size n, cubemap size g.
 
     Returns (ray_table [C, R_cap] int32 voxel ids / -1, scatter [C, R_cap]
     int32 positions into a V+1 output / V for padding).
+
+    Pure function of (n, g) — mesh-independent — so the sorted voxel
+    stream (order, starts) is cached on disk: cell assignment + the 16.7M
+    argsort were ~8 s of every 256^3 accel build for any geometry.
     """
     from dxrvoxelizer_tpu.utils import native
 
+    n_cells = 6 * g * g
+    v = n * n * n
+    root = _raytab_cache_dir()
+    path = os.path.join(root, f"rt{n}_g{g}.npz") if root else None
+    if path is not None and os.path.exists(path):
+        try:
+            z = np.load(path)
+            order, starts = z["order"], z["starts"]
+            if order.shape == (v,) and starts.shape == (n_cells + 1,):
+                return _raytab_fill(order, starts, n_cells, v)
+        except (OSError, KeyError, ValueError, zipfile.BadZipFile):
+            pass
     cells = native.dir_cells_native(n, g)
     if cells is None:  # pure-numpy fallback (bit-identical, see tests)
         cx, cy, cz = voxel_centers_norm(n)
@@ -104,18 +154,21 @@ def ray_tables(n: int, g: int):
         ).reshape(-1, 3).astype(np.float32)
         # _dir_cells_host is scale-invariant: no normalize over 16.7M rays
         cells = _dir_cells_host(pos, g)
-    n_cells = 6 * g * g
-    order = np.argsort(cells, kind="stable")
+    order = np.argsort(cells, kind="stable").astype(np.int32)
     sorted_cells = cells[order]
-    starts = np.searchsorted(sorted_cells, np.arange(n_cells + 1))
-    counts = starts[1:] - starts[:-1]
-    r_cap = max(int(-(-counts.max() // 8) * 8), 8)
-    ray_table = np.full((n_cells, r_cap), -1, dtype=np.int32)
-    for cell in np.nonzero(counts)[0]:
-        run = order[starts[cell] : starts[cell + 1]]
-        ray_table[cell, : len(run)] = run
-    scatter = np.where(ray_table >= 0, ray_table, n * n * n).astype(np.int32)
-    return ray_table, scatter
+    starts = np.searchsorted(sorted_cells, np.arange(n_cells + 1)).astype(
+        np.int64
+    )
+    if path is not None:
+        try:
+            os.makedirs(root, exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.savez(f, order=order, starts=starts)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+    return _raytab_fill(order, starts, n_cells, v)
 
 
 @partial(jax.jit, static_argnames=("g", "span"))
@@ -791,31 +844,67 @@ def _ray_params(n: int):
     return dirs, jnp.linalg.norm(pos, axis=-1)
 
 
-def _pad_ray_params(dirs_h, s0_h):
-    """One shared zero-padded copy of (dirs, s0) for _dense_rays_host —
-    hoisted out so the 13-odd class assemblies at 256^3 don't each
-    re-concatenate the 200 MB direction table."""
-    dirs_p = np.concatenate([dirs_h, np.zeros((1, 3), np.float32)])
-    s0_p = np.concatenate([s0_h, np.zeros((1,), np.float32)])
-    return dirs_p, s0_p
+@partial(jax.jit, static_argnames=("lane_aligned",))
+def _assemble_class_dev(coef_pad, ncoef_pad, dirs, s0, rt128, tab,
+                        lane_aligned: bool):
+    """Device-side class table assembly: ray blocks [VC, 8, 128] (rows
+    dx dy dz s0 + 4 pad; padding slots give d = 0, s0 = 0 -> den == 0 ->
+    guaranteed miss), coefficient/normal tables gathered from the full
+    per-triangle matrices, and the slot scatter stream.
 
+    This replaces the host-numpy gathers + layout transposes + dense ray
+    assembly that dominated the 256^3 accel build (~55 s of single-core
+    fancy indexing) with XLA row gathers on the accelerator, and cuts the
+    tunnel upload ~12x: candidate IDS (4 B each) ride the wire instead of
+    48 B coefficient+normal rows. Gathers are pure row movement, so every
+    table is bit-identical to the host-assembled original (pinned by the
+    oracle bit-exactness tests).
 
-def _dense_rays_host(ray_table128, dirs_p, s0_p):
-    """Assemble radial-row ray blocks [VC, 8, 128] in host numpy.
-
-    Rows: dx dy dz s0 + 4 pad; padding slots (id -1) give d = 0, s0 = 0
-    -> den == 0 -> guaranteed miss. ``dirs_p``/``s0_p`` are the PADDED
-    host copies from :func:`_pad_ray_params` (device-computed values,
-    bit-preserving round trip).
+    ``tab`` == -1 selects the padding rows: coef_pad[T] is all-zero with
+    id 2^30 (den == 0 -> miss, loses ties), ncoef_pad[T] is all-zero.
     """
-    v = dirs_p.shape[0] - 1
-    idx = np.where(ray_table128 >= 0, ray_table128, v)
-    vc = ray_table128.shape[0]
-    rows = np.zeros((vc, 8, 128), np.float32)
-    for k in range(3):  # per-component gather: contiguous writes, no
-        rows[:, k, :] = dirs_p[:, k][idx]  # [VC,128,3]-transpose copy
-    rows[:, 3, :] = s0_p[idx]
-    return rows
+    v = s0.shape[0]
+    vc = rt128.shape[0]
+    ridx = jnp.where(rt128 >= 0, rt128, v)
+    dirs_p = jnp.concatenate([dirs, jnp.zeros((1, 3), dirs.dtype)], axis=0)
+    s0_p = jnp.concatenate([s0, jnp.zeros((1,), s0.dtype)], axis=0)
+    rays = jnp.concatenate([
+        dirs_p[ridx].transpose(0, 2, 1),
+        s0_p[ridx][:, None, :],
+        jnp.zeros((vc, 4, 128), jnp.float32),
+    ], axis=1)
+    tpad = coef_pad.shape[0] - 1
+    ti = jnp.where(tab >= 0, tab, tpad)
+    coefs = coef_pad[ti]
+    ntab = ncoef_pad[ti]
+    if lane_aligned:
+        coefs = coefs.transpose(0, 2, 1)
+        ntab = ntab.transpose(0, 2, 1)
+    sc128 = jnp.where(rt128 >= 0, rt128, v).astype(jnp.int32)
+    return rays, coefs, ntab, sc128
+
+
+@partial(jax.jit, static_argnames=("lane_aligned",))
+def _assemble_ov_dev(coef_pad, ncoef_pad, dirs, s0, ids,
+                     lane_aligned: bool):
+    """Device-side overflow-stream assembly: every ray in natural order
+    (the ov stream needs no scatter), candidates = the near-origin ids.
+    Same bit contract as :func:`_assemble_class_dev`."""
+    v = s0.shape[0]
+    strips = v // 128
+    rays = jnp.concatenate([
+        dirs.reshape(strips, 128, 3).transpose(0, 2, 1),
+        s0.reshape(strips, 1, 128),
+        jnp.zeros((strips, 4, 128), jnp.float32),
+    ], axis=1)
+    tpad = coef_pad.shape[0] - 1
+    ti = jnp.where(ids >= 0, ids, tpad)
+    cf = coef_pad[ti]
+    nf = ncoef_pad[ti]
+    if lane_aligned:
+        cf = cf.T
+        nf = nf.T
+    return rays, cf, nf
 
 
 @jax.jit
@@ -1024,13 +1113,17 @@ def _make_packs(cell_csr, ray_table, rc, s0_p, tri_bounds):
     return _make_packs_py(cell_csr, ray_table, rc, s0_p, tri_bounds)
 
 
-def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
-                    ncoef_h, tri_bounds=None):
+def _level_classes2(cell_ids, ray_table, coef_dev, ncoef_dev, dirs_dev,
+                    s0_dev, s0_p, n, tri_bounds=None):
     """Partition one level's rays into capacity classes of packed strips
     -> 5-tuples (rays, coefs, scatter, bounds-or-None, ntab) per class.
 
-    ``ncoef_h`` [T+1, 12]: per-triangle normal rows (n0 n1 n2 pad) the
-    fused kernel extracts winner normals from; required.
+    ``ncoef_dev`` [T+1, 12]: per-triangle normal rows (n0 n1 n2 pad) the
+    fused kernel extracts winner normals from; required. ``coef_dev`` is
+    the padded radial coefficient matrix; both live on the default
+    backend, as do ``dirs_dev``/``s0_dev`` — only the compact id tables
+    leave the host (see _assemble_class_dev). ``s0_p`` is the padded
+    HOST copy of s0 for the radius-ordered packing walk.
 
     ``cell_ids``: CSR (offs [C+1], data) of per-cell candidate GLOBAL
     triangle ids (rows of ``coef_h``), from :func:`_fold_levels_csr` —
@@ -1055,9 +1148,14 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
     multiple strips, replicating their candidate row (hi-res grids scale
     the cubemap instead, see build_raystab_accel2).
 
-    All table assembly is host numpy over device-computed coefficient
-    values (one upload per class instead of a lattice of shape-specialized
-    device gathers, each of which costs a remote compile on the tunnel).
+    Table assembly runs ON DEVICE (_assemble_class_dev): the host ships
+    only the compact id tables (rt128, tab) per class and XLA gathers the
+    coefficient/normal/ray rows in place. Each class shape costs one
+    remote compile of a trivial gather graph on tunneled devices — the
+    same per-shape compile set the query kernels already pay, and the
+    persistent compile cache (utils/backend.enable_compile_cache) makes
+    repeats free. Host assembly of the same tables was ~55 s single-core
+    at 256^3 and uploaded 12x the bytes.
     Returns (rays, coefs, scatter) device tuples plus the strip count.
     """
     v = n * n * n
@@ -1090,40 +1188,38 @@ def _level_classes2(cell_ids, ray_table, coef_h, dirs_p, s0_p, n,
         rt128[:vc][np.arange(128)[None, :] < ray_lens[:, None]] = (
             _csr_gather(ray_data, ray_offs, sel)
         )
-        tab = np.full((vc_pad, k), -1, np.int64)
+        # candidate ids as int32 (< 2^24 asserted at build entry)
+        tab = np.full((vc_pad, k), -1, np.int32)
         tab[:vc][np.arange(k)[None, :] < sizes[sel][:, None]] = (
             _csr_gather(id_data, id_offs, sel)
         )
         sc128 = np.where(rt128 >= 0, rt128, v).astype(np.int32)
-        coefs = coef_h[np.where(tab >= 0, tab, coef_h.shape[0] - 1)]
         bounds_dev = None
         if tri_bounds is not None and k > 256:
             # chunk lower bound on t = (min candidate R in chunk) - (max
             # ray origin radius in strip); candidates ascend by bound so
-            # the chunk minimum is its first entry
-            tb = np.where(tab >= 0, tri_bounds[np.maximum(tab, 0)], np.inf)
-            chunk_lo = tb[:, ::256]  # [rows, k//256]
+            # the chunk minimum is its first entry — gather only the
+            # chunk-head columns, not the full [rows, k] bound table
+            tab_sub = tab[:, ::256]  # [rows, k//256] chunk heads
+            chunk_lo = np.where(
+                tab_sub >= 0, tri_bounds[np.maximum(tab_sub, 0)], np.inf
+            )
             idx = np.where(rt128 >= 0, rt128, 0)
             s0m = np.where(rt128 >= 0, s0_p[idx], 0.0).max(axis=1)
             bounds_dev = jnp.asarray(
                 np.maximum(chunk_lo - s0m[:, None], 0.0).astype(np.float32)
             )
-        ntab = ncoef_h[np.where(tab >= 0, tab, ncoef_h.shape[0] - 1)]
-        if k >= LANE_MIN_K:
-            # lane-aligned layout [VC, 12, K] (raystab_pallas
-            # stab_fold_extract3, the gen-6 kernel): K on the 128-lane
-            # axis — 8x less physical HBM than [VC, K, 12] (whose
-            # 12-lane minor dim tiles pad to 128) at gen-4 compute;
-            # smaller classes keep the classic layout (see LANE_MIN_K)
-            coefs = np.ascontiguousarray(coefs.transpose(0, 2, 1))
-            ntab = np.ascontiguousarray(ntab.transpose(0, 2, 1))
-        classes.append((
-            jnp.asarray(_dense_rays_host(rt128, dirs_p, s0_p)),
-            jnp.asarray(coefs),
-            jnp.asarray(sc128),
-            bounds_dev,
-            jnp.asarray(ntab),
-        ))
+        # lane-aligned layout [VC, 12, K] for K >= LANE_MIN_K
+        # (raystab_pallas stab_fold_extract3, the gen-6 kernel): K on the
+        # 128-lane axis — 8x less physical HBM than [VC, K, 12] (whose
+        # 12-float minor dim tiles pad to 128) at gen-4 compute; smaller
+        # classes keep the classic layout (see LANE_MIN_K)
+        rays_d, coefs_d, ntab_d, sc_d = _assemble_class_dev(
+            coef_dev, ncoef_dev, dirs_dev, s0_dev,
+            jnp.asarray(rt128), jnp.asarray(tab),
+            lane_aligned=bool(k >= LANE_MIN_K),
+        )
+        classes.append((rays_d, coefs_d, sc_d, bounds_dev, ntab_d))
         sc_host.append(sc128)
         total_vc += vc
     return classes, sc_host, total_vc
@@ -1177,19 +1273,18 @@ def build_raystab_accel2(
         with jax.default_device(cpu):
             verts_bin = jnp.asarray(verts_h)
 
-    # the full radial coefficient matrix once (device); host copy for the
-    # per-class numpy gathers — the round trip preserves every bit. All
-    # three dispatches go out async and ONE device_get drains them: each
-    # separate blocking np.asarray of an in-flight tunnel array costs ~10 s
-    # of polling wait regardless of size.
+    # the full radial coefficient matrix once (device) — it STAYS there:
+    # per-class tables are gathered from it on the accelerator
+    # (_assemble_class_dev). Only s0 comes back to the host (the packing
+    # walk orders strips by origin radius); the dispatches go out async
+    # and ONE device_get drains them — each separate blocking np.asarray
+    # of an in-flight tunnel array costs ~10 s of polling wait.
     coef_d = _radial_coef_matrix(
         verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
     )
     dirs_d, s0_d = _ray_params(n)
-    coef_full, dirs_h, s0_h, norm_h, tris_h = jax.device_get(
-        (coef_d, dirs_d, s0_d, normals, tris)
-    )
-    dirs_p, s0_p = _pad_ray_params(dirs_h, s0_h)
+    s0_h, norm_h, tris_h = jax.device_get((s0_d, normals, tris))
+    s0_p = np.concatenate([s0_h, np.zeros((1,), np.float32)])
     # per-triangle normal rows n0(3) n1(3) n2(3) pad(3) for the winner
     # extraction kernel; raw vertex-normal gathers (pure memory movement,
     # bit-identical to the oracle's normals[tris[:, k]]), last row
@@ -1199,6 +1294,7 @@ def build_raystab_accel2(
         ncoef_full[:t_count, 3 * k : 3 * k + 3] = (
             norm_h[tris_h[:, k]].astype(np.float32)
         )
+    ncoef_d = jnp.asarray(ncoef_full)  # [T+1, 12], ~5 MB upload
 
     import contextlib
 
@@ -1247,8 +1343,8 @@ def build_raystab_accel2(
         tri_bounds = np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
         ray_table, _ = ray_tables(n, g_fine)
         cls, sc_host, total_vc = _level_classes2(
-            (cell_offs, cell_data), ray_table, coef_full, dirs_p, s0_p, n,
-            tri_bounds=tri_bounds, ncoef_h=ncoef_full,
+            (cell_offs, cell_data), ray_table, coef_d, ncoef_d, dirs_d,
+            s0_d, s0_p, n, tri_bounds=tri_bounds,
         )
     levels.append(tuple(cls))
     scatters_host.append(sc_host)
@@ -1275,24 +1371,13 @@ def build_raystab_accel2(
             o_cap = max(-(-size // 8) * 8, 8)
         ids = np.full((o_cap,), -1, np.int32)
         ids[: sub_ids.size] = sub_ids
-        strips = v // 128
-        assert strips % CELLS_PER_STEP == 0
-        all_rays = np.arange(v, dtype=np.int32).reshape(strips, 128)
-        inert = np.zeros((1, 12), np.float32)
-        inert[0, 10] = 2.0**30
-        cf_ov = np.where(
-            (ids >= 0)[:, None], coef_full[:-1][np.maximum(ids, 0)], inert
-        ).astype(np.float32)
-        nf_ov = np.where(
-            (ids >= 0)[:, None], ncoef_full[:-1][np.maximum(ids, 0)], 0.0
-        ).astype(np.float32)
-        if o_cap >= LANE_MIN_K:
-            cf_ov = np.ascontiguousarray(cf_ov.T)  # [12, O] lane-aligned
-            nf_ov = np.ascontiguousarray(nf_ov.T)
-        ov_dense = (
-            jnp.asarray(_dense_rays_host(all_rays, dirs_p, s0_p)),
-            jnp.asarray(cf_ov),
-            jnp.asarray(nf_ov),
+        assert (v // 128) % CELLS_PER_STEP == 0
+        # device assembly; id -1 -> padding rows (coef: zeros + id 2^30,
+        # the inert always-miss row; normals: zeros). [12, O] lane-aligned
+        # when the capacity clears LANE_MIN_K, like the class tables.
+        ov_dense = _assemble_ov_dev(
+            coef_d, ncoef_d, dirs_d, s0_d, jnp.asarray(ids),
+            lane_aligned=bool(o_cap >= LANE_MIN_K),
         )
 
     # slot -> ray sort keys per level: class scatter streams already hold
