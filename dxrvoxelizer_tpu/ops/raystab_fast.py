@@ -943,8 +943,9 @@ kernel that computed directly in the transposed geometry was 3.5x
 SLOWER, see ops/raystab_pallas.py layout-history comment). Below
 K ~ 96 the transposed table pads K up to 128 lanes, so the memory win
 fades while the per-chunk transpose overhead stays — small classes keep
-the classic layout.
-Bump utils/accel_cache._FORMAT when changing (table layout is cached)."""
+the classic layout. (The format-4 accel cache stores only the compact id
+tables, so changing this threshold needs no cache-format bump — layout is
+chosen at assembly time.)"""
 
 
 def table_k(coefs) -> int:
@@ -1031,7 +1032,7 @@ def _fold_levels_csr(level_runs, g_fine: int):
 
 
 def _make_packs_py(cell_csr, ray_table, rc, s0_p, tri_bounds):
-    """Greedy strip packing (see _level_classes2 docstring) — pure-Python
+    """Greedy strip packing (see _pack_classes2 docstring) — pure-Python
     reference implementation. Returns CSR quadruple
     (ray_data i32, ray_offs i64, id_data i64, id_offs i64): pack p owns
     rays ray_data[ray_offs[p]:ray_offs[p+1]] (<= 128 of them) and the
@@ -1113,22 +1114,20 @@ def _make_packs(cell_csr, ray_table, rc, s0_p, tri_bounds):
     return _make_packs_py(cell_csr, ray_table, rc, s0_p, tri_bounds)
 
 
-def _level_classes2(cell_ids, ray_table, coef_dev, ncoef_dev, dirs_dev,
-                    s0_dev, s0_p, n, tri_bounds=None):
+def _pack_classes2(cell_ids, ray_table, s0_p, tri_bounds, v):
     """Partition one level's rays into capacity classes of packed strips
-    -> 5-tuples (rays, coefs, scatter, bounds-or-None, ntab) per class.
-
-    ``ncoef_dev`` [T+1, 12]: per-triangle normal rows (n0 n1 n2 pad) the
-    fused kernel extracts winner normals from; required. ``coef_dev`` is
-    the padded radial coefficient matrix; both live on the default
-    backend, as do ``dirs_dev``/``s0_dev`` — only the compact id tables
-    leave the host (see _assemble_class_dev). ``s0_p`` is the padded
-    HOST copy of s0 for the radius-ordered packing walk.
+    -> the COMPACT per-class product (rt128 [VC,128] i32 ray ids / -1,
+    tab [VC,K] i32 candidate ids / -1, bounds [VC,K/256] f32 or None).
+    Host-only; the expensive coefficient/normal/ray tables are gathered
+    from these on device later (:func:`_assemble_classes`), and the
+    compact product is what the on-disk accel cache stores
+    (utils/accel_cache.py, format 4).
 
     ``cell_ids``: CSR (offs [C+1], data) of per-cell candidate GLOBAL
-    triangle ids (rows of ``coef_h``), from :func:`_fold_levels_csr` —
-    coarser cubemap levels folded into the finest level's cells (same
-    pair count, one sort-merge stream instead of one per level).
+    triangle ids, from :func:`_fold_levels_csr` — coarser cubemap levels
+    folded into the finest level's cells (same pair count, one sort-merge
+    stream instead of one per level). ``s0_p`` is the padded HOST copy of
+    per-voxel origin radii for the radius-ordered packing walk.
 
     ``tri_bounds`` (per global id, f64): strict lower bound on any hit
     distance R of the triangle from the grid origin (bounding-ball
@@ -1147,26 +1146,13 @@ def _level_classes2(cell_ids, ray_table, coef_dev, ncoef_dev, dirs_dev,
     and the sort-merge row count ~2.3x. Cells larger than a strip span
     multiple strips, replicating their candidate row (hi-res grids scale
     the cubemap instead, see build_raystab_accel2).
-
-    Table assembly runs ON DEVICE (_assemble_class_dev): the host ships
-    only the compact id tables (rt128, tab) per class and XLA gathers the
-    coefficient/normal/ray rows in place. Each class shape costs one
-    remote compile of a trivial gather graph on tunneled devices — the
-    same per-shape compile set the query kernels already pay, and the
-    persistent compile cache (utils/backend.enable_compile_cache) makes
-    repeats free. Host assembly of the same tables was ~55 s single-core
-    at 256^3 and uploaded 12x the bytes.
-    Returns (rays, coefs, scatter) device tuples plus the strip count.
     """
-    v = n * n * n
     rc = (ray_table >= 0).sum(axis=1)
-
     ray_data, ray_offs, id_data, id_offs = _make_packs(
         cell_ids, ray_table, rc, s0_p, tri_bounds
     )  # cell_ids: CSR (offs, data) from _fold_levels_csr
 
-    classes = []
-    sc_host = []
+    compact = []
     total_vc = 0
     sizes = id_offs[1:] - id_offs[:-1]
     max_k = int(sizes.max()) if sizes.size else 0
@@ -1193,8 +1179,7 @@ def _level_classes2(cell_ids, ray_table, coef_dev, ncoef_dev, dirs_dev,
         tab[:vc][np.arange(k)[None, :] < sizes[sel][:, None]] = (
             _csr_gather(id_data, id_offs, sel)
         )
-        sc128 = np.where(rt128 >= 0, rt128, v).astype(np.int32)
-        bounds_dev = None
+        bounds_np = None
         if tri_bounds is not None and k > 256:
             # chunk lower bound on t = (min candidate R in chunk) - (max
             # ray origin radius in strip); candidates ascend by bound so
@@ -1206,43 +1191,86 @@ def _level_classes2(cell_ids, ray_table, coef_dev, ncoef_dev, dirs_dev,
             )
             idx = np.where(rt128 >= 0, rt128, 0)
             s0m = np.where(rt128 >= 0, s0_p[idx], 0.0).max(axis=1)
-            bounds_dev = jnp.asarray(
-                np.maximum(chunk_lo - s0m[:, None], 0.0).astype(np.float32)
-            )
-        # lane-aligned layout [VC, 12, K] for K >= LANE_MIN_K
-        # (raystab_pallas stab_fold_extract3, the gen-6 kernel): K on the
-        # 128-lane axis — 8x less physical HBM than [VC, K, 12] (whose
-        # 12-float minor dim tiles pad to 128) at gen-4 compute; smaller
-        # classes keep the classic layout (see LANE_MIN_K)
+            bounds_np = np.maximum(
+                chunk_lo - s0m[:, None], 0.0
+            ).astype(np.float32)
+        compact.append((rt128, tab, bounds_np))
+        total_vc += vc
+    return compact, total_vc
+
+
+def _assemble_classes(compact_classes, coef_dev, ncoef_dev, dirs_dev,
+                      s0_dev):
+    """Device-side assembly of a level's classes from the compact product
+    -> 5-tuples (rays, coefs, scatter, bounds-or-None, ntab) per class.
+
+    ``ncoef_dev`` [T+1, 12]: per-triangle normal rows (n0 n1 n2 pad) the
+    fused kernel extracts winner normals from; required. ``coef_dev`` is
+    the padded radial coefficient matrix; both live on the default
+    backend, as do ``dirs_dev``/``s0_dev`` — only the compact id tables
+    leave the host (see _assemble_class_dev). Each class shape costs one
+    remote compile of a trivial gather graph on tunneled devices — the
+    same per-shape compile set the query kernels already pay, and the
+    persistent compile cache (utils/backend.enable_compile_cache) makes
+    repeats free. Host assembly of the same tables was ~55 s single-core
+    at 256^3 and uploaded 12x the bytes.
+
+    Classes with K >= LANE_MIN_K get the lane-aligned layout [VC, 12, K]
+    (raystab_pallas stab_fold_extract3, the gen-6 kernel): K on the
+    128-lane axis — 8x less physical HBM than [VC, K, 12] (whose 12-float
+    minor dim tiles pad to 128) at gen-4 compute; smaller classes keep
+    the classic layout (see LANE_MIN_K).
+    """
+    classes = []
+    for rt128, tab, bounds_np in compact_classes:
+        k = int(tab.shape[1])
+        bounds_dev = jnp.asarray(bounds_np) if bounds_np is not None else None
         rays_d, coefs_d, ntab_d, sc_d = _assemble_class_dev(
             coef_dev, ncoef_dev, dirs_dev, s0_dev,
             jnp.asarray(rt128), jnp.asarray(tab),
             lane_aligned=bool(k >= LANE_MIN_K),
         )
         classes.append((rays_d, coefs_d, sc_d, bounds_dev, ntab_d))
-        sc_host.append(sc128)
-        total_vc += vc
-    return classes, sc_host, total_vc
+    return classes
 
 
-def build_raystab_accel2(
+@dataclass
+class RaystabCompact2:
+    """The COMPACT half of a gen-2..7 accel: everything the binning +
+    packing stages decide, none of the expanded device tables.
+
+    ``classes``: per capacity class, (rt128 [VC,128] i32 ray ids / -1,
+    tab [VC,K] i32 candidate triangle ids / -1, bounds [VC,K/256] f32
+    chunk-skip lower bounds or None). ``ov_ids``: padded near-origin id
+    list [O] i32 / -1, or None. The expanded accel is a pure device-gather
+    function of (compact, geometry) — :func:`assemble_raystab_accel2` —
+    so this is what the on-disk cache stores (utils/accel_cache.py):
+    ~12x smaller than the expanded tables (ids are 4 B where
+    coefficient+normal rows are 96 B) and backend-independent.
+    """
+
+    n: int
+    classes: tuple
+    ov_ids: np.ndarray | None
+    stats: Raystab2Stats
+
+
+def build_raystab_compact2(
     verts_norm: jnp.ndarray,
     tris: jnp.ndarray,
-    normals: jnp.ndarray,
     n: int = 64,
     gs: tuple | None = None,
     span: int = 8,
-) -> RaystabAccel2:
-    """Build the gen-2 accel: bin each triangle at the finest cubemap level
-    whose ``span``-cell rectangle covers its direction cone; only cones
-    containing the origin fall through to the global list. ``normals`` are
-    baked into the per-class normal tables — like the reference's AS, the
-    accel is built once per geometry (Voxelizer.cpp:264-326); deforming
-    meshes rebuild it.
+) -> RaystabCompact2:
+    """Binning + packing half of the gen-2 accel build: bin each triangle
+    at the finest cubemap level whose ``span``-cell rectangle covers its
+    direction cone; only cones containing the origin fall through to the
+    global list. Host-side product only — pair with
+    :func:`assemble_raystab_accel2`.
 
     ``gs`` (cubemap sizes, fine -> coarse) defaults by grid size: hi-res
     grids get finer top levels so rays-per-cell stays near one 128-lane
-    strip — the per-strip candidate replication in _level_classes2 would
+    strip — the per-strip candidate replication in _pack_classes2 would
     otherwise multiply accel memory by the strips-per-cell factor (a 32^2
     top level at 256^3 puts ~2.7k rays = 22 strips in every cell)."""
     if gs is None:
@@ -1260,12 +1288,11 @@ def build_raystab_accel2(
     v = n * n * n
     sub_ids = np.arange(t_count, dtype=np.int32)
     tris_h = np.asarray(tris)
-    levels = []
-    scatters_host = []  # per-level host copies of the class scatter streams
     stat_levels = []
 
-    # binning on the local CPU backend (see _host_cpu); coefficient values
-    # for the kernel stay on the default backend (oracle bit-exactness)
+    # binning on the local CPU backend (see _host_cpu); the kernel-facing
+    # coefficient values are assembled later on the default backend
+    # (oracle bit-exactness)
     cpu = _host_cpu()
     verts_bin = verts_norm
     if cpu is not None:
@@ -1273,28 +1300,12 @@ def build_raystab_accel2(
         with jax.default_device(cpu):
             verts_bin = jnp.asarray(verts_h)
 
-    # the full radial coefficient matrix once (device) — it STAYS there:
-    # per-class tables are gathered from it on the accelerator
-    # (_assemble_class_dev). Only s0 comes back to the host (the packing
-    # walk orders strips by origin radius); the dispatches go out async
-    # and ONE device_get drains them — each separate blocking np.asarray
-    # of an in-flight tunnel array costs ~10 s of polling wait.
-    coef_d = _radial_coef_matrix(
-        verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
-    )
-    dirs_d, s0_d = _ray_params(n)
-    s0_h, norm_h, tris_h = jax.device_get((s0_d, normals, tris))
+    # s0 (per-voxel origin radius) orders the packing walk and feeds the
+    # conservative chunk-skip bounds; computed with the oracle's exact
+    # expressions and read back once
+    _, s0_d = _ray_params(n)
+    s0_h = jax.device_get(s0_d)
     s0_p = np.concatenate([s0_h, np.zeros((1,), np.float32)])
-    # per-triangle normal rows n0(3) n1(3) n2(3) pad(3) for the winner
-    # extraction kernel; raw vertex-normal gathers (pure memory movement,
-    # bit-identical to the oracle's normals[tris[:, k]]), last row
-    # all-zero padding
-    ncoef_full = np.zeros((t_count + 1, 12), np.float32)
-    for k in range(3):
-        ncoef_full[:t_count, 3 * k : 3 * k + 3] = (
-            norm_h[tris_h[:, k]].astype(np.float32)
-        )
-    ncoef_d = jnp.asarray(ncoef_full)  # [T+1, 12], ~5 MB upload
 
     import contextlib
 
@@ -1331,7 +1342,7 @@ def build_raystab_accel2(
 
     cell_offs, cell_data = _fold_levels_csr(level_runs, g_fine)
     m_counts = cell_offs[1:] - cell_offs[:-1]
-    cls, sc_host, total_vc = (), [], 0
+    compact_classes, total_vc = [], 0
     if m_counts.size and m_counts.max() > 0:
         # per-triangle strict lower bound on hit distance from the origin
         # (bounding ball |c| - r, f64, conservative margin for the f32
@@ -1342,12 +1353,9 @@ def build_raystab_accel2(
         tb = np.maximum(np.linalg.norm(cc, axis=-1) - rr, 0.0)
         tri_bounds = np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
         ray_table, _ = ray_tables(n, g_fine)
-        cls, sc_host, total_vc = _level_classes2(
-            (cell_offs, cell_data), ray_table, coef_d, ncoef_d, dirs_d,
-            s0_d, s0_p, n, tri_bounds=tri_bounds,
+        compact_classes, total_vc = _pack_classes2(
+            (cell_offs, cell_data), ray_table, s0_p, tri_bounds, v
         )
-    levels.append(tuple(cls))
-    scatters_host.append(sc_host)
     # stats: one row per ladder level; the fine row carries the MERGED
     # numbers (live cells, class cap, max bin, strips) since the single
     # query stream runs at the fine level
@@ -1356,7 +1364,7 @@ def build_raystab_accel2(
                           _pow2cap(int(m_counts.max())),
                           int(m_counts.max()), total_vc)
 
-    ov_dense = None
+    ov_ids = None
     if sub_ids.size > 0:
         # stab_closest_hit2 chunks candidates by K_BLOCK=256: k <= 256 must
         # be a multiple of 8, k > 256 a multiple of 256 (CLASS_CAPS2 note)
@@ -1369,29 +1377,83 @@ def build_raystab_accel2(
             o_cap = 128 if size <= 128 else K_BLOCK
         else:
             o_cap = max(-(-size // 8) * 8, 8)
-        ids = np.full((o_cap,), -1, np.int32)
-        ids[: sub_ids.size] = sub_ids
+        ov_ids = np.full((o_cap,), -1, np.int32)
+        ov_ids[: sub_ids.size] = sub_ids
         assert (v // 128) % CELLS_PER_STEP == 0
+
+    return RaystabCompact2(
+        n=n,
+        classes=tuple(compact_classes),
+        ov_ids=ov_ids,
+        stats=Raystab2Stats(
+            levels=tuple(stat_levels), near_origin=int(sub_ids.size)
+        ),
+    )
+
+
+def assemble_raystab_accel2(
+    compact: RaystabCompact2,
+    verts_norm: jnp.ndarray,
+    tris: jnp.ndarray,
+    normals: jnp.ndarray,
+) -> RaystabAccel2:
+    """Device half of the accel build: expand a compact product (fresh or
+    cache-loaded) into kernel tables by XLA row gathers on the accelerator.
+
+    ``verts_norm``/``tris``/``normals`` must be the geometry the compact
+    was built from. The coefficient/normal values are computed here on the
+    default backend, so they match the same-backend oracle bit-for-bit
+    regardless of where (or when) the binning ran."""
+    n = compact.n
+    v = n * n * n
+    t_count = int(tris.shape[0])
+    # the full radial coefficient matrix once (device) — it STAYS there:
+    # per-class tables are gathered from it on the accelerator
+    # (_assemble_class_dev); only compact int32 id tables ride the wire.
+    coef_d = _radial_coef_matrix(
+        verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
+    )
+    dirs_d, s0_d = _ray_params(n)
+    norm_h, tris_h = jax.device_get((normals, tris))
+    # per-triangle normal rows n0(3) n1(3) n2(3) pad(3) for the winner
+    # extraction kernel; raw vertex-normal gathers (pure memory movement,
+    # bit-identical to the oracle's normals[tris[:, k]]), last row
+    # all-zero padding
+    ncoef_full = np.zeros((t_count + 1, 12), np.float32)
+    for k in range(3):
+        ncoef_full[:t_count, 3 * k : 3 * k + 3] = (
+            norm_h[tris_h[:, k]].astype(np.float32)
+        )
+    ncoef_d = jnp.asarray(ncoef_full)  # [T+1, 12], ~5 MB upload
+
+    cls = _assemble_classes(
+        compact.classes, coef_d, ncoef_d, dirs_d, s0_d
+    )
+    levels = (tuple(cls),)
+
+    ov_dense = None
+    if compact.ov_ids is not None:
         # device assembly; id -1 -> padding rows (coef: zeros + id 2^30,
         # the inert always-miss row; normals: zeros). [12, O] lane-aligned
         # when the capacity clears LANE_MIN_K, like the class tables.
+        o_cap = int(compact.ov_ids.shape[0])
         ov_dense = _assemble_ov_dev(
-            coef_d, ncoef_d, dirs_d, s0_d, jnp.asarray(ids),
+            coef_d, ncoef_d, dirs_d, s0_d, jnp.asarray(compact.ov_ids),
             lane_aligned=bool(o_cap >= LANE_MIN_K),
         )
 
-    # slot -> ray sort keys per level: class scatter streams already hold
+    # slot -> ray sort keys per level: the class ray tables already hold
     # the ray id per slot (V for padding); append a filler so every ray
     # appears exactly once, making row r of the sorted stream ray r.
     sort_keys = []
-    for level, sc_host in zip(levels, scatters_host):
-        if not level:
+    for level_compact in (compact.classes,):
+        if not level_compact:
             sort_keys.append(None)
             continue
         covered = np.zeros((v + 1,), bool)
         parts = []
-        for sc128 in sc_host:
-            sc = sc128.reshape(-1)
+        for rt128, _, _ in level_compact:
+            sc = np.where(rt128 >= 0, rt128, v).astype(np.int32).reshape(-1)
             covered[sc] = True
             parts.append(sc)
         filler = np.nonzero(~covered[:v])[0].astype(np.int32)
@@ -1400,13 +1462,29 @@ def build_raystab_accel2(
 
     return RaystabAccel2(
         n=n,
-        levels=tuple(levels),
+        levels=levels,
         ov_dense=ov_dense,
-        stats=Raystab2Stats(
-            levels=tuple(stat_levels), near_origin=int(sub_ids.size)
-        ),
+        stats=compact.stats,
         sort_keys=tuple(sort_keys),
     )
+
+
+def build_raystab_accel2(
+    verts_norm: jnp.ndarray,
+    tris: jnp.ndarray,
+    normals: jnp.ndarray,
+    n: int = 64,
+    gs: tuple | None = None,
+    span: int = 8,
+) -> RaystabAccel2:
+    """Build the gen-2 accel (compact binning/packing + device assembly).
+    ``normals`` are baked into the per-class normal tables — like the
+    reference's AS, the accel is built once per geometry
+    (Voxelizer.cpp:264-326); deforming meshes rebuild it. Callers that
+    want the on-disk cache use utils/accel_cache.cached_build_raystab_accel2
+    (it persists the compact half and re-runs only the assembly)."""
+    compact = build_raystab_compact2(verts_norm, tris, n, gs, span)
+    return assemble_raystab_accel2(compact, verts_norm, tris, normals)
 
 
 def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,

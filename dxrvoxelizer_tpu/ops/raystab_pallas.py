@@ -226,7 +226,7 @@ def stab_closest_hit2(
     ``bounds`` (multi-chunk classes only): per-(cell, chunk) strict lower
     bound on any hit t from that chunk — lets the kernel branch over chunks
     that cannot beat the current winners (candidates distance-sorted at
-    build; ops/raystab_fast._level_classes2).
+    build; ops/raystab_fast._pack_classes2).
     """
     c = rays.shape[0]
     assert c % CELLS_PER_STEP == 0 and k % 8 == 0

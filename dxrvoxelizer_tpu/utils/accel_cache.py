@@ -3,18 +3,21 @@
 The reference builds its BLAS/TLAS once per geometry at init and ships
 precompiled shader blobs next to the app (Voxelizer.cpp:264-326; the dxc
 offline-compile rule in DXRVoxelizer.vcxproj:169-189) — init cost is paid
-once, offline where possible. The TPU analog: the gen-2/4 accel
-(ops/raystab_fast.build_raystab_accel2) is a pure function of
-(geometry bytes, grid size, cubemap ladder, span, backend), and building
-it costs ~34 s of host binning/packing at 256^3 plus remote-compile and
-transfer overhead on tunneled devices. So cache the finished tables on
-disk keyed by that tuple's hash and rebuild only on miss. Arrays are
-stored pre-upload (host numpy): a load still pays the HBM upload, never
-the binning/packing/coefficient math.
+once, offline where possible. The TPU analog: the gen-2..7 accel is a pure
+function of (geometry bytes, grid size, cubemap ladder, span), and its
+binning + packing half (ops/raystab_fast.build_raystab_compact2) costs
+seconds of host work at 256^3. So cache the COMPACT product on disk keyed
+by that tuple's hash and rebuild only on miss; the device-gather assembly
+(assemble_raystab_accel2) re-runs on load — it ships only int32 id tables
+to the accelerator and XLA expands them in place.
 
-The key includes ``jax.default_backend()`` because the kernel-facing
-coefficient VALUES are computed on the device (bit-exactness vs the
-same-backend oracle); an accel built on TPU must not satisfy a CPU run.
+Format history: formats <= 3 stored the EXPANDED device tables
+(coefficient/normal/ray rows) — ~6 GB and a 206 s load at 256^3. Format 4
+stores the compact id tables instead (~12x smaller: 4 B ids vs 96 B
+coefficient+normal rows) and is backend-independent — the binning always
+runs on host CPU and the backend-sensitive coefficient values are computed
+at assembly time on the current default backend, so one cache entry serves
+CPU tests and TPU runs alike.
 """
 
 from __future__ import annotations
@@ -23,12 +26,11 @@ import json
 import os
 import zipfile
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-_FORMAT = 3  # bump when RaystabAccel2's layout changes
-# (2: gen-5 lane-aligned tables; 3: lane-aligned only for K >= LANE_MIN_K)
+_FORMAT = 4  # bump when RaystabCompact2's layout or packing contract changes
+# (2: gen-5 lane-aligned tables; 3: lane-aligned only for K >= LANE_MIN_K;
+#  4: compact binning product only — assembly re-runs on load)
 
 
 def default_cache_dir() -> str:
@@ -40,15 +42,12 @@ def default_cache_dir() -> str:
     )
 
 
-def _accel_key(verts_h, tris_h, normals_h, n: int, gs, span: int) -> str:
+def _accel_key(verts_h, tris_h, n: int, gs, span: int) -> str:
     import hashlib
 
     h = hashlib.sha256()
-    h.update(
-        f"fmt{_FORMAT}|n{n}|gs{gs}|span{span}|{jax.default_backend()}"
-        .encode()
-    )
-    for a in (verts_h, tris_h, normals_h):
+    h.update(f"fmt{_FORMAT}|n{n}|gs{gs}|span{span}".encode())
+    for a in (verts_h, tris_h):
         arr = np.ascontiguousarray(a)
         h.update(str(arr.dtype).encode())
         h.update(str(arr.shape).encode())
@@ -56,36 +55,26 @@ def _accel_key(verts_h, tris_h, normals_h, n: int, gs, span: int) -> str:
     return h.hexdigest()[:24]
 
 
-def save_accel2(path: str, accel) -> None:
-    """Serialize a RaystabAccel2 to ``path`` (.npz, atomic rename)."""
+def save_compact2(path: str, compact) -> None:
+    """Serialize a RaystabCompact2 to ``path`` (.npz, atomic rename)."""
     arrays: dict[str, np.ndarray] = {}
     manifest = {
         "format": _FORMAT,
-        "n": accel.n,
-        "stats_levels": [list(x) for x in accel.stats.levels],
-        "near_origin": accel.stats.near_origin,
-        "levels": [],
-        "ov": accel.ov_dense is not None,
-        "sort_keys": [sk is not None for sk in accel.sort_keys],
+        "n": compact.n,
+        "stats_levels": [list(x) for x in compact.stats.levels],
+        "near_origin": compact.stats.near_origin,
+        "classes": [],
+        "ov": compact.ov_ids is not None,
     }
-    for i, level in enumerate(accel.levels):
-        classes = []
-        for j, (rays, coefs, scatter, bounds, ntab) in enumerate(level):
-            pre = f"L{i}C{j}_"
-            arrays[pre + "rays"] = np.asarray(rays)
-            arrays[pre + "coefs"] = np.asarray(coefs)
-            arrays[pre + "scatter"] = np.asarray(scatter)
-            if bounds is not None:
-                arrays[pre + "bounds"] = np.asarray(bounds)
-            arrays[pre + "ntab"] = np.asarray(ntab)
-            classes.append({"bounds": bounds is not None})
-        manifest["levels"].append(classes)
-    if accel.ov_dense is not None:
-        for name, a in zip(("rays", "coefs", "ntab"), accel.ov_dense):
-            arrays["OV_" + name] = np.asarray(a)
-    for i, sk in enumerate(accel.sort_keys):
-        if sk is not None:
-            arrays[f"SK{i}"] = np.asarray(sk)
+    for j, (rt128, tab, bounds) in enumerate(compact.classes):
+        pre = f"C{j}_"
+        arrays[pre + "rt"] = np.asarray(rt128)
+        arrays[pre + "tab"] = np.asarray(tab)
+        if bounds is not None:
+            arrays[pre + "bounds"] = np.asarray(bounds)
+        manifest["classes"].append({"bounds": bounds is not None})
+    if compact.ov_ids is not None:
+        arrays["OV_ids"] = np.asarray(compact.ov_ids)
     arrays["manifest"] = np.frombuffer(
         json.dumps(manifest).encode(), dtype=np.uint8
     )
@@ -96,49 +85,36 @@ def save_accel2(path: str, accel) -> None:
     os.replace(tmp, path)
 
 
-def load_accel2(path: str):
-    """Load a RaystabAccel2 saved by :func:`save_accel2` (device upload
-    included), or None when the file is absent/unreadable/stale-format."""
-    from dxrvoxelizer_tpu.ops.raystab_fast import Raystab2Stats, RaystabAccel2
+def load_compact2(path: str):
+    """Load a RaystabCompact2 saved by :func:`save_compact2` (host arrays
+    only), or None when the file is absent/unreadable/stale-format."""
+    from dxrvoxelizer_tpu.ops.raystab_fast import (
+        Raystab2Stats,
+        RaystabCompact2,
+    )
 
     try:
         z = np.load(path)
         manifest = json.loads(bytes(z["manifest"]).decode())
         if manifest.get("format") != _FORMAT:
             return None
-        levels = []
-        for i, classes in enumerate(manifest["levels"]):
-            level = []
-            for j, meta in enumerate(classes):
-                pre = f"L{i}C{j}_"
-                level.append((
-                    jnp.asarray(z[pre + "rays"]),
-                    jnp.asarray(z[pre + "coefs"]),
-                    jnp.asarray(z[pre + "scatter"]),
-                    jnp.asarray(z[pre + "bounds"]) if meta["bounds"]
-                    else None,
-                    jnp.asarray(z[pre + "ntab"]),
-                ))
-            levels.append(tuple(level))
-        ov_dense = None
-        if manifest["ov"]:
-            ov_dense = tuple(
-                jnp.asarray(z["OV_" + name])
-                for name in ("rays", "coefs", "ntab")
-            )
-        sort_keys = tuple(
-            jnp.asarray(z[f"SK{i}"]) if present else None
-            for i, present in enumerate(manifest["sort_keys"])
-        )
-        return RaystabAccel2(
+        classes = []
+        for j, meta in enumerate(manifest["classes"]):
+            pre = f"C{j}_"
+            classes.append((
+                z[pre + "rt"],
+                z[pre + "tab"],
+                z[pre + "bounds"] if meta["bounds"] else None,
+            ))
+        ov_ids = z["OV_ids"] if manifest["ov"] else None
+        return RaystabCompact2(
             n=manifest["n"],
-            levels=tuple(levels),
-            ov_dense=ov_dense,
+            classes=tuple(classes),
+            ov_ids=ov_ids,
             stats=Raystab2Stats(
                 levels=tuple(tuple(x) for x in manifest["stats_levels"]),
                 near_origin=manifest["near_origin"],
             ),
-            sort_keys=sort_keys,
         )
     except (OSError, KeyError, ValueError, json.JSONDecodeError,
             zipfile.BadZipFile):
@@ -149,27 +125,32 @@ def cached_build_raystab_accel2(
     verts_norm, tris, normals, n: int = 64, gs=None, span: int = 8,
     cache_dir: str | None = None,
 ):
-    """build_raystab_accel2 behind the on-disk cache.
+    """build_raystab_accel2 behind the on-disk compact cache.
 
-    Key: sha256 of (geometry bytes, n, gs, span, backend, format). Miss ->
-    build + persist; hit -> load (skips every build stage except the HBM
-    upload). Opt out per call with ``cache_dir=False``-y via the plain
-    builder, or globally with DXRVOX_ACCEL_CACHE=0.
+    Key: sha256 of (geometry bytes, n, gs, span, format) — normals are NOT
+    in the key (they don't influence binning/packing; assembly bakes the
+    caller's normals in fresh every time). Miss -> bin/pack + persist;
+    hit -> load + device assembly only.
     """
-    from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel2
+    import jax
+
+    from dxrvoxelizer_tpu.ops.raystab_fast import (
+        assemble_raystab_accel2,
+        build_raystab_compact2,
+    )
 
     root = cache_dir or default_cache_dir()
     if str(root) in ("0", "off", "none"):
-        return build_raystab_accel2(verts_norm, tris, normals, n, gs, span)
-    verts_h, tris_h, normals_h = jax.device_get((verts_norm, tris, normals))
-    key = _accel_key(verts_h, tris_h, normals_h, n, gs, span)
+        compact = build_raystab_compact2(verts_norm, tris, n, gs, span)
+        return assemble_raystab_accel2(compact, verts_norm, tris, normals)
+    verts_h, tris_h = jax.device_get((verts_norm, tris))
+    key = _accel_key(verts_h, tris_h, n, gs, span)
     path = os.path.join(root, key + ".npz")
-    accel = load_accel2(path)
-    if accel is not None:
-        return accel
-    accel = build_raystab_accel2(verts_norm, tris, normals, n, gs, span)
-    try:
-        save_accel2(path, accel)
-    except OSError:
-        pass  # read-only cache dir: serve the built accel anyway
-    return accel
+    compact = load_compact2(path)
+    if compact is None:
+        compact = build_raystab_compact2(verts_norm, tris, n, gs, span)
+        try:
+            save_compact2(path, compact)
+        except OSError:
+            pass  # read-only cache dir: serve the built accel anyway
+    return assemble_raystab_accel2(compact, verts_norm, tris, normals)
