@@ -17,7 +17,9 @@ kernel removes both costs; same math, bit-identical output:
   their own BVH subtree, reference Voxelizer.cpp:313-323 builds exactly
   that). The inner loop is statically unrolled over zero-padded slots — a
   dynamic trip bound costs more in while-loop overhead than the padded
-  no-op compute it skips (use static_trip=False only for traced layouts);
+  no-op compute it skips (256^3 deforming capacity queue: 0.91 ms static
+  vs 1.30 dynamic); traced layouts may use static_trip too, since their
+  padding slots carry zero coefficients (XOR no-ops);
 - **VMEM-resident output**: per-grid-step output traffic (dynamic output
   blocks or per-tile writeback DMA) measures ~1 us/step of scalar plumbing —
   more than the compute itself. The whole packed grid (2 MB at 256^3)
@@ -213,9 +215,17 @@ def _tiles_to_grid(out: jnp.ndarray, n: int) -> jnp.ndarray:
     return x.reshape(n, n, w_words)
 
 
-@partial(jax.jit, static_argnames=("n", "max_span_x", "max_span_y"))
-def _queue_phase_a(verts_norm, tris, n: int, max_span_x: int, max_span_y: int):
-    """Device phase A: setup, (tile, tri) pairs, sort -> per-tile runs."""
+@partial(jax.jit, static_argnames=("n", "max_span_x", "max_span_y", "ov_cap"))
+def _queue_phase_a(verts_norm, tris, n: int, max_span_x: int, max_span_y: int,
+                   ov_cap: int | None = None):
+    """Device phase A: setup, (tile, tri) pairs, sort -> per-tile runs.
+
+    ``ov_cap`` bounds the static size of the overflow id list (triangles
+    whose tile span exceeds the caps). None -> t_count (always enough; the
+    host build path uses it). The device-build path passes a small cap so
+    downstream overflow-coefficient gathers stay cheap — frames whose true
+    overflow count exceeds the cap are flagged through _assemble_window's
+    ``ok`` word (same grow-and-retry contract as the chunk capacity)."""
     pt = parity_tri_setup(verts_norm, tris, n)
     coef = pack_coeffs(pt)  # [T, NCOEF]
     t_count = coef.shape[0]
@@ -275,7 +285,8 @@ def _queue_phase_a(verts_norm, tris, n: int, max_span_x: int, max_span_y: int):
             sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32)
         )
     counts = starts[1:] - starts[:-1]
-    ov_ids = jnp.nonzero(overflow_mask, size=t_count, fill_value=-1)[0]
+    o_cap = t_count if ov_cap is None else min(ov_cap, t_count)
+    ov_ids = jnp.nonzero(overflow_mask, size=max(o_cap, 1), fill_value=-1)[0]
     return coef, sorted_tris, starts, counts, ov_ids, overflow_mask.sum()
 
 
@@ -571,11 +582,13 @@ def _assemble_window(phase_a_out, n: int, num_chunks: int, k_chunk: int,
     sort in phase A is shared across windows).
     Returns (coefs, chunk_tile, chunk_nsub, chunk_last, ok) — the prefetch
     arrays are traced device values, which PrefetchScalarGridSpec accepts.
+    ``ok`` is False when the window's chunks exceed ``num_chunks`` OR the
+    overflow count exceeds phase A's ov_ids capacity (either way the queue
+    is truncated; grow and retry).
     """
     ntx, nty = n // TILE_X, n // TILE_Y
     n_tiles = ntx * nty
     coef, sorted_tris, starts, counts, ov_ids, n_ov = phase_a_out
-    s_total = sorted_tris.shape[0]
     t_count = coef.shape[0]
 
     tile_hi = n_tiles if tile_hi is None else tile_hi
@@ -589,7 +602,7 @@ def _assemble_window(phase_a_out, n: int, num_chunks: int, k_chunk: int,
         [jnp.zeros((1,), cpt.dtype), jnp.cumsum(cpt)[:-1]]
     )
     total_chunks = first_chunk[-1] + cpt[-1]
-    ok = total_chunks <= num_chunks
+    ok = (total_chunks <= num_chunks) & (n_ov <= ov_ids.shape[0])
 
     # chunk j -> tile: repeat-via-searchsorted on the chunk cumsum
     bounds = first_chunk + cpt  # end chunk (exclusive) per tile
@@ -610,7 +623,11 @@ def _assemble_window(phase_a_out, n: int, num_chunks: int, k_chunk: int,
     # slot -> row of [sorted_tris | ov_ids | sentinel]. All per-chunk values
     # gather at chunk granularity and broadcast over the k_chunk axis: a
     # slot-level gather costs ~10 ns/row (about 1.5 ms here) where the
-    # 64x-smaller chunk-level one is free.
+    # 64x-smaller chunk-level one is free. (A chunk-granular WINDOW gather
+    # — vmap(dynamic_slice) over per-chunk bases — was tried and is NOT
+    # cheaper: XLA TPU gathers cost per sliced ROW, not per offset, and it
+    # measured ~1.6 ms per window table vs 1.2 for the plain slot gather.)
+    s_total = sorted_tris.shape[0]
     chunk_start = starts[:-1][tile_of]  # [num_chunks]
     cnt = counts[tile_of][:, None]  # [num_chunks, 1]
     kk = jnp.arange(k_chunk, dtype=jnp.int32)[None, :]
@@ -641,25 +658,31 @@ def _assemble_window(phase_a_out, n: int, num_chunks: int, k_chunk: int,
     return coefs.reshape(num_chunks * k_chunk, NCOEF), tile_out, nsub, last, ok
 
 
+OV_CAP_DEVICE = 512  # static overflow-list capacity of the device build
+
+
 @partial(jax.jit, static_argnames=("n", "num_chunks", "k_chunk", "max_span_x",
-                                   "max_span_y"))
+                                   "max_span_y", "ov_cap"))
 def _build_queue_device(verts_norm, tris, n: int, num_chunks: int,
                         k_chunk: int, max_span_x: int, max_span_y: int,
-                        tile_lo=0, tile_hi=None):
+                        tile_lo=0, tile_hi=None, ov_cap: int = OV_CAP_DEVICE):
     """Fully-on-device queue build (no host sync) for per-frame rebinning.
 
     ``num_chunks`` is a static capacity (see :class:`DeformingVoxelizer`);
-    frames whose queue exceeds it raise via the checked overflow word.
+    frames whose queue exceeds it — or whose span-overflow triangle count
+    exceeds ``ov_cap`` — flag via the checked ``ok`` word.
     """
-    pa = _queue_phase_a(verts_norm, tris, n, max_span_x, max_span_y)
+    pa = _queue_phase_a(verts_norm, tris, n, max_span_x, max_span_y,
+                        ov_cap=ov_cap)
     return _assemble_window(pa, n, num_chunks, k_chunk, tile_lo, tile_hi)
 
 
 @partial(jax.jit, static_argnames=("n", "num_chunks", "k_chunk", "max_span_x",
-                                   "max_span_y", "n_groups"))
+                                   "max_span_y", "n_groups", "ov_cap"))
 def _build_queue_device_groups(verts_norm, tris, n: int, num_chunks: int,
                                k_chunk: int, max_span_x: int,
-                               max_span_y: int, n_groups: int):
+                               max_span_y: int, n_groups: int,
+                               ov_cap: int = OV_CAP_DEVICE):
     """Device queue build for ``n_groups`` VMEM tile groups (hi-res grids).
 
     Phase A (setup + sort) runs ONCE; each group's queue is assembled from
@@ -669,13 +692,46 @@ def _build_queue_device_groups(verts_norm, tris, n: int, num_chunks: int,
     ntx, nty = n // TILE_X, n // TILE_Y
     n_tiles = ntx * nty
     tiles_grp = n_tiles // n_groups
-    pa = _queue_phase_a(verts_norm, tris, n, max_span_x, max_span_y)
+    pa = _queue_phase_a(verts_norm, tris, n, max_span_x, max_span_y,
+                        ov_cap=ov_cap)
     return [
         _assemble_window(
             pa, n, num_chunks, k_chunk, g * tiles_grp, (g + 1) * tiles_grp
         )
         for g in range(n_groups)
     ]
+
+
+def rest_mesh_spans(verts_norm, tris, n: int,
+                    cap: tuple = (4, 8)) -> tuple:
+    """Tile-span caps (span_x, span_y) covering every triangle of the REST
+    mesh, clamped to ``cap`` (larger rest spans route through overflow).
+
+    The device build's pair-sort cost scales with max_span_x*max_span_y*T
+    candidate rows, and real meshes at hi-res grids span 1-2 tiles per axis
+    (dragon/bunny/TuringBowl at 256^3: max span 2x2 — 4 candidate slots
+    instead of the conservative default's 32, a ~4x phase-A cut). Deformed
+    frames whose triangles outgrow the caps fall into the EXACT overflow
+    path (appended to every tile) and, past ov_cap of them, flag ``ok``.
+    """
+    from dxrvoxelizer_tpu.ops.geom import parity_tri_setup
+
+    pt = parity_tri_setup(verts_norm, tris, n)
+    x0, x1, y0, y1, valid = jax.device_get((
+        jnp.ceil(pt.xmin), jnp.floor(pt.xmax),
+        jnp.ceil(pt.ymin), jnp.floor(pt.ymax), pt.valid > 0,
+    ))
+    ne = valid & (x1 >= x0) & (y1 >= y0) & (x1 >= 0) & (x0 <= n - 1) \
+        & (y1 >= 0) & (y0 <= n - 1)
+    if not ne.any():
+        return (1, 1)
+    tx0 = np.clip(x0, 0, n - 1).astype(np.int64) // TILE_X
+    tx1 = np.clip(x1, 0, n - 1).astype(np.int64) // TILE_X
+    ty0 = np.clip(y0, 0, n - 1).astype(np.int64) // TILE_Y
+    ty1 = np.clip(y1, 0, n - 1).astype(np.int64) // TILE_Y
+    sx = int((tx1 - tx0 + 1)[ne].max())
+    sy = int((ty1 - ty0 + 1)[ne].max())
+    return (min(sx, cap[0]), min(sy, cap[1]))
 
 
 class DeformingVoxelizer:
@@ -696,8 +752,12 @@ class DeformingVoxelizer:
         n_groups = _output_groups(n)
         self.n_groups = n_groups
         self.tiles_grp = n_tiles // n_groups
+        # span caps from the rest mesh: the pair sort scales with
+        # span_x*span_y*T candidate rows (see rest_mesh_spans)
+        self.spans = rest_mesh_spans(verts_norm, tris, n)
         _, ctile, _, _, stats = build_queue(
-            verts_norm, tris, n, k_chunk=k_chunk
+            verts_norm, tris, n, k_chunk=k_chunk,
+            max_span_x=self.spans[0], max_span_y=self.spans[1],
         )
         if n_groups == 1:
             cap = int(stats.real_chunks * headroom) + 8
@@ -723,7 +783,7 @@ class DeformingVoxelizer:
         if self.n_groups == 1:
             coefs, tile_of, nsub, last, ok = _build_queue_device(
                 verts_norm, self.tris, self.n, self.num_chunks, self.k_chunk,
-                4, 8,
+                self.spans[0], self.spans[1],
             )
             if check and not bool(ok):  # host sync only when asked
                 raise RuntimeError(
@@ -732,13 +792,13 @@ class DeformingVoxelizer:
                 )
             out = _queue_run_group(
                 coefs, tile_of, nsub, last, jnp.zeros((1,), jnp.int32),
-                self.n, self.k_chunk, self.n_tiles, static_trip=False,
+                self.n, self.k_chunk, self.n_tiles, static_trip=True,
                 interpret=self.interpret,
             )
             return _tiles_to_grid(out, self.n)
         groups = _build_queue_device_groups(
             verts_norm, self.tris, self.n, self.num_chunks, self.k_chunk,
-            4, 8, self.n_groups,
+            self.spans[0], self.spans[1], self.n_groups,
         )
         outs = []
         for g, (coefs, tile_of, nsub, last, ok) in enumerate(groups):
@@ -750,7 +810,7 @@ class DeformingVoxelizer:
             outs.append(_queue_run_group(
                 coefs, tile_of, nsub, last,
                 jnp.asarray([g * self.tiles_grp], jnp.int32),
-                self.n, self.k_chunk, self.tiles_grp, static_trip=False,
+                self.n, self.k_chunk, self.tiles_grp, static_trip=True,
                 interpret=self.interpret,
             ))
         return _tiles_to_grid(jnp.concatenate(outs, axis=0), self.n)

@@ -254,7 +254,7 @@ def sharded_frame_fast(
         )
         group = _queue_run_group(
             coefs, tile_of, nsub, last, lo.reshape(1), n, k_chunk, tpd,
-            static_trip=False, interpret=interpret,
+            static_trip=True, interpret=interpret,
         )
         # the frame's one collective: assemble all tile groups over ICI
         tiles_all = jax.lax.all_gather(group, axis, axis=0, tiled=True)
@@ -328,7 +328,7 @@ def sharded_voxelize(
         )
         group = _queue_run_group(
             coefs, tile_of, nsub, last, lo.reshape(1), n, k_chunk, tpd,
-            static_trip=False, interpret=interpret,
+            static_trip=True, interpret=interpret,
         )
         tiles_all = jax.lax.all_gather(group, axis, axis=0, tiled=True)
         return _tiles_to_grid(tiles_all, n)

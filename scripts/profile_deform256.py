@@ -82,16 +82,18 @@ def main() -> int:
         # per-iteration vertex perturbation so nothing is loop-invariant
         return v0 + carry * 1e-38
 
+    sx, sy = dv.spans
+
     def phase_a_body(carry, _):
         coef, st, starts, counts, ov, n_ov = _queue_phase_a(
-            wobble(carry), tris, n, 4, 8
+            wobble(carry), tris, n, sx, sy, ov_cap=512
         )
         return (jnp.sum(coef[0] * 1e-38) + st[0].astype(jnp.float32) * 1e-38
                 + counts[0].astype(jnp.float32) * 1e-38
                 + n_ov.astype(jnp.float32) * 1e-38), None
 
     def build_body(carry, _):
-        pa = _queue_phase_a(wobble(carry), tris, n, 4, 8)
+        pa = _queue_phase_a(wobble(carry), tris, n, sx, sy, ov_cap=512)
         coefs, tile_of, nsub, last, ok = _assemble_window(
             pa, n, dv.num_chunks, dv.k_chunk, 0, None
         )
@@ -104,26 +106,36 @@ def main() -> int:
         words = dv(wobble(carry))
         return jnp.sum(words).astype(jnp.float32) * 1e-38, None
 
-    def kernel_body(carry, _):
-        # static queue (from the rest mesh), perturbed coefs: kernel only
-        pa = _queue_phase_a(v0, tris, n, 4, 8)
-        coefs, tile_of, nsub, last, ok = _assemble_window(
-            pa, n, dv.num_chunks, dv.k_chunk, 0, None
-        )
-        coefs = coefs + carry * 1e-38
-        out = _queue_run_group(
-            coefs, tile_of, nsub, last, jnp.zeros((1,), jnp.int32), n,
-            dv.k_chunk, n_tiles, static_trip=False,
-        )
-        return jnp.sum(out).astype(jnp.float32) * 1e-38, None
-
     slope(full_body, "full deforming frame (re-bin + kernel)")
     slope(build_body, "queue build (phase A + assembly)")
     slope(phase_a_body, "phase A (setup + pair sort)")
     if args.n <= 256:
-        # the static build is loop-invariant -> hoisted out of the scan;
-        # the slope isolates the kernel run itself
-        slope(kernel_body, "kernel only (static queue hoisted)")
+        # kernel isolation: CONCRETE queue arrays (device_get/put round
+        # trip, nothing traced from the build), so the scan body holds
+        # ONLY the kernel launch
+        import numpy as np
+
+        pa = _queue_phase_a(v0, tris, n, sx, sy, ov_cap=512)
+        parts = _assemble_window(pa, n, dv.num_chunks, dv.k_chunk, 0, None)
+        coefs_h, tile_h, nsub_h, last_h = jax.device_get(parts[:4])
+        coefs_c = jnp.asarray(coefs_h)
+        tile_c, nsub_c, last_c = (
+            jnp.asarray(tile_h), jnp.asarray(nsub_h), jnp.asarray(last_h)
+        )
+
+        def make_kernel_body(st):
+            def kernel_body(carry, _):
+                out = _queue_run_group(
+                    coefs_c + carry * 1e-38, tile_c, nsub_c, last_c,
+                    jnp.zeros((1,), jnp.int32), n, dv.k_chunk, n_tiles,
+                    static_trip=st,
+                )
+                return jnp.sum(out).astype(jnp.float32) * 1e-38, None
+
+            return kernel_body
+
+        slope(make_kernel_body(False), "kernel only (dynamic trip)")
+        slope(make_kernel_body(True), "kernel only (static trip)")
     return 0
 
 
