@@ -63,23 +63,39 @@ def main() -> int:
 
     secondaries: dict[str, float] = {}
 
-    def slope(build_body, r_pair, label, reps=3, key=None):
+    def slope(build_body, r_pair, label, reps=3, key=None, args=None):
         """Honest seconds/iter as the slope between two scan lengths.
 
         Records the result (ms) under ``key`` in the machine-readable
         ``secondaries`` dict of the final JSON line.
+
+        With ``args`` (a pytree of device arrays), ``build_body(args)``
+        must return the scan body and the arrays ride the jit as
+        ARGUMENTS — closed-over arrays are embedded in the HLO as
+        constants, which at accel scale (GBs at 256^3) breaks the remote
+        compile transport and bloats every compile.
         """
         ra, rb = r_pair
 
         def make(r):
+            if args is None:
+                @jax.jit
+                def run():
+                    out, _ = jax.lax.scan(
+                        build_body, jnp.float32(0.0), None, length=r
+                    )
+                    return out
+
+                return run
+
             @jax.jit
-            def run():
+            def run_args(a):
                 out, _ = jax.lax.scan(
-                    build_body, jnp.float32(0.0), None, length=r
+                    build_body(a), jnp.float32(0.0), None, length=r
                 )
                 return out
 
-            return run
+            return lambda: run_args(args)
 
         fa, fb = make(ra), make(rb)
         _ = float(fa())
@@ -322,36 +338,44 @@ def main() -> int:
               "(lane-aligned tables)", file=sys.stderr)
         secondaries["raystab_accel64_phys_mib"] = round(phys_mb, 1)
 
-        def make_stab_body(acc, n_stab, ks_t, ovk_t):
-            def stab_body(carry, _):
-                # perturb EVERY float input: perturbing only ftab leaves
-                # the stream kernels + sort loop-invariant and XLA hoists
-                # them out of the scan (under-reported the query 2x)
-                lv = jax.tree.map(
-                    lambda x: x + carry * 1e-38
-                    if x.dtype == jnp.float32 else x,
-                    acc.levels,
-                )
-                ov = jax.tree.map(
-                    lambda x: x + carry * 1e-38
-                    if x.dtype == jnp.float32 else x,
-                    acc.ov_dense,
-                )
-                occ, rgba = _raystab_query2(
-                    lv, acc.sort_keys, ov, n_stab, 0.12, ks_t, ovk_t, tc,
-                    False,
-                )
-                # checksum-consume BOTH outputs: slicing one element lets
-                # XLA slice the whole finalize + merge selects out of the
-                # scan (under-reported the query 0.8 ms at 64^3)
-                return (jnp.sum(rgba * 1e-38)
-                        + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+        def make_stab_body(n_stab, ks_t, ovk_t):
+            # accel tables ride the jit as ARGUMENTS via slope(args=...);
+            # the body must perturb EVERY float input — perturbing only
+            # ftab leaves the stream kernels + sort loop-invariant and
+            # XLA hoists them out of the scan (under-reported the query
+            # 2x)
+            def with_args(a):
+                levels, sort_keys, ov_dense = a
 
-            return stab_body
+                def stab_body(carry, _):
+                    lv = jax.tree.map(
+                        lambda x: x + carry * 1e-38
+                        if x.dtype == jnp.float32 else x,
+                        levels,
+                    )
+                    ov = jax.tree.map(
+                        lambda x: x + carry * 1e-38
+                        if x.dtype == jnp.float32 else x,
+                        ov_dense,
+                    )
+                    occ, rgba = _raystab_query2(
+                        lv, sort_keys, ov, n_stab, 0.12, ks_t, ovk_t, tc,
+                        False,
+                    )
+                    # checksum-consume BOTH outputs: slicing one element
+                    # lets XLA slice the whole finalize + merge selects out
+                    # of the scan (under-reported the query 0.8 ms at 64^3)
+                    return (jnp.sum(rgba * 1e-38)
+                            + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
 
-        slope(make_stab_body(accel, 64, ks, ovk), (2, 8),
+                return stab_body
+
+            return with_args
+
+        slope(make_stab_body(64, ks, ovk), (2, 8),
               "dragon ray-stab gen-6 query 64^3",
-              key="raystab_query2_64_ms")
+              key="raystab_query2_64_ms",
+              args=(accel.levels, accel.sort_keys, accel.ov_dense))
 
         # hi-res raystab (beyond the reference's fixed 64^3): 128^3
         accel128 = cached_build_raystab_accel2(
@@ -362,9 +386,11 @@ def main() -> int:
             tuple(table_k(c[1]) for c in lv) for lv in accel128.levels
         )
         ovk128 = table_k(accel128.ov_dense[1]) if accel128.ov_dense else 0
-        slope(make_stab_body(accel128, 128, ks128, ovk128), (2, 8),
+        slope(make_stab_body(128, ks128, ovk128), (2, 8),
               "dragon ray-stab gen-6 query 128^3",
-              key="raystab_query2_128_ms")
+              key="raystab_query2_128_ms",
+              args=(accel128.levels, accel128.sort_keys,
+                    accel128.ov_dense))
 
         # ---- deforming mesh: re-bin + re-voxelize every frame ----------------
         from dxrvoxelizer_tpu.ops.voxelize_queue import DeformingVoxelizer

@@ -53,6 +53,25 @@ from dxrvoxelizer_tpu.ops.voxelize_ref import INSIDE_THRESHOLD
 _OTHERS = np.array([[1, 2], [0, 2], [0, 1]], dtype=np.int32)
 
 
+def _stage_timer():
+    """Opt-in per-stage build timing (DXRV_BUILD_TIMINGS=1): returns a
+    ``mark(label)`` printing the time since the previous mark to stderr."""
+    if not os.environ.get("DXRV_BUILD_TIMINGS"):
+        return lambda label: None
+    import sys
+    import time
+
+    last = [time.perf_counter()]
+
+    def mark(label: str) -> None:
+        now = time.perf_counter()
+        print(f"# build stage {label}: {now - last[0]:.2f} s",
+              file=sys.stderr)
+        last[0] = now
+
+    return mark
+
+
 @dataclass
 class RadialBinStats:
     n_cells: int
@@ -138,12 +157,38 @@ def ray_tables(n: int, g: int):
     v = n * n * n
     root = _raytab_cache_dir()
     path = os.path.join(root, f"rt{n}_g{g}.npz") if root else None
+    # v2 cache: the FILLED table as a raw .npy — one mmap-speed read
+    # instead of zip inflate + the [C, r_cap] fill (3.4 s + 13 s at 256^3)
+    path2 = os.path.join(root, f"rt{n}_g{g}_f2.npy") if root else None
+    if path2 is not None and os.path.exists(path2):
+        try:
+            rt = np.load(path2)
+            if (rt.ndim == 2 and rt.shape[0] == n_cells
+                    and rt.dtype == np.int32):
+                sc = np.where(rt >= 0, rt, v).astype(np.int32)
+                return rt, sc
+        except (OSError, ValueError):
+            pass
+
+    def _save2(rt):
+        if path2 is None:
+            return
+        try:
+            os.makedirs(root, exist_ok=True)
+            tmp = path2 + f".tmp{os.getpid()}"
+            np.save(tmp, rt)
+            os.replace(tmp + ".npy", path2)
+        except OSError:
+            pass
+
     if path is not None and os.path.exists(path):
         try:
             z = np.load(path)
             order, starts = z["order"], z["starts"]
             if order.shape == (v,) and starts.shape == (n_cells + 1,):
-                return _raytab_fill(order, starts, n_cells, v)
+                rt, sc = _raytab_fill(order, starts, n_cells, v)
+                _save2(rt)
+                return rt, sc
         except (OSError, KeyError, ValueError, zipfile.BadZipFile):
             pass
     cells = native.dir_cells_native(n, g)
@@ -159,16 +204,9 @@ def ray_tables(n: int, g: int):
     starts = np.searchsorted(sorted_cells, np.arange(n_cells + 1)).astype(
         np.int64
     )
-    if path is not None:
-        try:
-            os.makedirs(root, exist_ok=True)
-            tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                np.savez(f, order=order, starts=starts)
-            os.replace(tmp, path)
-        except OSError:
-            pass
-    return _raytab_fill(order, starts, n_cells, v)
+    rt, sc = _raytab_fill(order, starts, n_cells, v)
+    _save2(rt)
+    return rt, sc
 
 
 @partial(jax.jit, static_argnames=("g", "span"))
@@ -1147,10 +1185,12 @@ def _pack_classes2(cell_ids, ray_table, s0_p, tri_bounds, v):
     multiple strips, replicating their candidate row (hi-res grids scale
     the cubemap instead, see build_raystab_accel2).
     """
+    mark = _stage_timer()
     rc = (ray_table >= 0).sum(axis=1)
     ray_data, ray_offs, id_data, id_offs = _make_packs(
         cell_ids, ray_table, rc, s0_p, tri_bounds
     )  # cell_ids: CSR (offs, data) from _fold_levels_csr
+    mark("  pack walk")
 
     compact = []
     total_vc = 0
@@ -1196,6 +1236,7 @@ def _pack_classes2(cell_ids, ray_table, s0_p, tri_bounds, v):
             ).astype(np.float32)
         compact.append((rt128, tab, bounds_np))
         total_vc += vc
+    mark("  class tables")
     return compact, total_vc
 
 
@@ -1285,6 +1326,7 @@ def build_raystab_compact2(
         f"{t_count} triangles exceed the 2^24 id range of the f32 id "
         "channel (reduce -subdiv or decimate the mesh)"
     )
+    mark = _stage_timer()
     v = n * n * n
     sub_ids = np.arange(t_count, dtype=np.int32)
     tris_h = np.asarray(tris)
@@ -1306,6 +1348,7 @@ def build_raystab_compact2(
     _, s0_d = _ray_params(n)
     s0_h = jax.device_get(s0_d)
     s0_p = np.concatenate([s0_h, np.zeros((1,), np.float32)])
+    mark("ray params")
 
     import contextlib
 
@@ -1328,9 +1371,11 @@ def build_raystab_compact2(
             cur = jnp.asarray(tris_h[sub_ids])
             rects_d, over_d = _cone_keys(verts_bin, cur, g, span)
             rects_h, over_h = np.asarray(rects_d), np.asarray(over_d)
+        mark(f"cone keys g={g}")
         sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
             rects_h, over_h, g, span
         )
+        mark(f"cone bins g={g}")
         level_runs.append((
             sub_ids[sorted_tris].astype(np.int64), starts,
             counts_h.astype(np.int64), g,
@@ -1341,6 +1386,7 @@ def build_raystab_compact2(
         del sorted_tris, starts, counts_h
 
     cell_offs, cell_data = _fold_levels_csr(level_runs, g_fine)
+    mark("level fold")
     m_counts = cell_offs[1:] - cell_offs[:-1]
     compact_classes, total_vc = [], 0
     if m_counts.size and m_counts.max() > 0:
@@ -1353,9 +1399,11 @@ def build_raystab_compact2(
         tb = np.maximum(np.linalg.norm(cc, axis=-1) - rr, 0.0)
         tri_bounds = np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
         ray_table, _ = ray_tables(n, g_fine)
+        mark("ray tables")
         compact_classes, total_vc = _pack_classes2(
             (cell_offs, cell_data), ray_table, s0_p, tri_bounds, v
         )
+        mark("pack classes")
     # stats: one row per ladder level; the fine row carries the MERGED
     # numbers (live cells, class cap, max bin, strips) since the single
     # query stream runs at the fine level

@@ -132,31 +132,42 @@ def main() -> int:
     )
     ovk = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
 
-    def stab_body(carry, _):
-        lv = jax.tree.map(
-            lambda x: x + carry * 1e-38 if x.dtype == jnp.float32 else x,
-            accel.levels,
-        )
-        ov = jax.tree.map(
-            lambda x: x + carry * 1e-38 if x.dtype == jnp.float32 else x,
-            accel.ov_dense,
-        )
-        occ, rgba = _raystab_query2(
-            lv, accel.sort_keys, ov, n, 0.12, ks_t, ovk, tc, False,
-        )
-        return (jnp.sum(rgba * 1e-38)
-                + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
-
+    # the accel rides as jit ARGUMENTS, not closed-over constants: at
+    # 256^3 the tables are ~GBs and constant-embedding them in the HLO
+    # breaks the remote-compile transport (and bloats the compile)
     def make(r):
         @jax.jit
-        def run():
+        def run(a):
+            # single-tuple arg + identical body to bench.py's raystab
+            # slope: the two scripts then share one compiled executable
+            levels, sort_keys, ov_dense = a
+
+            def stab_body(carry, _):
+                lv = jax.tree.map(
+                    lambda x: x + carry * 1e-38
+                    if x.dtype == jnp.float32 else x,
+                    levels,
+                )
+                ov = jax.tree.map(
+                    lambda x: x + carry * 1e-38
+                    if x.dtype == jnp.float32 else x,
+                    ov_dense,
+                )
+                occ, rgba = _raystab_query2(
+                    lv, sort_keys, ov, n, 0.12, ks_t, ovk, tc, False,
+                )
+                return (jnp.sum(rgba * 1e-38)
+                        + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+
             out, _ = jax.lax.scan(stab_body, jnp.float32(0.0), None,
                                   length=r)
             return out
 
-        return run
+        return lambda: run((accel.levels, accel.sort_keys, accel.ov_dense))
 
-    ra, rb = 2, 6
+    # (2, 8) matches bench.py's raystab slope pair — the persistent
+    # compile cache then serves both scripts with one compile set
+    ra, rb = 2, 8
     fa, fb = make(ra), make(rb)
     float(fa()); float(fb())
 
