@@ -108,9 +108,9 @@ def _dir_cells_host(d: np.ndarray, g: int) -> np.ndarray:
     return f * (g * g) + iu * g + iv
 
 
-def _raytab_fill(order: np.ndarray, starts: np.ndarray, n_cells: int,
-                 v: int):
-    """(order, starts) -> (ray_table, scatter), vectorized in row chunks.
+def _raytab_fill(order: np.ndarray, starts: np.ndarray,
+                 n_cells: int) -> np.ndarray:
+    """(order, starts) -> ray_table, vectorized in row chunks.
 
     Replaces the 6*g*g-iteration python fill loop (~9 s of the 256^3
     build at g=128); each chunk is one boolean-mask gather, identical
@@ -126,8 +126,7 @@ def _raytab_fill(order: np.ndarray, starts: np.ndarray, n_cells: int,
         in_run = j < counts[sl, None]
         run_idx = np.clip(starts[sl][:, None] + j, 0, hi)
         ray_table[sl] = np.where(in_run, order[run_idx], -1)
-    scatter = np.where(ray_table >= 0, ray_table, v).astype(np.int32)
-    return ray_table, scatter
+    return ray_table
 
 
 def _raytab_cache_dir() -> str | None:
@@ -141,15 +140,17 @@ def _raytab_cache_dir() -> str | None:
 
 
 @lru_cache(maxsize=8)
-def ray_tables(n: int, g: int):
-    """Static voxel->cell grouping for grid size n, cubemap size g.
+def _ray_table_filled(n: int, g: int):
+    """Static voxel->cell grouping: (ray_table [C, R_cap] int32 voxel
+    ids / -1, rc [C] int64 per-cell ray counts).
 
-    Returns (ray_table [C, R_cap] int32 voxel ids / -1, scatter [C, R_cap]
-    int32 positions into a V+1 output / V for padding).
-
-    Pure function of (n, g) — mesh-independent — so the sorted voxel
-    stream (order, starts) is cached on disk: cell assignment + the 16.7M
-    argsort were ~8 s of every 256^3 accel build for any geometry.
+    Pure function of (n, g) — mesh-independent — so both live in the
+    on-disk raytab cache: cell assignment + the 16.7M argsort + the
+    [C, R_cap] fill were ~20 s of every 256^3 accel build for any
+    geometry. A v2 cache hit memory-maps the filled table (the pack walk
+    pages it in row-by-row under the native packer) and reads the counts
+    from a tiny sibling file, so nothing scans the full table on the
+    build's critical path.
     """
     from dxrvoxelizer_tpu.utils import native
 
@@ -157,38 +158,53 @@ def ray_tables(n: int, g: int):
     v = n * n * n
     root = _raytab_cache_dir()
     path = os.path.join(root, f"rt{n}_g{g}.npz") if root else None
-    # v2 cache: the FILLED table as a raw .npy — one mmap-speed read
-    # instead of zip inflate + the [C, r_cap] fill (3.4 s + 13 s at 256^3)
+    # v2 cache: the FILLED table as a raw .npy (one mmap-speed open
+    # instead of zip inflate + the [C, r_cap] fill: 3.4 s + 13 s at
+    # 256^3) + the per-cell counts as a sibling .npy
     path2 = os.path.join(root, f"rt{n}_g{g}_f2.npy") if root else None
-    if path2 is not None and os.path.exists(path2):
-        try:
-            rt = np.load(path2)
-            if (rt.ndim == 2 and rt.shape[0] == n_cells
-                    and rt.dtype == np.int32):
-                sc = np.where(rt >= 0, rt, v).astype(np.int32)
-                return rt, sc
-        except (OSError, ValueError):
-            pass
+    path_rc = os.path.join(root, f"rt{n}_g{g}_rc2.npy") if root else None
 
-    def _save2(rt):
-        if path2 is None:
+    def _save_npy(p, arr):
+        if p is None:
             return
         try:
             os.makedirs(root, exist_ok=True)
-            tmp = path2 + f".tmp{os.getpid()}"
-            np.save(tmp, rt)
-            os.replace(tmp + ".npy", path2)
+            tmp = p + f".tmp{os.getpid()}"
+            np.save(tmp, arr)
+            os.replace(tmp + ".npy", p)
         except OSError:
             pass
+
+    if path2 is not None and os.path.exists(path2):
+        try:
+            rt = np.load(path2, mmap_mode="r")
+            if (rt.ndim == 2 and rt.shape[0] == n_cells
+                    and rt.dtype == np.int32):
+                rc = None
+                if path_rc is not None and os.path.exists(path_rc):
+                    rc = np.load(path_rc)
+                    if rc.shape != (n_cells,) or rc.dtype != np.int64:
+                        rc = None
+                if rc is None:
+                    rc = (np.asarray(rt) >= 0).sum(axis=1).astype(np.int64)
+                    _save_npy(path_rc, rc)
+                return rt, rc
+        except (OSError, ValueError):
+            pass
+
+    def _save2(rt, rc):
+        _save_npy(path2, rt)
+        _save_npy(path_rc, rc)
 
     if path is not None and os.path.exists(path):
         try:
             z = np.load(path)
             order, starts = z["order"], z["starts"]
             if order.shape == (v,) and starts.shape == (n_cells + 1,):
-                rt, sc = _raytab_fill(order, starts, n_cells, v)
-                _save2(rt)
-                return rt, sc
+                rt = _raytab_fill(order, starts, n_cells)
+                rc = (starts[1:] - starts[:-1]).astype(np.int64)
+                _save2(rt, rc)
+                return rt, rc
         except (OSError, KeyError, ValueError, zipfile.BadZipFile):
             pass
     cells = native.dir_cells_native(n, g)
@@ -204,20 +220,44 @@ def ray_tables(n: int, g: int):
     starts = np.searchsorted(sorted_cells, np.arange(n_cells + 1)).astype(
         np.int64
     )
-    rt, sc = _raytab_fill(order, starts, n_cells, v)
-    _save2(rt)
-    return rt, sc
+    rt = _raytab_fill(order, starts, n_cells)
+    rc = (starts[1:] - starts[:-1]).astype(np.int64)
+    _save2(rt, rc)
+    return rt, rc
+
+
+@lru_cache(maxsize=8)
+def ray_tables(n: int, g: int):
+    """(ray_table [C, R_cap] int32 voxel ids / -1, scatter [C, R_cap]
+    int32 positions into a V+1 output / V for padding) — the gen-1 accel's
+    view of :func:`_ray_table_filled` (the gen-2 build path uses that
+    directly and never materializes ``scatter``)."""
+    rt, _ = _ray_table_filled(n, g)
+    rt = np.asarray(rt)  # gen-1 keeps both resident; drop the mmap view
+    scatter = np.where(rt >= 0, rt, n * n * n).astype(np.int32)
+    return rt, scatter
 
 
 @partial(jax.jit, static_argnames=("g", "span"))
-def _cone_keys(verts_norm, tris, g: int, span: int):
+def _cone_keys(verts_norm, tris, g: int, span: int, pad=0.0):
     """Per-triangle direction cones -> cubemap cell rectangles + overflow.
 
     Returns (rects [6, 5, T] int32 rows (iu0, iu1, iv0, iv1, fits),
     over [T] bool). Only the compact per-face rectangles leave the device;
     the span*span*6*T (cell, triangle) expansion runs on the host
     (_cone_bins_host) — materializing the expanded key tensor on device
-    and copying it out cost ~10x the whole rest of the binning."""
+    and copying it out cost ~10x the whole rest of the binning.
+
+    ``pad`` (deformation bound, normalized units): each triangle's
+    bounding ball is enlarged by ``pad`` before the cone is derived, so
+    the bins stay a conservative prefilter for ANY vertex set within
+    ``pad`` of this one per vertex (convexity: a deformed point is a
+    convex combination of deformed vertices, each within ``pad`` of its
+    rest position, so it stays inside ball(c, r + pad)). This is what
+    makes per-frame accel REFIT exact for bounded deformations
+    (ops/raystab_refit.py, the DXR AS-update analog). With pad > 0,
+    rest-degenerate triangles are NOT dropped (deformation can open
+    them up); pad == 0.0 reproduces the static binning bit-for-bit."""
     v0 = verts_norm[tris[:, 0]]
     v1 = verts_norm[tris[:, 1]]
     v2 = verts_norm[tris[:, 2]]
@@ -225,12 +265,13 @@ def _cone_keys(verts_norm, tris, g: int, span: int):
     n_cells = 6 * g * g
 
     c = (v0 + v1 + v2) / 3.0
+    pad = jnp.float32(pad)
     r = jnp.sqrt(
         jnp.maximum(
             jnp.sum((v0 - c) ** 2, -1),
             jnp.maximum(jnp.sum((v1 - c) ** 2, -1), jnp.sum((v2 - c) ** 2, -1)),
         )
-    )
+    ) + pad
     cn = jnp.linalg.norm(c, axis=-1)
     near_origin = cn <= 1.5 * r + 1e-7
     safe_cn = jnp.maximum(cn, 1e-20)
@@ -293,7 +334,13 @@ def _cone_keys(verts_norm, tris, g: int, span: int):
     over = near_origin
     for face_ok, fits in spans:
         over = over | (face_ok & ~fits)
-    valid_tri = jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1) > 0.0
+    # rest-degenerate triangles are dropped from the overflow stream only
+    # in the static build; under a deformation pad they may open up, so
+    # keep them (face-rectangle binning covers them either way: the cone
+    # math only sees the padded ball)
+    valid_tri = (
+        jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1) > 0.0
+    ) | (pad > 0.0)
     over = over & valid_tri
 
     return jnp.stack(rects, axis=0), over
@@ -1152,7 +1199,7 @@ def _make_packs(cell_csr, ray_table, rc, s0_p, tri_bounds):
     return _make_packs_py(cell_csr, ray_table, rc, s0_p, tri_bounds)
 
 
-def _pack_classes2(cell_ids, ray_table, s0_p, tri_bounds, v):
+def _pack_classes2(cell_ids, ray_table, rc, s0_p, tri_bounds):
     """Partition one level's rays into capacity classes of packed strips
     -> the COMPACT per-class product (rt128 [VC,128] i32 ray ids / -1,
     tab [VC,K] i32 candidate ids / -1, bounds [VC,K/256] f32 or None).
@@ -1165,7 +1212,9 @@ def _pack_classes2(cell_ids, ray_table, s0_p, tri_bounds, v):
     triangle ids, from :func:`_fold_levels_csr` — coarser cubemap levels
     folded into the finest level's cells (same pair count, one sort-merge
     stream instead of one per level). ``s0_p`` is the padded HOST copy of
-    per-voxel origin radii for the radius-ordered packing walk.
+    per-voxel origin radii for the radius-ordered packing walk. ``rc``
+    [C] i64: per-cell ray counts (cached beside the ray table — counting
+    ``ray_table >= 0`` here scanned the whole mmapped table up front).
 
     ``tri_bounds`` (per global id, f64): strict lower bound on any hit
     distance R of the triangle from the grid origin (bounding-ball
@@ -1186,7 +1235,6 @@ def _pack_classes2(cell_ids, ray_table, s0_p, tri_bounds, v):
     the cubemap instead, see build_raystab_accel2).
     """
     mark = _stage_timer()
-    rc = (ray_table >= 0).sum(axis=1)
     ray_data, ray_offs, id_data, id_offs = _make_packs(
         cell_ids, ray_table, rc, s0_p, tri_bounds
     )  # cell_ids: CSR (offs, data) from _fold_levels_csr
@@ -1302,6 +1350,7 @@ def build_raystab_compact2(
     n: int = 64,
     gs: tuple | None = None,
     span: int = 8,
+    pad: float = 0.0,
 ) -> RaystabCompact2:
     """Binning + packing half of the gen-2 accel build: bin each triangle
     at the finest cubemap level whose ``span``-cell rectangle covers its
@@ -1313,7 +1362,13 @@ def build_raystab_compact2(
     grids get finer top levels so rays-per-cell stays near one 128-lane
     strip — the per-strip candidate replication in _pack_classes2 would
     otherwise multiply accel memory by the strips-per-cell factor (a 32^2
-    top level at 256^3 puts ~2.7k rays = 22 strips in every cell)."""
+    top level at 256^3 puts ~2.7k rays = 22 strips in every cell).
+
+    ``pad`` > 0 builds a DEFORMATION-padded compact: bins and chunk-skip
+    bounds stay conservative for any per-vertex displacement <= pad (see
+    _cone_keys), so the same id tables serve every frame of a bounded
+    deformation and only the coefficient/normal tables need a per-frame
+    refit (ops/raystab_refit.py)."""
     if gs is None:
         if n >= 256:
             gs = (128, 32, 8)
@@ -1369,7 +1424,7 @@ def build_raystab_compact2(
             break
         with bin_ctx():
             cur = jnp.asarray(tris_h[sub_ids])
-            rects_d, over_d = _cone_keys(verts_bin, cur, g, span)
+            rects_d, over_d = _cone_keys(verts_bin, cur, g, span, pad)
             rects_h, over_h = np.asarray(rects_d), np.asarray(over_d)
         mark(f"cone keys g={g}")
         sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
@@ -1396,12 +1451,14 @@ def build_raystab_compact2(
         tv = np.asarray(verts_norm, np.float64)[tris_h]
         cc = tv.mean(axis=1)
         rr = np.sqrt(((tv - cc[:, None, :]) ** 2).sum(-1)).max(axis=1)
+        if pad:  # deformed hits stay inside the padded ball
+            rr = rr + float(pad)
         tb = np.maximum(np.linalg.norm(cc, axis=-1) - rr, 0.0)
         tri_bounds = np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
-        ray_table, _ = ray_tables(n, g_fine)
+        ray_table, rc = _ray_table_filled(n, g_fine)
         mark("ray tables")
         compact_classes, total_vc = _pack_classes2(
-            (cell_offs, cell_data), ray_table, s0_p, tri_bounds, v
+            (cell_offs, cell_data), ray_table, rc, s0_p, tri_bounds
         )
         mark("pack classes")
     # stats: one row per ladder level; the fine row carries the MERGED
@@ -1524,14 +1581,17 @@ def build_raystab_accel2(
     n: int = 64,
     gs: tuple | None = None,
     span: int = 8,
+    pad: float = 0.0,
 ) -> RaystabAccel2:
     """Build the gen-2 accel (compact binning/packing + device assembly).
     ``normals`` are baked into the per-class normal tables — like the
     reference's AS, the accel is built once per geometry
-    (Voxelizer.cpp:264-326); deforming meshes rebuild it. Callers that
-    want the on-disk cache use utils/accel_cache.cached_build_raystab_accel2
-    (it persists the compact half and re-runs only the assembly)."""
-    compact = build_raystab_compact2(verts_norm, tris, n, gs, span)
+    (Voxelizer.cpp:264-326); deforming meshes refit it per frame
+    (ops/raystab_refit.py, pass the deformation bound as ``pad``) or
+    rebuild it. Callers that want the on-disk cache use
+    utils/accel_cache.cached_build_raystab_accel2 (it persists the
+    compact half and re-runs only the assembly)."""
+    compact = build_raystab_compact2(verts_norm, tris, n, gs, span, pad)
     return assemble_raystab_accel2(compact, verts_norm, tris, normals)
 
 
