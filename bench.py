@@ -391,6 +391,74 @@ def main() -> int:
               key="raystab_query2_128_ms",
               args=(accel128.levels, accel128.sort_keys,
                     accel128.ov_dense))
+        del accel128
+
+        # 256^3 (the BASELINE hi-res grid): FRESH build timed end-to-end
+        # (per-geometry cold: host binning+packing + device assembly —
+        # the raytab/compile caches are machine-level like the
+        # reference's driver/shader caches), then the query slope.
+        from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel2
+
+        t0 = time.perf_counter()
+        accel256 = build_raystab_accel2(
+            scene64.buffers.positions_norm, scene64.buffers.tris,
+            scene64.buffers.normals, 256,
+        )
+        # fence with one batched scalar readback (block_until_ready is a
+        # no-op over the tunnel): charge the async assembly to the build
+        _ = jax.device_get(tuple(
+            jnp.ravel(leaf)[0]
+            for leaf in jax.tree.leaves(accel256.levels)
+        ))
+        build256_s = time.perf_counter() - t0
+        print(f"# ray-stab accel 256^3 fresh build: {build256_s:.1f} s",
+              file=sys.stderr)
+        secondaries["raystab_accel_build256_s"] = round(build256_s, 2)
+        ks256 = tuple(
+            tuple(table_k(c[1]) for c in lv) for lv in accel256.levels
+        )
+        ovk256 = table_k(accel256.ov_dense[1]) if accel256.ov_dense else 0
+        slope(make_stab_body(256, ks256, ovk256), (2, 8),
+              "dragon ray-stab gen-6 query 256^3",
+              key="raystab_query2_256_ms",
+              args=(accel256.levels, accel256.sort_keys,
+                    accel256.ov_dense))
+        del accel256
+
+        # ---- deforming raystab: per-frame accel REFIT + query (the DXR
+        # AS-update analog, ops/raystab_refit.py) --------------------------
+        from dxrvoxelizer_tpu.ops.raystab_fast import raystab_query2
+        from dxrvoxelizer_tpu.ops.raystab_refit import RaystabRefitter
+
+        rf = RaystabRefitter(
+            scene64.buffers.positions_norm, scene64.buffers.tris,
+            scene64.buffers.normals, n=64, pad=0.05, use_cache=True,
+        )
+
+        def make_refit_body(rf_, tris_):
+            def with_args(a):
+                state, v_rest, nr = a
+
+                def body(carry, _):
+                    # the app's -deform wobble, carry-perturbed so the
+                    # whole refit+query chain stays inside the scan
+                    amp = jnp.float32(0.03) + carry * 1e-38
+                    v_t = v_rest + amp * jnp.sin(v_rest[:, :1] * 5.0) * nr
+                    acc = rf_.refit_with_state(state, v_t, nr)
+                    occ, rgba = raystab_query2(v_t, nr, tris_, acc)
+                    return (jnp.sum(rgba * 1e-38)
+                            + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+
+                return body
+
+            return with_args
+
+        slope(make_refit_body(rf, scene64.buffers.tris), (2, 8),
+              "dragon deforming raystab refit+query 64^3",
+              key="deforming_raystab_64_ms",
+              args=(rf.device_state(), scene64.buffers.positions_norm,
+                    scene64.buffers.normals))
+        del rf
 
         # ---- deforming mesh: re-bin + re-voxelize every frame ----------------
         from dxrvoxelizer_tpu.ops.voxelize_queue import DeformingVoxelizer

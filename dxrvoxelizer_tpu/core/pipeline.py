@@ -307,10 +307,38 @@ class FramePipeline:
         self._stab_accel = None
         self._stab_mesh = None  # identity of the mesh the accel was built for
         self._deformer = None  # lazy DeformingVoxelizer (fixed topology)
+        self._rest_mesh = mesh  # the refit pad is anchored to this pose
+        self._refitter = None  # lazy RaystabRefitter (deforming raystab)
 
     def _raystab_accel(self):
         """Build-once direction-space accel; rebuilt when ``self.mesh`` is
-        replaced (the deforming-geometry path swaps the buffers object)."""
+        replaced (the deforming-geometry path swaps the buffers object).
+
+        Deforming + raystab on accelerated backends goes through the
+        per-frame REFIT instead (ops/raystab_refit.py): pad-conservative
+        id tables built once from the rest pose, coefficient/normal
+        tables regathered on device each frame — the DXR AS-update
+        analog. A full rebuild per frame costs seconds of host binning;
+        the refit is a few device gathers."""
+        if (
+            self.deforming
+            and jax.default_backend() != "cpu"
+            and self.cfg.deform_pad > 0.0
+        ):
+            if self._refitter is None:
+                from dxrvoxelizer_tpu.ops.raystab_refit import (
+                    RaystabRefitter,
+                )
+
+                self._refitter = RaystabRefitter(
+                    self._rest_mesh.positions_norm, self._rest_mesh.tris,
+                    self._rest_mesh.normals, self.cfg.grid_size,
+                    pad=self.cfg.deform_pad,
+                    use_cache=getattr(self.cfg, "accel_cache", True),
+                )
+            return self._refitter.refit(
+                self.mesh.positions_norm, self.mesh.normals
+            )
         if self._stab_accel is None or self._stab_mesh is not self.mesh:
             if jax.default_backend() == "cpu":
                 # CPU fallback keeps the gather-based XLA query (gen-1)

@@ -42,11 +42,15 @@ def default_cache_dir() -> str:
     )
 
 
-def _accel_key(verts_h, tris_h, n: int, gs, span: int) -> str:
+def _accel_key(verts_h, tris_h, n: int, gs, span: int,
+               pad: float = 0.0) -> str:
     import hashlib
 
     h = hashlib.sha256()
-    h.update(f"fmt{_FORMAT}|n{n}|gs{gs}|span{span}".encode())
+    tag = f"fmt{_FORMAT}|n{n}|gs{gs}|span{span}"
+    if pad:  # pad extends the key only when set: old entries stay valid
+        tag += f"|pad{pad!r}"
+    h.update(tag.encode())
     for a in (verts_h, tris_h):
         arr = np.ascontiguousarray(a)
         h.update(str(arr.dtype).encode())
@@ -121,36 +125,46 @@ def load_compact2(path: str):
         return None
 
 
-def cached_build_raystab_accel2(
-    verts_norm, tris, normals, n: int = 64, gs=None, span: int = 8,
-    cache_dir: str | None = None,
+def cached_compact2(
+    verts_norm, tris, n: int = 64, gs=None, span: int = 8,
+    pad: float = 0.0, cache_dir: str | None = None,
 ):
-    """build_raystab_accel2 behind the on-disk compact cache.
+    """build_raystab_compact2 behind the on-disk cache.
 
-    Key: sha256 of (geometry bytes, n, gs, span, format) — normals are NOT
-    in the key (they don't influence binning/packing; assembly bakes the
-    caller's normals in fresh every time). Miss -> bin/pack + persist;
-    hit -> load + device assembly only.
+    Key: sha256 of (geometry bytes, n, gs, span, pad, format) — normals
+    are NOT in the key (they don't influence binning/packing). Miss ->
+    bin/pack + persist; hit -> load.
     """
     import jax
 
-    from dxrvoxelizer_tpu.ops.raystab_fast import (
-        assemble_raystab_accel2,
-        build_raystab_compact2,
-    )
+    from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_compact2
 
     root = cache_dir or default_cache_dir()
     if str(root) in ("0", "off", "none"):
-        compact = build_raystab_compact2(verts_norm, tris, n, gs, span)
-        return assemble_raystab_accel2(compact, verts_norm, tris, normals)
+        return build_raystab_compact2(verts_norm, tris, n, gs, span, pad)
     verts_h, tris_h = jax.device_get((verts_norm, tris))
-    key = _accel_key(verts_h, tris_h, n, gs, span)
+    key = _accel_key(verts_h, tris_h, n, gs, span, pad)
     path = os.path.join(root, key + ".npz")
     compact = load_compact2(path)
     if compact is None:
-        compact = build_raystab_compact2(verts_norm, tris, n, gs, span)
+        compact = build_raystab_compact2(verts_norm, tris, n, gs, span, pad)
         try:
             save_compact2(path, compact)
         except OSError:
             pass  # read-only cache dir: serve the built accel anyway
+    return compact
+
+
+def cached_build_raystab_accel2(
+    verts_norm, tris, normals, n: int = 64, gs=None, span: int = 8,
+    cache_dir: str | None = None, pad: float = 0.0,
+):
+    """build_raystab_accel2 behind the on-disk compact cache
+    (:func:`cached_compact2`): assembly bakes the caller's normals in
+    fresh every time; only the binning/packing product is persisted."""
+    from dxrvoxelizer_tpu.ops.raystab_fast import assemble_raystab_accel2
+
+    compact = cached_compact2(
+        verts_norm, tris, n, gs, span, pad, cache_dir
+    )
     return assemble_raystab_accel2(compact, verts_norm, tris, normals)

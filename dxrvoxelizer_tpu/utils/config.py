@@ -61,6 +61,11 @@ class VoxelizerConfig:
     # ladder, backend) — the precompiled-AS analog (utils/accel_cache.py);
     # -noaccelcache disables
     accel_cache: bool = True
+    # deforming raystab: per-vertex displacement bound (normalized space)
+    # the per-frame accel REFIT absorbs (ops/raystab_refit.py, the DXR
+    # AS-update analog). The app's -deform wobble peaks at 0.04; the
+    # default leaves margin. -deformpad X overrides.
+    deform_pad: float = 0.05
     # midpoint-subdivision levels applied at load (4x tris per level) — the
     # hi-poly bench configs (BASELINE.md: the 871k-tri full Stanford dragon
     # is not shipped; the 100k decimation at -subdiv 1 is the 400k-tri
@@ -146,6 +151,10 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
             kw["intermediate_cap"] = int(argv[i + 1]) if has_value(i) else 512
             if has_value(i):
                 i += 1
+        elif is_flag(a, "deformpad"):
+            if has_value(i):
+                i += 1
+                kw["deform_pad"] = float(argv[i])
         elif is_flag(a, "hq"):
             # high-fidelity render: 2x z-supersampling (optionally -hq N)
             kw["render_ss"] = int(argv[i + 1]) if has_value(i) else 2
