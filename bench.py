@@ -404,12 +404,12 @@ def main() -> int:
             scene64.buffers.positions_norm, scene64.buffers.tris,
             scene64.buffers.normals, 256,
         )
-        # fence with one batched scalar readback (block_until_ready is a
-        # no-op over the tunnel): charge the async assembly to the build
-        _ = jax.device_get(tuple(
-            jnp.ravel(leaf)[0]
-            for leaf in jax.tree.leaves(accel256.levels)
-        ))
+        # fence with ONE jitted scalar over every table (block_until_ready
+        # is a no-op over the tunnel; eager per-leaf slices each pay a
+        # remote compile + dispatch): charge the assembly to the build
+        from dxrvoxelizer_tpu.ops.raystab_fast import fence_scalar
+
+        _ = fence_scalar(jax.tree.leaves(accel256.levels))
         build256_s = time.perf_counter() - t0
         print(f"# ray-stab accel 256^3 fresh build: {build256_s:.1f} s",
               file=sys.stderr)

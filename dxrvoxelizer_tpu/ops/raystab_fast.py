@@ -1033,7 +1033,22 @@ tables, so changing this threshold needs no cache-format bump — layout is
 chosen at assembly time.)"""
 
 
-def table_k(coefs) -> int:
+def fence_scalar(leaves) -> float:
+    """Block until every array in ``leaves`` is materialized on device,
+    via ONE jitted scalar readback (first element of each, summed).
+
+    ``block_until_ready`` acks before the device finishes on tunneled
+    backends, and eager per-leaf slices each pay a remote compile +
+    ~28 ms dispatch; this is one compile (persistent-cached per shape
+    set) and one scalar wire crossing."""
+
+    @jax.jit
+    def scalar(ls):
+        return sum(
+            jnp.ravel(a)[0].astype(jnp.float32) for a in jax.tree.leaves(ls)
+        )
+
+    return float(scalar(tuple(leaves)))
     """Candidate count K of a class table, either layout: gen-4
     [..., K, 12] or gen-5 lane-aligned [..., 12, K] (K is never 12 —
     class caps start at 16 and overflow capacities are multiples of 8)."""
@@ -1509,6 +1524,7 @@ def assemble_raystab_accel2(
     was built from. The coefficient/normal values are computed here on the
     default backend, so they match the same-backend oracle bit-for-bit
     regardless of where (or when) the binning ran."""
+    mark = _stage_timer()
     n = compact.n
     v = n * n * n
     t_count = int(tris.shape[0])
@@ -1520,6 +1536,7 @@ def assemble_raystab_accel2(
     )
     dirs_d, s0_d = _ray_params(n)
     norm_h, tris_h = jax.device_get((normals, tris))
+    mark("asm: coef matrix + ray params")
     # per-triangle normal rows n0(3) n1(3) n2(3) pad(3) for the winner
     # extraction kernel; raw vertex-normal gathers (pure memory movement,
     # bit-identical to the oracle's normals[tris[:, k]]), last row
@@ -1530,11 +1547,13 @@ def assemble_raystab_accel2(
             norm_h[tris_h[:, k]].astype(np.float32)
         )
     ncoef_d = jnp.asarray(ncoef_full)  # [T+1, 12], ~5 MB upload
+    mark("asm: normal rows")
 
     cls = _assemble_classes(
         compact.classes, coef_d, ncoef_d, dirs_d, s0_d
     )
     levels = (tuple(cls),)
+    mark("asm: class gathers (dispatch)")
 
     ov_dense = None
     if compact.ov_ids is not None:
@@ -1564,6 +1583,7 @@ def assemble_raystab_accel2(
         filler = np.nonzero(~covered[:v])[0].astype(np.int32)
         parts.append(filler)
         sort_keys.append(jnp.asarray(np.concatenate(parts)))
+    mark("asm: sort keys")
 
     return RaystabAccel2(
         n=n,

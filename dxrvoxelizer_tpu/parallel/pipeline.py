@@ -38,7 +38,9 @@ class ShardedFramePipeline:
     (``render_impl="gather"``), each with directional or point light
     (``cfg.point_light``), with either inside test: parity
     (queue voxelize, deforming-capable) or raystab (strip-sharded gen-4
-    query over an init-built accel — parallel/raystab_shard.py).
+    query over an init-built accel — parallel/raystab_shard.py; deforming
+    meshes refit the accel per frame within ``cfg.deform_pad``,
+    ops/raystab_refit.py).
     In parity mode the voxelize stage re-bins fully on device every frame
     (deforming meshes work by swapping ``self.mesh`` — fixed topology, like
     ops/voxelize_queue.DeformingVoxelizer), so ``frame`` issues zero host
@@ -54,10 +56,10 @@ class ShardedFramePipeline:
                 "-chips supports the parity and raystab inside modes "
                 f"(got {cfg.inside_mode!r})"
             )
-        if cfg.inside_mode == "raystab" and deforming:
+        if cfg.inside_mode == "raystab" and deforming and cfg.deform_pad <= 0:
             raise ValueError(
-                "-chips raystab requires static geometry (the accel is "
-                "built once, like the reference's AS — Voxelizer.cpp:264)"
+                "-chips deforming raystab needs a positive -deformpad (the "
+                "per-frame refit's displacement bound, ops/raystab_refit.py)"
             )
         if render_impl not in ("warp", "fast", "auto", "gather"):
             raise ValueError(
@@ -91,13 +93,28 @@ class ShardedFramePipeline:
         self._clear = jnp.asarray(np.array(cfg.clear_color, np.float32))
         self._inflight: list[jax.Array] = []
         self.accel = None
+        self.refitter = None
         if cfg.inside_mode == "raystab":
-            # init-built AS, strip-sharded per-frame re-trace
-            # (parallel/raystab_shard.py); disk-cached like the
-            # reference's precompiled pipeline blobs (-noaccelcache)
-            from dxrvoxelizer_tpu.core.pipeline import _stab_accel_for
+            if deforming:
+                # rest-pose padded AS + per-frame refit under the same
+                # strip sharding (ops/raystab_refit.py)
+                from dxrvoxelizer_tpu.ops.raystab_refit import (
+                    RaystabRefitter,
+                )
 
-            self.accel = _stab_accel_for(cfg, mesh_buffers)
+                self.refitter = RaystabRefitter(
+                    mesh_buffers.positions_norm, mesh_buffers.tris,
+                    mesh_buffers.normals, cfg.grid_size,
+                    pad=cfg.deform_pad,
+                    use_cache=getattr(cfg, "accel_cache", True),
+                )
+            else:
+                # init-built AS, strip-sharded per-frame re-trace
+                # (parallel/raystab_shard.py); disk-cached like the
+                # reference's precompiled pipeline blobs (-noaccelcache)
+                from dxrvoxelizer_tpu.core.pipeline import _stab_accel_for
+
+                self.accel = _stab_accel_for(cfg, mesh_buffers)
 
     def _frame_fn(self, statics: tuple):
         fn = self._frames.get(statics)
@@ -108,7 +125,18 @@ class ShardedFramePipeline:
                 n_light=self.cfg.num_light_samples,
                 point_light=self.cfg.point_light,
             )
-            if self.accel is not None:
+            if self.refitter is not None:
+                from dxrvoxelizer_tpu.parallel.raystab_shard import (
+                    sharded_frame_raystab_deforming,
+                )
+
+                fn = sharded_frame_raystab_deforming(
+                    self.device_mesh, self.refitter, self.cfg.grid_size,
+                    self.cfg.width, self.cfg.height, statics,
+                    threshold=self.cfg.inside_threshold,
+                    interpret=self.interpret, **render_kw,
+                )
+            elif self.accel is not None:
                 from dxrvoxelizer_tpu.parallel.raystab_shard import (
                     sharded_frame_raystab,
                 )
@@ -142,8 +170,14 @@ class ShardedFramePipeline:
                 grid_size=self.cfg.grid_size,
             )
         fn = self._frame_fn(statics)
+        # the deforming-raystab frame takes NORMALS where the others take
+        # tris (the refit regathers the normal tables each frame)
+        second = (
+            self.mesh.normals if self.refitter is not None
+            else self.mesh.tris
+        )
         img = fn(
-            self.mesh.positions_norm, self.mesh.tris,
+            self.mesh.positions_norm, second,
             jnp.asarray(consts.screen_to_local),
             jnp.asarray(consts.local_space_eye_pt),
             jnp.asarray(consts.local_space_light_pt),

@@ -185,18 +185,50 @@ def sharded_frame_raystab(
     or the gather marcher ("gather", statics-free). ``point_light``
     selects the point-light field in either renderer.
     """
-    from dxrvoxelizer_tpu.ops import raymarch_warp as rw
     from dxrvoxelizer_tpu.ops.packing import quantize_r10g10b10a2
+
+    ks = tuple(
+        tuple(table_k(c[1]) for c in level) for level in accel.levels
+    )
+    ov_k = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
+    render = _make_band_renderer(
+        mesh, n, width, height, statics, interpret, render_impl,
+        n_samples, n_light, point_light,
+    )
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def frame(verts_norm, tris, s2l, eye, light, clear):
+        del verts_norm, tris  # baked into the accel
+        s2l, eye, light, clear = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep),
+            (s2l, eye, light, clear),
+        )
+        _, rgba = _sharded_query2(
+            accel.levels, accel.sort_keys, accel.ov_dense, n,
+            float(threshold), ks, ov_k, t_count, interpret, "backface",
+            mesh,
+        )
+        density = quantize_r10g10b10a2(rgba)[..., 3]
+        return render(density, s2l, eye, light, clear)
+
+    return frame
+
+
+def _make_band_renderer(mesh: Mesh, n: int, width: int, height: int,
+                        statics: tuple, interpret: bool, render_impl: str,
+                        n_samples: int, n_light: int, point_light: bool):
+    """shard_map-wrapped screen-band renderer shared by the raystab frame
+    builders: each device renders its horizontal band from the replicated
+    density — shear-warp (orientation ``statics`` required) or the gather
+    marcher ("gather", statics-free)."""
+    from dxrvoxelizer_tpu.ops import raymarch_warp as rw
     from dxrvoxelizer_tpu.parallel.shard import light_volume_from_statics
 
     (axis,) = mesh.axis_names
     n_dev = mesh.devices.size
     assert height % n_dev == 0, f"height {height} not divisible by {n_dev}"
     band = height // n_dev
-    ks = tuple(
-        tuple(table_k(c[1]) for c in level) for level in accel.levels
-    )
-    ov_k = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
 
     if render_impl == "warp":
         waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode = statics
@@ -230,7 +262,7 @@ def sharded_frame_raystab(
     else:
         raise ValueError(f"unknown sharded render impl {render_impl!r}")
 
-    render = jax.shard_map(
+    return jax.shard_map(
         render_band,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
@@ -238,17 +270,59 @@ def sharded_frame_raystab(
         check_vma=False,
     )
 
+
+def sharded_frame_raystab_deforming(
+    mesh: Mesh,
+    refitter,
+    n: int,
+    width: int,
+    height: int,
+    statics: tuple,
+    threshold: float = INSIDE_THRESHOLD,
+    interpret: bool = False,
+    render_impl: str = "warp",
+    n_samples: int = 128,
+    n_light: int = 32,
+    point_light: bool = False,
+):
+    """Multi-chip DEFORMING raystab frame: per-frame accel refit + the
+    strip-sharded query + band-sharded render.
+
+    ``refitter``: an :class:`~dxrvoxelizer_tpu.ops.raystab_refit.
+    RaystabRefitter` built from the rest mesh (its pad bounds the
+    admissible per-frame deformation — the DXR AS-update analog; the
+    reference app itself is static-geometry, Voxelizer.cpp:264-326).
+    Returns ``frame(verts_norm, normals, s2l, eye, light, clear) ->
+    image``: note NORMALS in the second slot where the static frame
+    takes ``tris`` — the refit regathers the normal tables each frame.
+    The refit's coefficient build + class gathers run replicated (they
+    are a few ms of row movement vs the sharded fold); the query and
+    render shard exactly like :func:`sharded_frame_raystab`.
+    """
+    from dxrvoxelizer_tpu.ops.packing import quantize_r10g10b10a2
+
+    t_count = int(refitter.tris.shape[0])
+    acc0 = refitter.rest_accel
+    ks = tuple(
+        tuple(table_k(c[1]) for c in level) for level in acc0.levels
+    )
+    ov_k = table_k(acc0.ov_dense[1]) if acc0.ov_dense else 0
+    state = refitter.device_state()
+    render = _make_band_renderer(
+        mesh, n, width, height, statics, interpret, render_impl,
+        n_samples, n_light, point_light,
+    )
     rep = NamedSharding(mesh, P())
 
     @jax.jit
-    def frame(verts_norm, tris, s2l, eye, light, clear):
-        del verts_norm, tris  # baked into the accel
-        s2l, eye, light, clear = jax.tree.map(
+    def frame(verts_norm, normals, s2l, eye, light, clear):
+        verts_norm, normals, s2l, eye, light, clear = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, rep),
-            (s2l, eye, light, clear),
+            (verts_norm, normals, s2l, eye, light, clear),
         )
+        acc = refitter.refit_with_state(state, verts_norm, normals)
         _, rgba = _sharded_query2(
-            accel.levels, accel.sort_keys, accel.ov_dense, n,
+            acc.levels, acc.sort_keys, acc.ov_dense, n,
             float(threshold), ks, ov_k, t_count, interpret, "backface",
             mesh,
         )

@@ -1,14 +1,17 @@
-"""Stage-level slope profile of the gen-2 ray-stab query at 64^3 (dragon).
+"""Stage-level slope profile of the gen-2 ray-stab query (dragon).
 
 Times (a) the full query, (b) kernels + sort-merge only, (c) the stream
-kernels only, (d) finalize only — each as a slope between two in-graph scan
-lengths (the tunnel's fixed dispatch latency cancels; see bench.py).
+kernels only — each as a slope between two in-graph scan lengths (the
+tunnel's fixed dispatch latency cancels; see bench.py). The accel tables
+ride every jit as ARGUMENTS: closed-over arrays embed in the HLO as
+constants, which at 256^3 sizes breaks the remote-compile transport.
 
-Run: python scripts/profile_raystab64.py
+Run: python scripts/profile_raystab64.py [-n 64]
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -17,7 +20,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:
-    import numpy as np
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=64)
+    ap.add_argument("-mesh", default="dragon.obj")
+    args = ap.parse_args()
 
     from dxrvoxelizer_tpu.utils.backend import enable_compile_cache
 
@@ -30,33 +36,40 @@ def main() -> int:
     from dxrvoxelizer_tpu.ops.raystab_fast import (
         _merge_winners2,
         _raystab_query2,
-        build_raystab_accel2,
+        fold_extract_dispatch,
+        table_k,
     )
-    from dxrvoxelizer_tpu.ops.raystab_fast import fold_extract_dispatch
+    from dxrvoxelizer_tpu.utils.accel_cache import (
+        cached_build_raystab_accel2,
+    )
     from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
 
-    n = 64
-    scene = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=n))
+    n = args.n
+    scene = Scene.load(VoxelizerConfig(mesh=args.mesh, grid_size=n))
     b = scene.buffers
-    accel = build_raystab_accel2(b.positions_norm, b.tris, b.normals, n)
-    from dxrvoxelizer_tpu.ops.raystab_fast import table_k
-
+    accel = cached_build_raystab_accel2(
+        b.positions_norm, b.tris, b.normals, n
+    )
     ks = tuple(tuple(table_k(c[1]) for c in lv) for lv in accel.levels)
     ovk = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
     tc = int(b.tris.shape[0])
-    print(f"# levels: {accel.stats.levels} near={accel.stats.near_origin}",
-          file=sys.stderr)
+    print(f"# levels: {accel.stats.levels} near={accel.stats.near_origin} "
+          f"class Ks={ks}", file=sys.stderr)
 
-    def slope(body, r_pair=(4, 16), reps=3, label=""):
+    acc_args = (accel.levels, accel.sort_keys, accel.ov_dense)
+
+    def slope(make_body, r_pair=(2, 8), reps=3, label=""):
         ra, rb = r_pair
 
         def make(r):
             @jax.jit
-            def run():
-                out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=r)
+            def run(a):
+                out, _ = jax.lax.scan(
+                    make_body(a), jnp.float32(0.0), None, length=r
+                )
                 return out
 
-            return run
+            return lambda: run(acc_args)
 
         fa, fb = make(ra), make(rb)
         float(fa()); float(fb())
@@ -87,46 +100,60 @@ def main() -> int:
     # slicing one element lets XLA slice the whole stage out of the scan
     # (occ[0] consumption under-reported the gen-2 gather finalize 3 ms).
     # Pallas outputs are safe to scalar-consume (opaque custom-calls).
-    def full_body(carry, _):
-        occ, rgba = _raystab_query2(
-            perturb(accel.levels, carry),
-            accel.sort_keys, perturb(accel.ov_dense, carry), n, 0.12,
-            ks, ovk, tc, False,
-        )
-        return (jnp.sum(rgba * 1e-38)
-                + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+    def full_body(a):
+        levels, sort_keys, ov_dense = a
 
-    def merge_body(carry, _):
-        out = _merge_winners2(
-            perturb(accel.levels, carry), accel.sort_keys,
-            perturb(accel.ov_dense, carry), n, ks, ovk, tc, 0.12,
-            "backface", False
-        )
-        acc = jnp.float32(0.0)
-        for a in out:
-            acc = acc + jnp.sum(a * 1e-38).astype(jnp.float32)
-        return acc, None
-
-    def kernels_body(carry, _):
-        acc = jnp.float32(0.0)
-        for level, level_ks in zip(accel.levels, ks):
-            for (rays, coefs, scatter, bounds, ntab), k in zip(
-                level, level_ks
-            ):
-                t_c, i_c, ns = fold_extract_dispatch(
-                    rays + carry * 1e-38, coefs, ntab, k, tc, 0.12,
-                    bounds=bounds,
-                )
-                acc = (acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
-                       + ns[0, 0, 0] * 1e-38)
-        if accel.ov_dense is not None:
-            rays_ov, cf_ov, nf_ov = accel.ov_dense
-            t_ov, i_ov, ns_ov = fold_extract_dispatch(
-                rays_ov + carry * 1e-38, cf_ov, nf_ov, ovk, tc, 0.12,
-                shared=True,
+        def body(carry, _):
+            occ, rgba = _raystab_query2(
+                perturb(levels, carry), sort_keys,
+                perturb(ov_dense, carry), n, 0.12, ks, ovk, tc, False,
             )
-            acc = acc + t_ov[0, 0] * 1e-38 + ns_ov[0, 0, 0] * 1e-38
-        return acc, None
+            return (jnp.sum(rgba * 1e-38)
+                    + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+
+        return body
+
+    def merge_body(a):
+        levels, sort_keys, ov_dense = a
+
+        def body(carry, _):
+            out = _merge_winners2(
+                perturb(levels, carry), sort_keys,
+                perturb(ov_dense, carry), n, ks, ovk, tc, 0.12,
+                "backface", False,
+            )
+            acc = jnp.float32(0.0)
+            for x in out:
+                acc = acc + jnp.sum(x * 1e-38).astype(jnp.float32)
+            return acc, None
+
+        return body
+
+    def kernels_body(a):
+        levels, _sort_keys, ov_dense = a
+
+        def body(carry, _):
+            acc = jnp.float32(0.0)
+            for level, level_ks in zip(levels, ks):
+                for (rays, coefs, scatter, bounds, ntab), k in zip(
+                    level, level_ks
+                ):
+                    t_c, i_c, ns = fold_extract_dispatch(
+                        rays + carry * 1e-38, coefs, ntab, k, tc, 0.12,
+                        bounds=bounds,
+                    )
+                    acc = (acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
+                           + ns[0, 0, 0] * 1e-38)
+            if ov_dense is not None:
+                rays_ov, cf_ov, nf_ov = ov_dense
+                t_ov, i_ov, ns_ov = fold_extract_dispatch(
+                    rays_ov + carry * 1e-38, cf_ov, nf_ov, ovk, tc, 0.12,
+                    shared=True,
+                )
+                acc = acc + t_ov[0, 0] * 1e-38 + ns_ov[0, 0, 0] * 1e-38
+            return acc, None
+
+        return body
 
     slope(full_body, label="full query")
     slope(merge_body, label="kernels + extract + sort-merge")

@@ -35,6 +35,10 @@ def main() -> int:
                     help="only build + time the query (no bit-exact check)")
     ap.add_argument("--ulp-tol", type=int, default=8,
                     help="max per-channel rgba ulp distance accepted")
+    ap.add_argument("--fresh-build", action="store_true",
+                    help="skip the on-disk accel cache: time the full "
+                    "cold-per-geometry build (binning + packing + device "
+                    "assembly) like a first-seen mesh pays it")
     args = ap.parse_args()
 
     from dxrvoxelizer_tpu.utils.backend import enable_compile_cache
@@ -62,10 +66,23 @@ def main() -> int:
     print(f"# mesh={args.mesh} tris={tc} n={n}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    accel = cached_build_raystab_accel2(
-        b.positions_norm, b.tris, b.normals, n
-    )
-    print(f"# accel build/load: {time.perf_counter() - t0:.1f} s "
+    if args.fresh_build:
+        from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel2
+
+        accel = build_raystab_accel2(b.positions_norm, b.tris, b.normals, n)
+        # fence with ONE jitted scalar over every table (block_until_ready
+        # is a no-op over the tunnel; eager per-leaf slices each pay a
+        # remote compile + dispatch): charge the assembly to the build
+        from dxrvoxelizer_tpu.ops.raystab_fast import fence_scalar
+
+        _ = fence_scalar(jax.tree.leaves(accel.levels))
+        label = "accel FRESH build"
+    else:
+        accel = cached_build_raystab_accel2(
+            b.positions_norm, b.tris, b.normals, n
+        )
+        label = "accel build/load"
+    print(f"# {label}: {time.perf_counter() - t0:.1f} s "
           f"levels={accel.stats.levels} near={accel.stats.near_origin}",
           file=sys.stderr)
 

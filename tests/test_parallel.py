@@ -326,8 +326,8 @@ def test_sharded_pipeline_gather_renderer_matches_single_chip():
 
 
 def test_sharded_pipeline_raystab_contracts():
-    """-chips raystab rejects deforming (the accel is init-built, like the
-    reference AS) and unknown inside modes reject with a clear error."""
+    """-chips deforming raystab requires a positive refit pad; unknown
+    inside modes reject with a clear error."""
     import pytest
 
     from dxrvoxelizer_tpu.models.mesh import MeshBuffers
@@ -343,10 +343,62 @@ def test_sharded_pipeline_raystab_contracts():
         aabb_min=verts.min(0), aabb_max=verts.max(0),
     ))
     cfg = VoxelizerConfig(grid_size=16, width=32, height=32,
-                          inside_mode="raystab")
-    with pytest.raises(ValueError, match="static geometry"):
+                          inside_mode="raystab", deform_pad=0.0)
+    with pytest.raises(ValueError, match="-deformpad"):
         ShardedFramePipeline(cfg, buffers, chips=8, deforming=True)
     cfg_bad = VoxelizerConfig(grid_size=16, width=32, height=32,
                               inside_mode="nonsense")
     with pytest.raises(ValueError, match="parity and raystab"):
         ShardedFramePipeline(cfg_bad, buffers, chips=8)
+
+
+def test_sharded_deforming_raystab_frame_matches_single_device():
+    """Multi-chip deforming raystab (per-frame refit + strip-sharded query
+    + band-sharded warp) reproduces the single-device refit frame."""
+    from dxrvoxelizer_tpu.ops import raymarch_warp as rw
+    from dxrvoxelizer_tpu.ops.packing import quantize_r10g10b10a2
+    from dxrvoxelizer_tpu.ops.raystab_fast import raystab_query2
+    from dxrvoxelizer_tpu.ops.raystab_refit import RaystabRefitter
+    from dxrvoxelizer_tpu.parallel.raystab_shard import (
+        sharded_frame_raystab_deforming,
+    )
+    from dxrvoxelizer_tpu.parallel.shard import frame_statics
+    from tests.meshes import icosphere_mesh
+    from tests.test_raymarch import _frame_consts
+
+    n, w, h = 16, 48, 32
+    v_np, n_np, t_np = icosphere_mesh(2)
+    v, nr, t = (jnp.asarray(v_np), jnp.asarray(n_np), jnp.asarray(t_np))
+    rf = RaystabRefitter(v, t, nr, n=n, pad=0.05)
+    amp = 0.03 * np.sin(0.7 + v_np[:, :1] * 5.0).astype(np.float32)
+    v_t = v + jnp.asarray(amp) * nr
+    s2l, eye_l, light_l = _frame_consts(w, h)
+
+    class _C:
+        screen_to_local = np.asarray(s2l)
+        local_space_eye_pt = np.asarray(eye_l)
+        local_space_light_pt = np.asarray(light_l)
+
+    statics = frame_statics(_C, w, h)
+    mesh = make_device_mesh(8)
+    frame = sharded_frame_raystab_deforming(
+        mesh, rf, n, w, h, statics, interpret=True
+    )
+    img8 = np.asarray(frame(
+        v_t, nr, jnp.asarray(s2l), jnp.asarray(eye_l),
+        jnp.asarray(light_l), jnp.asarray(CLEAR),
+    ))
+
+    # single-device reference: refit + query + same warp statics
+    accel_t = rf.refit(v_t, nr, check=True)
+    _, rgba = raystab_query2(v_t, nr, t, accel_t, interpret=True)
+    density = quantize_r10g10b10a2(rgba)[..., 3]
+    waxis, wflip, wswap, m, res_win, l_axis, l_flip, _l_mode = statics
+    lv = rw.light_sweep(density, jnp.asarray(light_l), n, l_axis, l_flip)
+    img1 = np.asarray(rw._shearwarp_core(
+        density, lv, jnp.asarray(s2l), jnp.asarray(eye_l),
+        jnp.asarray(CLEAR), n, m, w, h, waxis, wflip, wswap, False,
+        res_win=res_win, y_off=jnp.float32(0.0),
+    ))
+    assert img8.shape == img1.shape
+    np.testing.assert_allclose(img8, img1, atol=2e-6)
