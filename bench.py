@@ -116,6 +116,21 @@ def main() -> int:
             secondaries[key] = round(dt * 1e3, 4)
         return dt
 
+    from contextlib import contextmanager
+
+    @contextmanager
+    def guarded(label):
+        """Never lose the headline JSON to a dying secondary: a dead
+        tunnel / failed remote compile raises JaxRuntimeError mid-run;
+        record the failure as a secondary and keep going."""
+        try:
+            yield
+        except Exception as e:  # noqa: BLE001 — deliberately broad
+            msg = f"{type(e).__name__}: {e}"
+            print(f"# SECONDARY FAILED [{label}]: {msg[:300]}",
+                  file=sys.stderr)
+            secondaries[f"failed_{label}"] = 1.0
+
     # ---- voxelize kernel (work queue) ---------------------------------------
     coefs, ct, cf, cl, stats = build_queue(verts, tris, n, k_chunk=64)
     ct_h, cf_h, cl_h = np.asarray(ct), np.asarray(cf), np.asarray(cl)
@@ -339,24 +354,21 @@ def main() -> int:
         secondaries["raystab_accel64_phys_mib"] = round(phys_mb, 1)
 
         def make_stab_body(n_stab, ks_t, ovk_t):
-            # accel tables ride the jit as ARGUMENTS via slope(args=...);
-            # the body must perturb EVERY float input — perturbing only
-            # ftab leaves the stream kernels + sort loop-invariant and
-            # XLA hoists them out of the scan (under-reported the query
-            # 2x)
+            # accel tables ride the jit as ARGUMENTS via slope(args=...),
+            # and EVERY table is routed through an optimization_barrier
+            # tied to the scan carry: dataflow-wise the kernels become
+            # loop-variant (XLA cannot hoist the streams/sort/folds out
+            # of the scan — perturbing only ftab under-reported the query
+            # 2x) at ZERO copy cost. The earlier +carry*1e-38 tree.map
+            # materialized a copy of every f32 table per iteration — at
+            # 256^3 that is ~6 GiB of extra buffers, and the remote
+            # compile ground for 30+ minutes before the transport died.
             def with_args(a):
                 levels, sort_keys, ov_dense = a
 
                 def stab_body(carry, _):
-                    lv = jax.tree.map(
-                        lambda x: x + carry * 1e-38
-                        if x.dtype == jnp.float32 else x,
-                        levels,
-                    )
-                    ov = jax.tree.map(
-                        lambda x: x + carry * 1e-38
-                        if x.dtype == jnp.float32 else x,
-                        ov_dense,
+                    carry, lv, ov = jax.lax.optimization_barrier(
+                        (carry, levels, ov_dense)
                     )
                     occ, rgba = _raystab_query2(
                         lv, sort_keys, ov, n_stab, 0.12, ks_t, ovk_t, tc,
@@ -372,58 +384,30 @@ def main() -> int:
 
             return with_args
 
-        slope(make_stab_body(64, ks, ovk), (2, 8),
-              "dragon ray-stab gen-6 query 64^3",
-              key="raystab_query2_64_ms",
-              args=(accel.levels, accel.sort_keys, accel.ov_dense))
+        with guarded("raystab_query2_64"):
+            slope(make_stab_body(64, ks, ovk), (2, 8),
+                  "dragon ray-stab gen-6 query 64^3",
+                  key="raystab_query2_64_ms",
+                  args=(accel.levels, accel.sort_keys, accel.ov_dense))
 
         # hi-res raystab (beyond the reference's fixed 64^3): 128^3
-        accel128 = cached_build_raystab_accel2(
-            scene64.buffers.positions_norm, scene64.buffers.tris,
-            scene64.buffers.normals, 128,
-        )
-        ks128 = tuple(
-            tuple(table_k(c[1]) for c in lv) for lv in accel128.levels
-        )
-        ovk128 = table_k(accel128.ov_dense[1]) if accel128.ov_dense else 0
-        slope(make_stab_body(128, ks128, ovk128), (2, 8),
-              "dragon ray-stab gen-6 query 128^3",
-              key="raystab_query2_128_ms",
-              args=(accel128.levels, accel128.sort_keys,
-                    accel128.ov_dense))
-        del accel128
-
-        # 256^3 (the BASELINE hi-res grid): FRESH build timed end-to-end
-        # (per-geometry cold: host binning+packing + device assembly —
-        # the raytab/compile caches are machine-level like the
-        # reference's driver/shader caches), then the query slope.
-        from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel2
-
-        t0 = time.perf_counter()
-        accel256 = build_raystab_accel2(
-            scene64.buffers.positions_norm, scene64.buffers.tris,
-            scene64.buffers.normals, 256,
-        )
-        # fence with ONE jitted scalar over every table (block_until_ready
-        # is a no-op over the tunnel; eager per-leaf slices each pay a
-        # remote compile + dispatch): charge the assembly to the build
-        from dxrvoxelizer_tpu.ops.raystab_fast import fence_scalar
-
-        _ = fence_scalar(jax.tree.leaves(accel256.levels))
-        build256_s = time.perf_counter() - t0
-        print(f"# ray-stab accel 256^3 fresh build: {build256_s:.1f} s",
-              file=sys.stderr)
-        secondaries["raystab_accel_build256_s"] = round(build256_s, 2)
-        ks256 = tuple(
-            tuple(table_k(c[1]) for c in lv) for lv in accel256.levels
-        )
-        ovk256 = table_k(accel256.ov_dense[1]) if accel256.ov_dense else 0
-        slope(make_stab_body(256, ks256, ovk256), (2, 8),
-              "dragon ray-stab gen-6 query 256^3",
-              key="raystab_query2_256_ms",
-              args=(accel256.levels, accel256.sort_keys,
-                    accel256.ov_dense))
-        del accel256
+        with guarded("raystab_query2_128"):
+            accel128 = cached_build_raystab_accel2(
+                scene64.buffers.positions_norm, scene64.buffers.tris,
+                scene64.buffers.normals, 128,
+            )
+            ks128 = tuple(
+                tuple(table_k(c[1]) for c in lv) for lv in accel128.levels
+            )
+            ovk128 = (
+                table_k(accel128.ov_dense[1]) if accel128.ov_dense else 0
+            )
+            slope(make_stab_body(128, ks128, ovk128), (2, 8),
+                  "dragon ray-stab gen-6 query 128^3",
+                  key="raystab_query2_128_ms",
+                  args=(accel128.levels, accel128.sort_keys,
+                        accel128.ov_dense))
+            del accel128
 
         # ---- deforming raystab: per-frame accel REFIT + query (the DXR
         # AS-update analog, ops/raystab_refit.py) --------------------------
@@ -453,25 +437,66 @@ def main() -> int:
 
             return with_args
 
-        slope(make_refit_body(rf, scene64.buffers.tris), (2, 8),
-              "dragon deforming raystab refit+query 64^3",
-              key="deforming_raystab_64_ms",
-              args=(rf.device_state(), scene64.buffers.positions_norm,
-                    scene64.buffers.normals))
-        del rf
+        with guarded("deforming_raystab_64"):
+            slope(make_refit_body(rf, scene64.buffers.tris), (2, 8),
+                  "dragon deforming raystab refit+query 64^3",
+                  key="deforming_raystab_64_ms",
+                  args=(rf.device_state(), scene64.buffers.positions_norm,
+                        scene64.buffers.normals))
+            del rf
 
         # ---- deforming mesh: re-bin + re-voxelize every frame ----------------
         from dxrvoxelizer_tpu.ops.voxelize_queue import DeformingVoxelizer
 
-        dv = DeformingVoxelizer(verts, tris, n)
+        with guarded("deforming_voxelize"):
+            dv = DeformingVoxelizer(verts, tris, n)
 
-        def deform_body(carry, _):
-            words = dv(verts * (1.0 + carry * 1e-12))
-            return jnp.float32(words[0, 0, 0] % 2), None
+            def deform_body(carry, _):
+                words = dv(verts * (1.0 + carry * 1e-12))
+                return jnp.float32(words[0, 0, 0] % 2), None
 
-        slope(deform_body, (10, 40),
-              f"dragon deforming re-bin+voxelize {n}^3 (device layout)",
-              key=f"deforming_voxelize_{n}_ms")
+            slope(deform_body, (10, 40),
+                  f"dragon deforming re-bin+voxelize {n}^3 (device layout)",
+                  key=f"deforming_voxelize_{n}_ms")
+
+        # ---- 256^3 raystab LAST (the BASELINE hi-res grid; the biggest
+        # tables + compiles in the whole bench — a failure here must not
+        # take any other secondary down): FRESH build timed end-to-end
+        # (per-geometry cold: host binning+packing + device assembly —
+        # the raytab/compile caches are machine-level like the
+        # reference's driver/shader caches), then the query slope.
+        with guarded("raystab_256"):
+            from dxrvoxelizer_tpu.ops.raystab_fast import (
+                build_raystab_accel2,
+                fence_scalar,
+            )
+
+            t0 = time.perf_counter()
+            accel256 = build_raystab_accel2(
+                scene64.buffers.positions_norm, scene64.buffers.tris,
+                scene64.buffers.normals, 256,
+            )
+            # fence with ONE jitted scalar over every table
+            # (block_until_ready is a no-op over the tunnel; eager
+            # per-leaf slices each pay a remote compile + dispatch):
+            # charge the assembly to the build
+            _ = fence_scalar(jax.tree.leaves(accel256.levels))
+            build256_s = time.perf_counter() - t0
+            print(f"# ray-stab accel 256^3 fresh build: {build256_s:.1f} s",
+                  file=sys.stderr)
+            secondaries["raystab_accel_build256_s"] = round(build256_s, 2)
+            ks256 = tuple(
+                tuple(table_k(c[1]) for c in lv) for lv in accel256.levels
+            )
+            ovk256 = (
+                table_k(accel256.ov_dense[1]) if accel256.ov_dense else 0
+            )
+            slope(make_stab_body(256, ks256, ovk256), (2, 8),
+                  "dragon ray-stab gen-6 query 256^3",
+                  key="raystab_query2_256_ms",
+                  args=(accel256.levels, accel256.sort_keys,
+                        accel256.ov_dense))
+            del accel256
 
     value = vox_s * 1e3
     print(

@@ -1049,6 +1049,9 @@ def fence_scalar(leaves) -> float:
         )
 
     return float(scalar(tuple(leaves)))
+
+
+def table_k(coefs) -> int:
     """Candidate count K of a class table, either layout: gen-4
     [..., K, 12] or gen-5 lane-aligned [..., 12, K] (K is never 12 —
     class caps start at 16 and overflow capacities are multiples of 8)."""

@@ -86,15 +86,15 @@ def main() -> int:
         print(f"{label}: {dt*1e3:.3f} ms", flush=True)
         return dt
 
-    def perturb(tree, carry):
-        """Opaque no-op on every float leaf so NOTHING in the query is
-        loop-invariant — perturbing only ftab lets XLA hoist the kernels
-        and sort out of the measurement scan (this bug once under-reported
-        the query 2x)."""
-        return jax.tree.map(
-            lambda x: x + carry * 1e-38 if x.dtype == jnp.float32 else x,
-            tree,
-        )
+    def variant(carry, tree):
+        """Route a table tree through an optimization_barrier tied to the
+        scan carry: dataflow-wise loop-variant (XLA cannot hoist the
+        kernels/sort out of the measurement scan — perturbing only ftab
+        once under-reported the query 2x) at ZERO copy cost (the earlier
+        +carry*1e-38 tree.map materialized a copy of every f32 table per
+        iteration: ~6 GiB extra at 256^3, compile ground 30+ minutes)."""
+        carry, tree = jax.lax.optimization_barrier((carry, tree))
+        return carry, tree
 
     # XLA-level stages (sorts, selects, finalize) MUST be checksum-consumed:
     # slicing one element lets XLA slice the whole stage out of the scan
@@ -104,9 +104,9 @@ def main() -> int:
         levels, sort_keys, ov_dense = a
 
         def body(carry, _):
+            carry, (lv, ov) = variant(carry, (levels, ov_dense))
             occ, rgba = _raystab_query2(
-                perturb(levels, carry), sort_keys,
-                perturb(ov_dense, carry), n, 0.12, ks, ovk, tc, False,
+                lv, sort_keys, ov, n, 0.12, ks, ovk, tc, False,
             )
             return (jnp.sum(rgba * 1e-38)
                     + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
@@ -117,9 +117,9 @@ def main() -> int:
         levels, sort_keys, ov_dense = a
 
         def body(carry, _):
+            carry, (lv, ov) = variant(carry, (levels, ov_dense))
             out = _merge_winners2(
-                perturb(levels, carry), sort_keys,
-                perturb(ov_dense, carry), n, ks, ovk, tc, 0.12,
+                lv, sort_keys, ov, n, ks, ovk, tc, 0.12,
                 "backface", False,
             )
             acc = jnp.float32(0.0)
@@ -133,21 +133,22 @@ def main() -> int:
         levels, _sort_keys, ov_dense = a
 
         def body(carry, _):
+            carry, (lv, ov) = variant(carry, (levels, ov_dense))
             acc = jnp.float32(0.0)
-            for level, level_ks in zip(levels, ks):
+            for level, level_ks in zip(lv, ks):
                 for (rays, coefs, scatter, bounds, ntab), k in zip(
                     level, level_ks
                 ):
                     t_c, i_c, ns = fold_extract_dispatch(
-                        rays + carry * 1e-38, coefs, ntab, k, tc, 0.12,
+                        rays, coefs, ntab, k, tc, 0.12,
                         bounds=bounds,
                     )
                     acc = (acc + t_c[0, 0] * 1e-38 + i_c[0, 0] * 1e-38
                            + ns[0, 0, 0] * 1e-38)
-            if ov_dense is not None:
-                rays_ov, cf_ov, nf_ov = ov_dense
+            if ov is not None:
+                rays_ov, cf_ov, nf_ov = ov
                 t_ov, i_ov, ns_ov = fold_extract_dispatch(
-                    rays_ov + carry * 1e-38, cf_ov, nf_ov, ovk, tc, 0.12,
+                    rays_ov, cf_ov, nf_ov, ovk, tc, 0.12,
                     shared=True,
                 )
                 acc = acc + t_ov[0, 0] * 1e-38 + ns_ov[0, 0, 0] * 1e-38

@@ -156,19 +156,18 @@ def main() -> int:
         @jax.jit
         def run(a):
             # single-tuple arg + identical body to bench.py's raystab
-            # slope: the two scripts then share one compiled executable
+            # slope: the two scripts then share one compiled executable.
+            # optimization_barrier ties the tables to the scan carry in
+            # dataflow (XLA cannot hoist the kernels out of the scan)
+            # at ZERO copy cost — the earlier +carry*1e-38 tree.map
+            # materialized a copy of every f32 table per iteration
+            # (~6 GiB extra at 256^3; the remote compile ground for 30+
+            # minutes and broke the transport).
             levels, sort_keys, ov_dense = a
 
             def stab_body(carry, _):
-                lv = jax.tree.map(
-                    lambda x: x + carry * 1e-38
-                    if x.dtype == jnp.float32 else x,
-                    levels,
-                )
-                ov = jax.tree.map(
-                    lambda x: x + carry * 1e-38
-                    if x.dtype == jnp.float32 else x,
-                    ov_dense,
+                carry, lv, ov = jax.lax.optimization_barrier(
+                    (carry, levels, ov_dense)
                 )
                 occ, rgba = _raystab_query2(
                     lv, sort_keys, ov, n, 0.12, ks_t, ovk, tc, False,
