@@ -354,21 +354,29 @@ def main() -> int:
         secondaries["raystab_accel64_phys_mib"] = round(phys_mb, 1)
 
         def make_stab_body(n_stab, ks_t, ovk_t):
-            # accel tables ride the jit as ARGUMENTS via slope(args=...),
-            # and EVERY table is routed through an optimization_barrier
-            # tied to the scan carry: dataflow-wise the kernels become
-            # loop-variant (XLA cannot hoist the streams/sort/folds out
-            # of the scan — perturbing only ftab under-reported the query
-            # 2x) at ZERO copy cost. The earlier +carry*1e-38 tree.map
-            # materialized a copy of every f32 table per iteration — at
-            # 256^3 that is ~6 GiB of extra buffers, and the remote
-            # compile ground for 30+ minutes before the transport died.
+            # accel tables ride the jit as ARGUMENTS via slope(args=...).
+            # Anti-hoist: carry-perturb each class's RAYS table (an exact
+            # f32 no-op, +carry*1e-38) — every fused kernel consumes its
+            # rays, so one variant operand pins every kernel inside the
+            # scan, and the sort/merge/finalize consume kernel outputs.
+            # Rays tables are small ([strips, ...]); perturbing EVERY f32
+            # leaf (the old trick) materialized a per-iteration copy of
+            # the GB-scale coefficient tables — the 256^3 remote compile
+            # ground 30+ min and broke the transport — while
+            # lax.optimization_barrier materializes nothing but XLA
+            # strips barriers before LICM: the 256^3 slope measured 0.
             def with_args(a):
                 levels, sort_keys, ov_dense = a
 
                 def stab_body(carry, _):
-                    carry, lv, ov = jax.lax.optimization_barrier(
-                        (carry, levels, ov_dense)
+                    eps = carry * 1e-38
+                    lv = tuple(
+                        tuple((c[0] + eps,) + tuple(c[1:]) for c in level)
+                        for level in levels
+                    )
+                    ov = (
+                        None if ov_dense is None
+                        else (ov_dense[0] + eps,) + tuple(ov_dense[1:])
                     )
                     occ, rgba = _raystab_query2(
                         lv, sort_keys, ov, n_stab, 0.12, ks_t, ovk_t, tc,

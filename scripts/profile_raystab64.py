@@ -87,14 +87,23 @@ def main() -> int:
         return dt
 
     def variant(carry, tree):
-        """Route a table tree through an optimization_barrier tied to the
-        scan carry: dataflow-wise loop-variant (XLA cannot hoist the
-        kernels/sort out of the measurement scan — perturbing only ftab
-        once under-reported the query 2x) at ZERO copy cost (the earlier
-        +carry*1e-38 tree.map materialized a copy of every f32 table per
-        iteration: ~6 GiB extra at 256^3, compile ground 30+ minutes)."""
-        carry, tree = jax.lax.optimization_barrier((carry, tree))
-        return carry, tree
+        """Anti-hoist: carry-perturb each class's RAYS table (exact f32
+        no-op, +carry*1e-38) in a (levels, ov_dense) tree — every fused
+        kernel consumes its rays, so one variant operand pins every
+        kernel inside the measurement scan; the sort/merge consume
+        kernel outputs. Rays tables are small — perturbing EVERY f32
+        leaf copied the GB-scale coefficient tables per iteration (the
+        256^3 remote compile ground 30+ min and broke the transport),
+        and lax.optimization_barrier copies nothing but XLA strips
+        barriers before LICM (the measured slope collapsed to 0)."""
+        levels, ov = tree
+        eps = carry * 1e-38
+        lv = tuple(
+            tuple((c[0] + eps,) + tuple(c[1:]) for c in level)
+            for level in levels
+        )
+        po = None if ov is None else (ov[0] + eps,) + tuple(ov[1:])
+        return carry, (lv, po)
 
     # XLA-level stages (sorts, selects, finalize) MUST be checksum-consumed:
     # slicing one element lets XLA slice the whole stage out of the scan

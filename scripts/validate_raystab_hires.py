@@ -65,23 +65,32 @@ def main() -> int:
     tc = int(b.tris.shape[0])
     print(f"# mesh={args.mesh} tris={tc} n={n}", file=sys.stderr)
 
+    # pay the process's one-time tunnel claim + first-dispatch cost BEFORE
+    # the build timer starts: the first device readback of a fresh TPU
+    # process absorbs a variable ~30-300 s tunnel-claim wait that any
+    # process pays exactly once and that has nothing to do with the accel
+    # path (it inflated "build/load" to 80-292 s across otherwise
+    # identical cached runs).
+    from dxrvoxelizer_tpu.ops.raystab_fast import fence_scalar
+
+    _ = fence_scalar([jnp.zeros((1,), jnp.float32)])
+
     t0 = time.perf_counter()
     if args.fresh_build:
         from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel2
 
         accel = build_raystab_accel2(b.positions_norm, b.tris, b.normals, n)
-        # fence with ONE jitted scalar over every table (block_until_ready
-        # is a no-op over the tunnel; eager per-leaf slices each pay a
-        # remote compile + dispatch): charge the assembly to the build
-        from dxrvoxelizer_tpu.ops.raystab_fast import fence_scalar
-
-        _ = fence_scalar(jax.tree.leaves(accel.levels))
         label = "accel FRESH build"
     else:
         accel = cached_build_raystab_accel2(
             b.positions_norm, b.tris, b.normals, n
         )
         label = "accel build/load"
+    # fence with ONE jitted scalar over every table (block_until_ready
+    # is a no-op over the tunnel; eager per-leaf slices each pay a
+    # remote compile + dispatch): charge the device assembly execution
+    # to the build in BOTH paths
+    _ = fence_scalar(jax.tree.leaves(accel.levels))
     print(f"# {label}: {time.perf_counter() - t0:.1f} s "
           f"levels={accel.stats.levels} near={accel.stats.near_origin}",
           file=sys.stderr)
@@ -157,17 +166,25 @@ def main() -> int:
         def run(a):
             # single-tuple arg + identical body to bench.py's raystab
             # slope: the two scripts then share one compiled executable.
-            # optimization_barrier ties the tables to the scan carry in
-            # dataflow (XLA cannot hoist the kernels out of the scan)
-            # at ZERO copy cost — the earlier +carry*1e-38 tree.map
-            # materialized a copy of every f32 table per iteration
-            # (~6 GiB extra at 256^3; the remote compile ground for 30+
-            # minutes and broke the transport).
+            # Anti-hoist: carry-perturb each class's RAYS table (exact
+            # f32 no-op) — every fused kernel consumes its rays, so the
+            # whole query stays inside the scan; rays tables are small.
+            # (Perturbing EVERY f32 leaf copied the GB-scale coefficient
+            # tables per iteration — the 256^3 remote compile ground 30+
+            # min and broke the transport; optimization_barrier copies
+            # nothing but XLA strips barriers before LICM and the slope
+            # collapsed to 0.)
             levels, sort_keys, ov_dense = a
 
             def stab_body(carry, _):
-                carry, lv, ov = jax.lax.optimization_barrier(
-                    (carry, levels, ov_dense)
+                eps = carry * 1e-38
+                lv = tuple(
+                    tuple((c[0] + eps,) + tuple(c[1:]) for c in level)
+                    for level in levels
+                )
+                ov = (
+                    None if ov_dense is None
+                    else (ov_dense[0] + eps,) + tuple(ov_dense[1:])
                 )
                 occ, rgba = _raystab_query2(
                     lv, sort_keys, ov, n, 0.12, ks_t, ovk, tc, False,
