@@ -150,6 +150,11 @@ def main() -> int:
     )
 
     # ---- binning (acceleration-structure rebuild, incl. one host sync) ------
+    # warm up once OUTSIDE the timer: a cold run pays remote compiles for
+    # the binning graphs (seconds over the tunnel), which is one-time cost,
+    # not the steady-state rebuild this secondary tracks
+    cw, _, _, _, _ = build_queue(verts, tris, n, k_chunk=64)
+    _ = float(cw[0, 0])
     t0 = time.perf_counter()
     for _ in range(3):
         c3, _, _, _, _ = build_queue(verts, tris, n, k_chunk=64)
