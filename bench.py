@@ -150,11 +150,8 @@ def main() -> int:
     )
 
     # ---- binning (acceleration-structure rebuild, incl. one host sync) ------
-    # warm up once OUTSIDE the timer: a cold run pays remote compiles for
-    # the binning graphs (seconds over the tunnel), which is one-time cost,
-    # not the steady-state rebuild this secondary tracks
-    cw, _, _, _, _ = build_queue(verts, tris, n, k_chunk=64)
-    _ = float(cw[0, 0])
+    # (the build_queue above already compiled + host-synced the binning
+    # graphs, so the timer below sees steady-state rebuild cost only)
     t0 = time.perf_counter()
     for _ in range(3):
         c3, _, _, _, _ = build_queue(verts, tris, n, k_chunk=64)
@@ -260,6 +257,80 @@ def main() -> int:
         secondaries["render_1080p_grid256_fps"] = round(
             1.0 / max(rm256_s, 1e-9), 1
         )
+
+        # ---- -hq render from the 256^3 grid (the quality-default
+        # decision needs the hi-res cost on record, verdict r03 weak #5) --
+        lr_axis256, lr_flip256, lr_d0256 = light_ref_statics(light_np, n)
+
+        def render256_hq_body(carry, _):
+            d2 = density256 + carry * 1e-38
+            lvr = light_sweep_ref(
+                d2, jnp.asarray(light_np), n, lr_axis256, lr_flip256,
+                lr_d0256,
+            )
+            img = _shearwarp_core(
+                d2, lvr, s2l, eye, clear, n, 128,
+                cfg64.width, cfg64.height, axis, flip, swap, True, ss=2,
+            )
+            return img[0, 0, 0], None
+
+        with guarded("render256_hq"):
+            hq256_s = slope(render256_hq_body, (10, 40),
+                            "shear-warp render 1080p (256^3 grid, -hq)",
+                            key="render_1080p_grid256_hq_ms")
+            secondaries["render_1080p_grid256_hq_fps"] = round(
+                1.0 / max(hq256_s, 1e-9), 1
+            )
+
+        # ---- -quality render (512^2 intermediates) from the 256^3 grid ---
+        from dxrvoxelizer_tpu.ops.raymarch_warp import shearwarp_statics
+
+        qaxis, qflip, qswap, qm, qwin = shearwarp_statics(
+            np.asarray(fc.screen_to_local), np.asarray(fc.local_space_eye_pt),
+            cfg64.width, cfg64.height, m_cap=512,
+        )
+
+        def render256_q_body(carry, _):
+            d2 = density256 + carry * 1e-38
+            img = _shearwarp_core(
+                d2, lv256, s2l, eye, clear, n, qm,
+                cfg64.width, cfg64.height, qaxis, qflip, qswap, True,
+                res_win=qwin,
+            )
+            return img[0, 0, 0], None
+
+        with guarded("render256_q512"):
+            slope(render256_q_body, (10, 40),
+                  "shear-warp render 1080p (256^3 grid, -quality 512)",
+                  key="render_1080p_grid256_q512_ms")
+
+        # ---- WHOLE static frame (the product loop): voxelize dispatch from
+        # the build-once queue + light sweep + 1080p render — exactly the
+        # per-frame device work FramePipeline.frame issues for a static
+        # mesh (no re-binning, no host sync; round-3 verdict ask #1) -------
+        with guarded("static_frame_256"):
+            from dxrvoxelizer_tpu.ops.voxelize_queue import StaticVoxelizer
+
+            sv = StaticVoxelizer(verts, tris, n, k_chunk=64)
+
+            def frame_body(carry, _):
+                words = sv(perturb=carry)
+                dens = unpack_bits_z(words, n).astype(jnp.float32)
+                lvf = light_sweep(
+                    dens, jnp.asarray(light_np), n, l_axis, l_flip
+                )
+                img = _shearwarp_core(
+                    dens, lvf, s2l, eye, clear, n, 128,
+                    cfg64.width, cfg64.height, axis, flip, swap, True,
+                )
+                return img[0, 0, 0], None
+
+            fr_s = slope(frame_body, (10, 40),
+                         f"WHOLE static frame {n}^3 (voxelize+sweep+render)",
+                         key=f"static_frame_{n}_ms")
+            secondaries[f"static_frame_{n}_fps"] = round(
+                1.0 / max(fr_s, 1e-9), 1
+            )
 
         # ---- hi-res 512^3 (stress config, BASELINE.json) --------------------
         s512 = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=512))
@@ -432,16 +503,23 @@ def main() -> int:
             scene64.buffers.normals, n=64, pad=0.05, use_cache=True,
         )
 
-        def make_refit_body(rf_, tris_):
+        def make_refit_body(rf_, tris_, full_refit: bool):
             def with_args(a):
                 state, v_rest, nr = a
 
                 def body(carry, _):
                     # the app's -deform wobble, carry-perturbed so the
-                    # whole refit+query chain stays inside the scan
+                    # whole refit+query chain stays inside the scan.
+                    # -deform displaces vertices but keeps the authored
+                    # normals (app/main.py), so the PRODUCT config reuses
+                    # the rest normal tables (normals=None, bit-exact);
+                    # the full-refit secondary regathers them too (the
+                    # general deforming-normals case).
                     amp = jnp.float32(0.03) + carry * 1e-38
                     v_t = v_rest + amp * jnp.sin(v_rest[:, :1] * 5.0) * nr
-                    acc = rf_.refit_with_state(state, v_t, nr)
+                    acc = rf_.refit_with_state(
+                        state, v_t, nr if full_refit else None
+                    )
                     occ, rgba = raystab_query2(v_t, nr, tris_, acc)
                     return (jnp.sum(rgba * 1e-38)
                             + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
@@ -451,9 +529,15 @@ def main() -> int:
             return with_args
 
         with guarded("deforming_raystab_64"):
-            slope(make_refit_body(rf, scene64.buffers.tris), (2, 8),
-                  "dragon deforming raystab refit+query 64^3",
+            slope(make_refit_body(rf, scene64.buffers.tris, False), (2, 8),
+                  "dragon deforming raystab refit+query 64^3 (app config)",
                   key="deforming_raystab_64_ms",
+                  args=(rf.device_state(), scene64.buffers.positions_norm,
+                        scene64.buffers.normals))
+        with guarded("deforming_raystab_fullrefit_64"):
+            slope(make_refit_body(rf, scene64.buffers.tris, True), (2, 8),
+                  "dragon deforming raystab FULL refit+query 64^3",
+                  key="deforming_raystab_fullrefit_64_ms",
                   args=(rf.device_state(), scene64.buffers.positions_norm,
                         scene64.buffers.normals))
             del rf

@@ -125,6 +125,9 @@ def run_interactive(engine: Engine, cam: OrbitCamera, max_frames: int | None,
                 continue
 
             timer.tick()
+            if preview is not None:
+                # browser drag/wheel input (DXRVoxelizer.cpp:301-356)
+                preview.apply_camera_inputs(cam)
             if orbit and frame:
                 cam.orbit(12.0, 0.0)
             engine.update_frame(frame % 3, cam.eye, cam.view_proj)

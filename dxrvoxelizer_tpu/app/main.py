@@ -198,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
     with trace_ctx:
         for frame in range(extras["frames"]):
             timer.tick()
+            if preview is not None:
+                # browser drag-orbit / wheel-zoom (the reference's window
+                # input, DXRVoxelizer.cpp:301-356)
+                preview.apply_camera_inputs(cam)
             if extras["orbit"] and frame:
                 cam.orbit(12.0, 0.0)  # slow yaw, the mouse-drag analog
             if extras["deform"]:

@@ -9,6 +9,13 @@ frames arrive (self-paced: the next fetch starts when the previous one
 decodes, long-polling on the frame sequence number so an idle scene costs
 nothing).
 
+The page is also the INPUT surface: pointer drags and wheel turns on the
+frame are POSTed to ``/input`` (coalesced client-side), queued, and drained
+by the render loop into the orbit camera — the analog of the reference's
+window coupling presentation with WM_MOUSEMOVE/WM_MOUSEWHEEL camera input
+(DXRVoxelizer.cpp:301-356, Win32Application.cpp:82-220): you drag-orbit and
+wheel-zoom the thing you are looking at.
+
 Zero dependencies: PNG via utils/image.encode_png (stdlib zlib). The render
 loop stays decoupled — :meth:`PreviewServer.publish` stores a reference to
 the latest frame under a lock; encoding happens in the HTTP worker thread,
@@ -40,6 +47,32 @@ _PAGE = """<!doctype html>
 <script>
 const v = document.getElementById('v'), s = document.getElementById('s');
 let seq = -1, shown = 0, t0 = performance.now();
+// pointer input -> POST /input (drag-orbit + wheel-zoom, coalesced ~30ms)
+let drag = false, lx = 0, ly = 0, acc = {dx: 0, dy: 0, wheel: 0}, tmr = null;
+function flush() {
+  if (tmr) return;
+  tmr = setTimeout(() => {
+    const ev = acc; acc = {dx: 0, dy: 0, wheel: 0}; tmr = null;
+    if (ev.dx || ev.dy || ev.wheel)
+      fetch('/input', {method: 'POST',
+                       headers: {'Content-Type': 'application/json'},
+                       body: JSON.stringify(ev)}).catch(() => {});
+  }, 30);
+}
+v.style.touchAction = 'none';
+v.addEventListener('pointerdown', e => {
+  drag = true; lx = e.clientX; ly = e.clientY;
+  v.setPointerCapture(e.pointerId); e.preventDefault();
+});
+v.addEventListener('pointerup', () => { drag = false; });
+v.addEventListener('pointermove', e => {
+  if (!drag) return;
+  acc.dx += e.clientX - lx; acc.dy += e.clientY - ly;
+  lx = e.clientX; ly = e.clientY; flush();
+});
+v.addEventListener('wheel', e => {
+  e.preventDefault(); acc.wheel += (e.deltaY < 0 ? 1 : -1); flush();
+}, {passive: false});
 async function loop() {
   for (;;) {
     try {
@@ -82,6 +115,7 @@ class PreviewServer:
         self._frame: np.ndarray | None = None
         self._seq = 0
         self._waiters = 0
+        self._inputs: list[dict] = []  # queued /input events (drained)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -131,6 +165,26 @@ class PreviewServer:
                     self.send_response(404)
                     self.end_headers()
 
+            def do_POST(self):
+                if self.path.startswith("/input"):
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        ev = json.loads(self.rfile.read(length) or b"{}")
+                    except (ValueError, json.JSONDecodeError):
+                        self.send_response(400)
+                        self.end_headers()
+                        return
+                    events = ev if isinstance(ev, list) else [ev]
+                    with server._lock:
+                        server._inputs.extend(
+                            e for e in events if isinstance(e, dict)
+                        )
+                    self.send_response(204)
+                    self.end_headers()
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True
         self.host, self.port = self._httpd.server_address[:2]
@@ -156,6 +210,35 @@ class PreviewServer:
         """True when a client is waiting for a newer frame than published."""
         with self._lock:
             return self._waiters > 0
+
+    def poll_inputs(self) -> list[dict]:
+        """Drain queued browser input events ({dx, dy, wheel} dicts)."""
+        with self._lock:
+            out, self._inputs = self._inputs, []
+            return out
+
+    def apply_camera_inputs(self, cam) -> bool:
+        """Drain queued pointer events into an OrbitCamera.
+
+        Drag deltas are screen pixels -> ``cam.orbit`` (the reference's
+        WM_MOUSEMOVE radians-per-pixel mapping lives in the camera,
+        DXRVoxelizer.cpp:322-341); ``wheel`` is +/- steps -> ``cam.zoom``
+        (OnMouseWheel, :343-356). Returns True when anything applied.
+        """
+        applied = False
+        for ev in self.poll_inputs():
+            dx = float(ev.get("dx", 0.0) or 0.0)
+            dy = float(ev.get("dy", 0.0) or 0.0)
+            wheel = float(ev.get("wheel", 0.0) or 0.0)
+            if dx or dy:
+                # the page sends current-minus-previous; OrbitCamera.orbit
+                # takes previous-minus-current (the reference's convention)
+                cam.orbit(-dx, -dy)
+                applied = True
+            if wheel:
+                cam.zoom(wheel)
+                applied = True
+        return applied
 
     def _wait_frame(self, after: int, timeout: float = 10.0):
         """Block until a frame with seq > after exists (long poll)."""

@@ -154,14 +154,19 @@ def voxelize(
         raise ValueError(f"unknown impl {impl!r}")
     if not with_normals:
         return VoxelGrid(words=words)
+    return VoxelGrid(
+        words=words,
+        rgba=_parity_rgba(mesh, words, n, accel=accel, quantize=quantize),
+    )
 
-    # optional normal channel: the reference's grid always stores
-    # float4(Normal, 1.0) (DXRVoxelizer.hlsl:83-84). The normal content is
-    # the radial first-hit normal — computed by the same machinery the
-    # raystab mode uses (rule="hit" skips the back-face test) — gated by
-    # the parity occupancy bit.
-    from dxrvoxelizer_tpu.ops.packing import unpack_bits_z
 
+def _parity_rgba(mesh: MeshBuffers, words: jax.Array, n: int, accel=None,
+                 quantize: bool = True) -> jax.Array:
+    """Normal channel for a parity grid: the reference's grid always stores
+    float4(Normal, 1.0) (DXRVoxelizer.hlsl:83-84). The normal content is
+    the radial first-hit normal — computed by the same machinery the
+    raystab mode uses (rule="hit" skips the back-face test) — gated by
+    the parity occupancy bit."""
     occ_b = unpack_bits_z(words, n)
     if jax.default_backend() == "cpu":
         _, rgba_hit = voxelize_ref.voxelize_raystab_ref(
@@ -186,7 +191,7 @@ def voxelize(
     )
     if quantize:
         rgba = quantize_r10g10b10a2(rgba)
-    return VoxelGrid(words=words, rgba=rgba)
+    return rgba
 
 
 def _stab_accel_for(cfg, mesh):
@@ -309,6 +314,8 @@ class FramePipeline:
         self._deformer = None  # lazy DeformingVoxelizer (fixed topology)
         self._rest_mesh = mesh  # the refit pad is anchored to this pose
         self._refitter = None  # lazy RaystabRefitter (deforming raystab)
+        self._static_vox = None  # build-once parity queue (static meshes)
+        self._static_vox_mesh = None
 
     def _raystab_accel(self):
         """Build-once direction-space accel; rebuilt when ``self.mesh`` is
@@ -390,6 +397,46 @@ class FramePipeline:
                 grid = VoxelGrid(
                     words=self._deformer(self.mesh.positions_norm)
                 )
+            elif (
+                not self.deforming
+                and self.cfg.inside_mode == "parity"
+                and self.vox_impl in ("auto", "queue", "pallas")
+                and _pallas_ok(self.cfg.grid_size)
+            ):
+                # STATIC parity path: build the binned queue once and per
+                # frame only dispatch the kernel — the reference's
+                # build-AS-once (Voxelizer.cpp:264-326) + per-frame
+                # DispatchRays-only (:351-369) split. Rebuilds only when
+                # the mesh object is swapped.
+                if (
+                    self._static_vox is None
+                    or self._static_vox_mesh is not self.mesh
+                ):
+                    n = self.cfg.grid_size
+                    use_queue = self.vox_impl == "queue" or (
+                        self.vox_impl == "auto" and n >= 128
+                    )
+                    if use_queue:
+                        from dxrvoxelizer_tpu.ops.voxelize_queue import (
+                            StaticVoxelizer,
+                        )
+
+                        self._static_vox = StaticVoxelizer(
+                            self.mesh.positions_norm, self.mesh.tris, n
+                        )
+                    else:
+                        self._static_vox = binning.StaticBinnedVoxelizer(
+                            self.mesh.positions_norm, self.mesh.tris, n
+                        )
+                    self._static_vox_mesh = self.mesh
+                words = self._static_vox()
+                rgba = None
+                if want_normals:
+                    rgba = _parity_rgba(
+                        self.mesh, words, self.cfg.grid_size, accel=accel,
+                        quantize=not self.cfg.use_mutex,
+                    )
+                grid = VoxelGrid(words=words, rgba=rgba)
             else:
                 grid = voxelize(
                     self.mesh, self.cfg.grid_size, mode=self.cfg.inside_mode,

@@ -930,7 +930,7 @@ def _ray_params(n: int):
 
 
 @partial(jax.jit, static_argnames=("lane_aligned",))
-def _assemble_class_dev(coef_pad, ncoef_pad, dirs, s0, rt128, tab,
+def _assemble_class_dev(fused_pad, dirs, s0, rt128, tab,
                         lane_aligned: bool):
     """Device-side class table assembly: ray blocks [VC, 8, 128] (rows
     dx dy dz s0 + 4 pad; padding slots give d = 0, s0 = 0 -> den == 0 ->
@@ -945,8 +945,12 @@ def _assemble_class_dev(coef_pad, ncoef_pad, dirs, s0, rt128, tab,
     table is bit-identical to the host-assembled original (pinned by the
     oracle bit-exactness tests).
 
-    ``tab`` == -1 selects the padding rows: coef_pad[T] is all-zero with
-    id 2^30 (den == 0 -> miss, loses ties), ncoef_pad[T] is all-zero.
+    ``fused_pad`` [T+1, 24]: coefficient rows | normal rows, fused so each
+    candidate costs ONE gather row — XLA TPU gathers cost per row
+    regardless of width, and the candidate row count is the assembly's
+    dominant cost; the split back into the two kernel operands is pure
+    slicing. ``tab`` == -1 selects the padding row: all-zero with id 2^30
+    (den == 0 -> miss, loses ties), normal half all-zero.
     """
     v = s0.shape[0]
     vc = rt128.shape[0]
@@ -958,23 +962,25 @@ def _assemble_class_dev(coef_pad, ncoef_pad, dirs, s0, rt128, tab,
         s0_p[ridx][:, None, :],
         jnp.zeros((vc, 4, 128), jnp.float32),
     ], axis=1)
-    tpad = coef_pad.shape[0] - 1
+    tpad = fused_pad.shape[0] - 1
     ti = jnp.where(tab >= 0, tab, tpad)
-    coefs = coef_pad[ti]
-    ntab = ncoef_pad[ti]
+    g = fused_pad[ti]  # [VC, K, 24]
     if lane_aligned:
-        coefs = coefs.transpose(0, 2, 1)
-        ntab = ntab.transpose(0, 2, 1)
+        g = g.transpose(0, 2, 1)
+        coefs, ntab = g[:, :12], g[:, 12:]
+    else:
+        coefs, ntab = g[..., :12], g[..., 12:]
     sc128 = jnp.where(rt128 >= 0, rt128, v).astype(jnp.int32)
     return rays, coefs, ntab, sc128
 
 
 @partial(jax.jit, static_argnames=("lane_aligned",))
-def _assemble_ov_dev(coef_pad, ncoef_pad, dirs, s0, ids,
+def _assemble_ov_dev(fused_pad, dirs, s0, ids,
                      lane_aligned: bool):
     """Device-side overflow-stream assembly: every ray in natural order
     (the ov stream needs no scatter), candidates = the near-origin ids.
-    Same bit contract as :func:`_assemble_class_dev`."""
+    Same bit contract as :func:`_assemble_class_dev` (fused 24-wide
+    gather, split by slicing)."""
     v = s0.shape[0]
     strips = v // 128
     rays = jnp.concatenate([
@@ -982,13 +988,14 @@ def _assemble_ov_dev(coef_pad, ncoef_pad, dirs, s0, ids,
         s0.reshape(strips, 1, 128),
         jnp.zeros((strips, 4, 128), jnp.float32),
     ], axis=1)
-    tpad = coef_pad.shape[0] - 1
+    tpad = fused_pad.shape[0] - 1
     ti = jnp.where(ids >= 0, ids, tpad)
-    cf = coef_pad[ti]
-    nf = ncoef_pad[ti]
+    g = fused_pad[ti]  # [K, 24]
     if lane_aligned:
-        cf = cf.T
-        nf = nf.T
+        g = g.T
+        cf, nf = g[:12], g[12:]
+    else:
+        cf, nf = g[:, :12], g[:, 12:]
     return rays, cf, nf
 
 
@@ -1009,6 +1016,49 @@ def _radial_coef_matrix(verts_norm, tris_subset, global_ids):
     )  # [Ts, 12]
     pad_row = jnp.zeros((1, 12), cf.dtype).at[0, 10].set(2.0**30)
     return jnp.concatenate([cf, pad_row]).astype(jnp.float32)
+
+
+@jax.jit
+def _normal_rows_matrix(normals, tris):
+    """Per-triangle normal rows [T+1, 12]: n0(3) n1(3) n2(3) pad(3), last
+    row all-zero — raw vertex-normal row gathers, bit-identical to the
+    oracle's ``normals[tris[:, k]]``."""
+    t_count = tris.shape[0]
+    rows = jnp.concatenate(
+        [
+            normals[tris[:, 0]].astype(jnp.float32),
+            normals[tris[:, 1]].astype(jnp.float32),
+            normals[tris[:, 2]].astype(jnp.float32),
+            jnp.zeros((t_count, 3), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([rows, jnp.zeros((1, 12), jnp.float32)])
+
+
+@jax.jit
+def _fused_coef_matrix(verts_norm, tris, normals):
+    """[T+1, 24] = radial coefficient rows | normal rows (one fused matrix
+    so per-candidate table assembly costs ONE gather row; split back by
+    slicing, pure row movement — see _assemble_class_dev)."""
+    t_count = tris.shape[0]
+    coef = _radial_coef_matrix(
+        verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
+    )
+    return jnp.concatenate([coef, _normal_rows_matrix(normals, tris)],
+                           axis=-1)
+
+
+@partial(jax.jit, static_argnames=("v", "filler_len"))
+def _sort_keys_dev(scs: tuple, v: int, filler_len: int):
+    """Device-side slot->ray sort-key stream: the classes' scatter streams
+    concatenated, plus the ascending list of rays no strip covers (strips
+    partition the rays, so ``filler_len`` is static). Values identical to
+    the retired host builder (scatter + nonzero, ascending filler)."""
+    sc_all = jnp.concatenate([s.reshape(-1) for s in scs])
+    covered = jnp.zeros((v + 1,), bool).at[sc_all].set(True)
+    filler = jnp.nonzero(~covered[:v], size=filler_len)[0].astype(jnp.int32)
+    return jnp.concatenate([sc_all, filler])
 
 
 LANE_MIN_K = 96
@@ -1306,21 +1356,20 @@ def _pack_classes2(cell_ids, ray_table, rc, s0_p, tri_bounds):
     return compact, total_vc
 
 
-def _assemble_classes(compact_classes, coef_dev, ncoef_dev, dirs_dev,
-                      s0_dev):
+def _assemble_classes(compact_classes, fused_dev, dirs_dev, s0_dev):
     """Device-side assembly of a level's classes from the compact product
     -> 5-tuples (rays, coefs, scatter, bounds-or-None, ntab) per class.
 
-    ``ncoef_dev`` [T+1, 12]: per-triangle normal rows (n0 n1 n2 pad) the
-    fused kernel extracts winner normals from; required. ``coef_dev`` is
-    the padded radial coefficient matrix; both live on the default
-    backend, as do ``dirs_dev``/``s0_dev`` — only the compact id tables
-    leave the host (see _assemble_class_dev). Each class shape costs one
-    remote compile of a trivial gather graph on tunneled devices — the
-    same per-shape compile set the query kernels already pay, and the
-    persistent compile cache (utils/backend.enable_compile_cache) makes
-    repeats free. Host assembly of the same tables was ~55 s single-core
-    at 256^3 and uploaded 12x the bytes.
+    ``fused_dev`` [T+1, 24]: the radial coefficient matrix fused with the
+    per-triangle normal rows (one gather row per candidate instead of
+    two — see _assemble_class_dev); lives on the default backend, as do
+    ``dirs_dev``/``s0_dev`` — only the compact id tables leave the host.
+    Each class shape costs one remote compile of a trivial gather graph on
+    tunneled devices — the same per-shape compile set the query kernels
+    already pay, and the persistent compile cache
+    (utils/backend.enable_compile_cache) makes repeats free. Host assembly
+    of the same tables was ~55 s single-core at 256^3 and uploaded 12x the
+    bytes.
 
     Classes with K >= LANE_MIN_K get the lane-aligned layout [VC, 12, K]
     (raystab_pallas stab_fold_extract3, the gen-6 kernel): K on the
@@ -1333,7 +1382,7 @@ def _assemble_classes(compact_classes, coef_dev, ncoef_dev, dirs_dev,
         k = int(tab.shape[1])
         bounds_dev = jnp.asarray(bounds_np) if bounds_np is not None else None
         rays_d, coefs_d, ntab_d, sc_d = _assemble_class_dev(
-            coef_dev, ncoef_dev, dirs_dev, s0_dev,
+            fused_dev, dirs_dev, s0_dev,
             jnp.asarray(rt128), jnp.asarray(tab),
             lane_aligned=bool(k >= LANE_MIN_K),
         )
@@ -1531,30 +1580,19 @@ def assemble_raystab_accel2(
     n = compact.n
     v = n * n * n
     t_count = int(tris.shape[0])
-    # the full radial coefficient matrix once (device) — it STAYS there:
+    # the fused per-triangle matrix once (device) — it STAYS there:
     # per-class tables are gathered from it on the accelerator
     # (_assemble_class_dev); only compact int32 id tables ride the wire.
-    coef_d = _radial_coef_matrix(
-        verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
-    )
+    # Rows: radial coefficients (12: g0 g1 g2 c id pad) | normal rows
+    # (12: n0 n1 n2 pad) — fused so each candidate costs ONE gather row;
+    # normal rows are raw vertex-normal gathers, bit-identical to the
+    # oracle's normals[tris[:, k]]; the padding row is the coef matrix's
+    # inert always-miss row with an all-zero normal half.
+    fused_d = _fused_coef_matrix(verts_norm, tris, normals)
     dirs_d, s0_d = _ray_params(n)
-    norm_h, tris_h = jax.device_get((normals, tris))
-    mark("asm: coef matrix + ray params")
-    # per-triangle normal rows n0(3) n1(3) n2(3) pad(3) for the winner
-    # extraction kernel; raw vertex-normal gathers (pure memory movement,
-    # bit-identical to the oracle's normals[tris[:, k]]), last row
-    # all-zero padding
-    ncoef_full = np.zeros((t_count + 1, 12), np.float32)
-    for k in range(3):
-        ncoef_full[:t_count, 3 * k : 3 * k + 3] = (
-            norm_h[tris_h[:, k]].astype(np.float32)
-        )
-    ncoef_d = jnp.asarray(ncoef_full)  # [T+1, 12], ~5 MB upload
-    mark("asm: normal rows")
+    mark("asm: fused coef+normal matrix + ray params")
 
-    cls = _assemble_classes(
-        compact.classes, coef_d, ncoef_d, dirs_d, s0_d
-    )
+    cls = _assemble_classes(compact.classes, fused_d, dirs_d, s0_d)
     levels = (tuple(cls),)
     mark("asm: class gathers (dispatch)")
 
@@ -1565,27 +1603,30 @@ def assemble_raystab_accel2(
         # when the capacity clears LANE_MIN_K, like the class tables.
         o_cap = int(compact.ov_ids.shape[0])
         ov_dense = _assemble_ov_dev(
-            coef_d, ncoef_d, dirs_d, s0_d, jnp.asarray(compact.ov_ids),
+            fused_d, dirs_d, s0_d, jnp.asarray(compact.ov_ids),
             lane_aligned=bool(o_cap >= LANE_MIN_K),
         )
 
     # slot -> ray sort keys per level: the class ray tables already hold
     # the ray id per slot (V for padding); append a filler so every ray
     # appears exactly once, making row r of the sorted stream ray r.
+    # Built ON DEVICE from the classes' already-assembled scatter streams
+    # (position 2 of each 5-tuple = where(rt128 >= 0, rt128, v)): the host
+    # version scattered a [V] covered mask and uploaded ~4V bytes over the
+    # tunnel (~6 s of the 256^3 build). Strips PARTITION the rays, so the
+    # filler length is exactly v - (real slots) — a static shape known
+    # from the compact tables.
     sort_keys = []
-    for level_compact in (compact.classes,):
+    for level_cls, level_compact in zip(levels, (compact.classes,)):
         if not level_compact:
             sort_keys.append(None)
             continue
-        covered = np.zeros((v + 1,), bool)
-        parts = []
-        for rt128, _, _ in level_compact:
-            sc = np.where(rt128 >= 0, rt128, v).astype(np.int32).reshape(-1)
-            covered[sc] = True
-            parts.append(sc)
-        filler = np.nonzero(~covered[:v])[0].astype(np.int32)
-        parts.append(filler)
-        sort_keys.append(jnp.asarray(np.concatenate(parts)))
+        total_rays = int(sum(
+            (rt128 >= 0).sum() for rt128, _, _ in level_compact
+        ))
+        sort_keys.append(_sort_keys_dev(
+            tuple(c[2] for c in level_cls), v, v - total_rays
+        ))
     mark("asm: sort keys")
 
     return RaystabAccel2(

@@ -37,29 +37,12 @@ import numpy as np
 from dxrvoxelizer_tpu.ops.raystab_fast import (
     LANE_MIN_K,
     RaystabAccel2,
+    _normal_rows_matrix as _normal_rows,  # shared with the static assembly
     _radial_coef_matrix,
     assemble_raystab_accel2,
     build_raystab_compact2,
     table_k,
 )
-
-
-@jax.jit
-def _normal_rows(normals, tris):
-    """Per-triangle normal rows [T+1, 12]: n0(3) n1(3) n2(3) pad(3), last
-    row all-zero — bit-identical to the host assembly in
-    raystab_fast.assemble_raystab_accel2 (pure row gathers)."""
-    t_count = tris.shape[0]
-    rows = jnp.concatenate(
-        [
-            normals[tris[:, 0]].astype(jnp.float32),
-            normals[tris[:, 1]].astype(jnp.float32),
-            normals[tris[:, 2]].astype(jnp.float32),
-            jnp.zeros((t_count, 3), jnp.float32),
-        ],
-        axis=-1,
-    )
-    return jnp.concatenate([rows, jnp.zeros((1, 12), jnp.float32)])
 
 
 @partial(jax.jit, static_argnames=("lanes", "ov_lane"))
@@ -70,30 +53,66 @@ def _refit_tables(verts_norm, normals, tris, tabs, ov_ids,
     ``tabs``: per-class candidate id tables [VC, K] int32 / -1 (device
     resident, static across frames). Gathers/transposes are identical to
     raystab_fast._assemble_class_dev, so refitted tables match a fresh
-    assembly bit-for-bit."""
+    assembly bit-for-bit.
+
+    XLA TPU gathers cost per ROW regardless of row width, so the
+    coefficient and normal matrices are fused into ONE [T+1, 24] matrix
+    and gathered together — half the gather rows (the refit's dominant
+    cost: 3.44 M candidate rows for the 64^3 dragon) and half the padded
+    intermediates; the split into the kernel operands is pure slicing."""
     t_count = tris.shape[0]
     coef = _radial_coef_matrix(
         verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
     )
     ncoef = _normal_rows(normals, tris)
+    fused = jnp.concatenate([coef, ncoef], axis=-1)  # [T+1, 24]
+    outs = []
+    for tab, lane_aligned in zip(tabs, lanes):
+        ti = jnp.where(tab >= 0, tab, t_count)
+        g = fused[ti]  # [VC, K, 24]
+        if lane_aligned:
+            g = g.transpose(0, 2, 1)  # [VC, 24, K]
+            outs.append((g[:, :12], g[:, 12:]))
+        else:
+            outs.append((g[..., :12], g[..., 12:]))
+    ov = None
+    if ov_ids is not None:
+        ti = jnp.where(ov_ids >= 0, ov_ids, t_count)
+        g = fused[ti]  # [K, 24]
+        if ov_lane:
+            g = g.T
+            ov = (g[:12], g[12:])
+        else:
+            ov = (g[:, :12], g[:, 12:])
+    return tuple(outs), ov
+
+
+@partial(jax.jit, static_argnames=("lanes", "ov_lane"))
+def _refit_tables_coef(verts_norm, tris, tabs, ov_ids,
+                       lanes: tuple, ov_lane: bool):
+    """Coefficient-only refit gathers, for frames whose NORMALS are
+    unchanged from the rest pose (the app's -deform wobble displaces
+    vertices but keeps the authored normals): the rest build's normal
+    tables are value-identical, so reusing them is trivially bit-exact
+    and the gather row count halves again vs :func:`_refit_tables`."""
+    t_count = tris.shape[0]
+    coef = _radial_coef_matrix(
+        verts_norm, tris, jnp.arange(t_count, dtype=jnp.int32)
+    )
     outs = []
     for tab, lane_aligned in zip(tabs, lanes):
         ti = jnp.where(tab >= 0, tab, t_count)
         cf = coef[ti]
-        nf = ncoef[ti]
         if lane_aligned:
             cf = cf.transpose(0, 2, 1)
-            nf = nf.transpose(0, 2, 1)
-        outs.append((cf, nf))
+        outs.append(cf)
     ov = None
     if ov_ids is not None:
         ti = jnp.where(ov_ids >= 0, ov_ids, t_count)
         cf = coef[ti]
-        nf = ncoef[ti]
         if ov_lane:
             cf = cf.T
-            nf = nf.T
-        ov = (cf, nf)
+        ov = cf
     return tuple(outs), ov
 
 
@@ -140,6 +159,11 @@ class RaystabRefitter:
         self.stats = accel0.stats
         self.sort_keys = accel0.sort_keys
         self._verts_rest = jnp.asarray(verts_rest)
+        self._normals_rest = normals_rest  # identity-checked by refit()
+        # rest normal tables (position 4 of each class 5-tuple): reused
+        # verbatim when a frame's normals are unchanged (coef-only refit)
+        self._ntabs_rest = tuple(cls[4] for cls in accel0.levels[0])
+        self._ov_ntab_rest = accel0.ov_dense[2] if accel0.ov_dense else None
         # static per-class halves from the rest assembly: rays, scatter,
         # bounds (positions 0, 2, 3 of each class 5-tuple)
         self._static_cls = tuple(
@@ -172,21 +196,45 @@ class RaystabRefitter:
         reaching for ``self``'s buffers from inside the traced function
         embeds them in the HLO as constants."""
         return (self.tris, self._tabs, self._ov_ids, self._static_cls,
-                self._ov_rays, self.sort_keys)
+                self._ov_rays, self.sort_keys, self._ntabs_rest,
+                self._ov_ntab_rest)
 
-    def refit_with_state(self, state, verts_norm, normals) -> RaystabAccel2:
+    def refit_with_state(self, state, verts_norm,
+                         normals=None) -> RaystabAccel2:
         """Traceable core of :meth:`refit`: ``state`` is
-        :meth:`device_state` (or its traced passthrough)."""
-        tris, tabs, ov_ids, static_cls, ov_rays, sort_keys = state
-        outs, ov = _refit_tables(
-            verts_norm, normals, tris,
-            tabs, ov_ids, self._lanes, self._ov_lane,
-        )
-        classes = tuple(
-            (rays, cf, sc, bounds, nf)
-            for (rays, sc, bounds), (cf, nf) in zip(static_cls, outs)
-        )
-        ov_dense = (ov_rays, ov[0], ov[1]) if ov is not None else None
+        :meth:`device_state` (or its traced passthrough).
+
+        ``normals=None`` declares this frame's normals UNCHANGED from the
+        rest pose: the rest build's normal tables are reused verbatim
+        (value-identical, so trivially bit-exact) and only the coefficient
+        tables are regathered — half the refit's gather rows. The app's
+        -deform wobble (and any displacement-only deformation) qualifies.
+        """
+        (tris, tabs, ov_ids, static_cls, ov_rays, sort_keys, ntabs_rest,
+         ov_ntab_rest) = state
+        if normals is None:
+            couts, cov = _refit_tables_coef(
+                verts_norm, tris, tabs, ov_ids, self._lanes, self._ov_lane,
+            )
+            classes = tuple(
+                (rays, cf, sc, bounds, nt)
+                for (rays, sc, bounds), cf, nt in zip(
+                    static_cls, couts, ntabs_rest
+                )
+            )
+            ov_dense = (
+                (ov_rays, cov, ov_ntab_rest) if cov is not None else None
+            )
+        else:
+            outs, ov = _refit_tables(
+                verts_norm, normals, tris,
+                tabs, ov_ids, self._lanes, self._ov_lane,
+            )
+            classes = tuple(
+                (rays, cf, sc, bounds, nf)
+                for (rays, sc, bounds), (cf, nf) in zip(static_cls, outs)
+            )
+            ov_dense = (ov_rays, ov[0], ov[1]) if ov is not None else None
         return RaystabAccel2(
             n=self.n,
             levels=(classes,),
@@ -195,9 +243,14 @@ class RaystabRefitter:
             sort_keys=sort_keys,
         )
 
-    def refit(self, verts_norm, normals, check: bool = False) -> RaystabAccel2:
+    def refit(self, verts_norm, normals=None,
+              check: bool = False) -> RaystabAccel2:
         """Deformed (verts, normals) -> a query-ready accel (async).
 
+        ``normals=None`` (or passing the SAME array object as the rest
+        normals, which the displacement-only app path does) selects the
+        coefficient-only refit — the rest normal tables are reused, which
+        is bit-exact because the values are unchanged.
         ``check=True`` host-syncs to verify the displacement bound."""
         if check:
             disp = float(jnp.max(jnp.linalg.norm(
@@ -208,7 +261,9 @@ class RaystabRefitter:
                     f"deformation {disp:.4f} exceeds the refit pad "
                     f"{self.pad:.4f}; rebuild the refitter with more"
                 )
+        if normals is self._normals_rest:
+            normals = None  # same object -> same values -> reuse tables
         return self.refit_with_state(
             self.device_state(), jnp.asarray(verts_norm),
-            jnp.asarray(normals),
+            None if normals is None else jnp.asarray(normals),
         )

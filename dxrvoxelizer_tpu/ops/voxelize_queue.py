@@ -489,32 +489,29 @@ def _queue_run_group(
       chunk_off.astype(jnp.int32).reshape(1), coefs)
 
 
-def voxelize_parity_queue_run(
+def _prepare_queue_groups(
     coefs: jnp.ndarray,
     chunk_tile_host: np.ndarray,
     chunk_nsub_host: np.ndarray,
     chunk_last_host: np.ndarray,
     n: int,
     k_chunk: int = 64,
-    interpret: bool = False,
-    static_trip: bool = True,
-) -> jnp.ndarray:
-    """Run the queue kernel -> packed occupancy words [N, N, N//32].
+):
+    """Split a built queue into VMEM tile groups -> (group args, tiles_grp).
 
-    The resident output must fit VMEM; above the budget (512^3) the tile
-    range splits into groups, each launched over its contiguous chunk
-    subrange (chunk_tile is tile-ascending by construction).
+    Each group entry is (coef_g, tile_g, nsub_g, last_g, lo) ready for
+    :func:`_queue_run_group` — all layout/padding host work happens here, so
+    a static mesh can pay it ONCE and per frame only dispatch the kernel.
     """
     ntx, nty = n // TILE_X, n // TILE_Y
     n_tiles = ntx * nty
-    w_words = n // 32
     n_groups = _output_groups(n)
     tiles_grp = n_tiles // n_groups
 
     ct = np.asarray(chunk_tile_host)
     cn = np.asarray(chunk_nsub_host)
     cl = np.asarray(chunk_last_host)
-    outs = []
+    groups = []
     for g in range(n_groups):
         lo, hi = g * tiles_grp, (g + 1) * tiles_grp
         c0, c1 = int(np.searchsorted(ct, lo)), int(np.searchsorted(ct, hi))
@@ -540,16 +537,91 @@ def voxelize_parity_queue_run(
         if real_rows < coef_g.shape[0]:
             row = jnp.arange(coef_g.shape[0], dtype=jnp.int32)[:, None]
             coef_g = jnp.where(row < real_rows, coef_g, 0.0)
+        groups.append(
+            (coef_g, jnp.asarray(tile_g), jnp.asarray(nsub_g),
+             jnp.asarray(last_g), jnp.asarray([lo], jnp.int32))
+        )
+    return groups, tiles_grp
+
+
+def _run_queue_groups(groups, tiles_grp: int, n: int, k_chunk: int,
+                      interpret: bool = False, static_trip: bool = True,
+                      perturb=None) -> jnp.ndarray:
+    """Dispatch the queue kernel over prepared groups -> packed words.
+
+    ``perturb``: optional f32 scalar added as ``coef + perturb * 1e-38`` —
+    an exact f32 no-op that gives benchmark scan bodies a carry dependence
+    (anti-hoist) without re-preparing the groups.
+    """
+    outs = []
+    for coef_g, tile_g, nsub_g, last_g, off in groups:
+        if perturb is not None:
+            coef_g = coef_g + perturb * 1e-38
         outs.append(
             _queue_run_group(
-                coef_g, jnp.asarray(tile_g), jnp.asarray(nsub_g),
-                jnp.asarray(last_g), jnp.asarray([lo], jnp.int32),
+                coef_g, tile_g, nsub_g, last_g, off,
                 n, k_chunk, tiles_grp,
                 interpret=interpret, static_trip=static_trip,
             )
         )
-    out = outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=0)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return _tiles_to_grid(out, n)
+
+
+def voxelize_parity_queue_run(
+    coefs: jnp.ndarray,
+    chunk_tile_host: np.ndarray,
+    chunk_nsub_host: np.ndarray,
+    chunk_last_host: np.ndarray,
+    n: int,
+    k_chunk: int = 64,
+    interpret: bool = False,
+    static_trip: bool = True,
+) -> jnp.ndarray:
+    """Run the queue kernel -> packed occupancy words [N, N, N//32].
+
+    The resident output must fit VMEM; above the budget (512^3) the tile
+    range splits into groups, each launched over its contiguous chunk
+    subrange (chunk_tile is tile-ascending by construction).
+    """
+    groups, tiles_grp = _prepare_queue_groups(
+        coefs, chunk_tile_host, chunk_nsub_host, chunk_last_host, n, k_chunk
+    )
+    return _run_queue_groups(
+        groups, tiles_grp, n, k_chunk,
+        interpret=interpret, static_trip=static_trip,
+    )
+
+
+class StaticVoxelizer:
+    """Build-once / dispatch-per-frame parity voxelizer for STATIC meshes.
+
+    The reference builds its acceleration structure once at init
+    (Content/Voxelizer.cpp:264-326) and per frame only re-dispatches rays
+    (:351-369). This is that split for the queue kernel: ``build_queue``'s
+    binning (device sort + one host sync) and the per-group layout run ONCE
+    here; ``__call__`` is pure kernel dispatch — no host sync, no per-frame
+    layout work.
+    """
+
+    def __init__(self, verts_norm, tris, n: int, k_chunk: int = 64,
+                 interpret: bool = False):
+        self.n = n
+        self.k_chunk = k_chunk
+        self.interpret = interpret
+        coefs, ct, cn, cl, self.stats = build_queue(
+            verts_norm, tris, n, k_chunk=k_chunk
+        )
+        self.groups, self.tiles_grp = _prepare_queue_groups(
+            coefs, np.asarray(ct), np.asarray(cn), np.asarray(cl), n, k_chunk
+        )
+
+    def __call__(self, perturb=None) -> jnp.ndarray:
+        """-> packed occupancy words [N, N, N//32] (async device dispatch)."""
+        return _run_queue_groups(
+            self.groups, self.tiles_grp, self.n, self.k_chunk,
+            interpret=self.interpret, perturb=perturb,
+        )
 
 
 def voxelize_parity_queue(

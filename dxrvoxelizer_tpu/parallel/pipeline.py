@@ -168,6 +168,7 @@ class ShardedFramePipeline:
                 m_cap=self.cfg.intermediate_cap,
                 point_light=self.cfg.point_light,
                 grid_size=self.cfg.grid_size,
+                render_ss=self.cfg.render_ss,
             )
         fn = self._frame_fn(statics)
         # the deforming-raystab frame takes NORMALS where the others take

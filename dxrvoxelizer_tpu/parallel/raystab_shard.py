@@ -231,17 +231,20 @@ def _make_band_renderer(mesh: Mesh, n: int, width: int, height: int,
     band = height // n_dev
 
     if render_impl == "warp":
-        waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode = statics
+        (waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode, ss,
+         l_d0) = statics
 
         def render_band(density, s2l, eye, light, clear):
             d = jax.lax.axis_index(axis)
             lv = light_volume_from_statics(
-                density, light, n, l_axis, l_flip, l_mode, n_light=n_light
+                density, light, n, l_axis, l_flip, l_mode, n_light=n_light,
+                l_d0=l_d0,
             )
             return rw._shearwarp_core(
                 density, lv, s2l, eye, clear, n, m, width, band,
                 waxis, wflip, wswap, not interpret, res_win=res_win,
                 y_off=(d * band).astype(jnp.float32).reshape(()),
+                ss=ss,
             )
     elif render_impl == "gather":
         from dxrvoxelizer_tpu.ops.raymarch_fast import (

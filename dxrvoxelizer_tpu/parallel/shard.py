@@ -110,7 +110,8 @@ def _light_mode(light_local, n: int) -> tuple[int, bool, str]:
 
 
 def light_volume_from_statics(density, light, n: int, l_axis: int,
-                              l_flip: bool, l_mode: str, n_light: int = 32):
+                              l_flip: bool, l_mode: str, n_light: int = 32,
+                              l_d0: int = 0):
     """Traced light-field dispatch on the host-derived mode statics —
     usable inside shard_map bodies (no data-dependent control flow)."""
     from dxrvoxelizer_tpu.ops import raymarch_warp as rw
@@ -121,19 +122,34 @@ def light_volume_from_statics(density, light, n: int, l_axis: int,
         return precompute_light_volume(
             density, light, n_light=n_light, point_light=True
         )
+    if l_mode == "ref":
+        # -hq: the reference-step directional field (raymarch_warp
+        # light_sweep_ref; d0 from light_ref_statics)
+        return rw.light_sweep_ref(
+            density, light, n, l_axis, l_flip, l_d0, n_light=n_light
+        )
+    if l_mode == "exact-dir":
+        # -hq on a grid too small for the slab recurrence (d0 < 1):
+        # the exact per-voxel directional march, light_sweep_ref_host's
+        # own fallback
+        return precompute_light_volume(density, light, n_light=n_light)
     return rw.light_sweep(density, light, n, l_axis, l_flip)
 
 
 def frame_statics(consts, width: int, height: int, m_cap: int = 128,
-                  point_light: bool = False, grid_size: int | None = None):
+                  point_light: bool = False, grid_size: int | None = None,
+                  render_ss: int = 1):
     """Host-derived compile-time statics of the fast multi-chip frame.
 
     ``(warp axis, flip, swap, intermediate m, resolver window, light axis,
-    light flip, light mode)`` — hashable; cache compiled frames keyed on
-    this tuple and rebuild when an orbiting camera crosses a major-axis
-    boundary (parallel/pipeline.py does). ``point_light`` selects the
-    point-light field mode (needs ``grid_size`` for the outside-the-volume
-    check); the light mode is "dir" | "persp" | "exact".
+    light flip, light mode, render ss, light d0)`` — hashable; cache
+    compiled frames keyed on this tuple and rebuild when an orbiting camera
+    crosses a major-axis boundary (parallel/pipeline.py does).
+    ``point_light`` selects the point-light field mode (needs ``grid_size``
+    for the outside-the-volume check); ``render_ss > 1`` is the -hq mode
+    (z-supersampled warp + reference-step light field — same selection as
+    core.pipeline.render); the light mode is "dir" | "persp" | "exact" |
+    "ref" | "exact-dir".
     """
     from dxrvoxelizer_tpu.ops import raymarch_warp as rw
 
@@ -141,15 +157,27 @@ def frame_statics(consts, width: int, height: int, m_cap: int = 128,
         consts.screen_to_local, consts.local_space_eye_pt, width, height,
         m_cap=m_cap,
     )
+    l_d0 = 0
     if point_light:
         assert grid_size is not None, "point-light statics need grid_size"
         l_axis, l_flip, l_mode = _light_mode(
             consts.local_space_light_pt, grid_size
         )
+    elif render_ss > 1:
+        assert grid_size is not None, "-hq statics need grid_size"
+        l_axis, l_flip, l_d0 = rw.light_ref_statics(
+            consts.local_space_light_pt, grid_size
+        )
+        if l_d0 >= 1:
+            l_mode = "ref"
+        else:  # tiny grid: light_sweep_ref_host's exact fallback
+            l_axis, l_flip = rw.light_statics(consts.local_space_light_pt)
+            l_mode, l_d0 = "exact-dir", 0
     else:
         l_axis, l_flip = rw.light_statics(consts.local_space_light_pt)
         l_mode = "dir"
-    return (waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode)
+    return (waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode,
+            int(render_ss), l_d0)
 
 
 def sharded_frame_fast(
@@ -219,16 +247,19 @@ def sharded_frame_fast(
                 sample_consts, width, height, point_light=point_light,
                 grid_size=n,
             )
-        waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode = statics
+        (waxis, wflip, wswap, m, res_win, l_axis, l_flip, l_mode, ss,
+         l_d0) = statics
 
         def render_band(d, density, s2l, eye, light, clear):
             lv = light_volume_from_statics(
-                density, light, n, l_axis, l_flip, l_mode, n_light=n_light
+                density, light, n, l_axis, l_flip, l_mode, n_light=n_light,
+                l_d0=l_d0,
             )
             return rw._shearwarp_core(
                 density, lv, s2l, eye, clear, n, m, width, band,
                 waxis, wflip, wswap, not interpret, res_win=res_win,
                 y_off=(d * band).astype(jnp.float32).reshape(()),
+                ss=ss,
             )
     elif render_impl == "gather":
 

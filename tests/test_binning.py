@@ -46,6 +46,21 @@ def test_overflow_path_big_triangles():
     np.testing.assert_array_equal(np.asarray(unpack_bits_z(words, 64)), occ_ref)
 
 
+def test_static_binned_voxelizer_matches():
+    """Build-once StaticBinnedVoxelizer == the per-call binned path (the
+    64^3 static-mesh AS-reuse split)."""
+    from dxrvoxelizer_tpu.ops.binning import StaticBinnedVoxelizer
+
+    verts, _, tris = box_mesh([-0.52, 0.07, -0.73], [0.31, 0.81, 0.22])
+    v, t = jnp.asarray(verts), jnp.asarray(tris)
+    want = np.asarray(voxelize_parity_binned(v, t, n=64, interpret=True))
+    sv = StaticBinnedVoxelizer(v, t, 64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sv()), want)
+    np.testing.assert_array_equal(
+        np.asarray(sv(perturb=jnp.float32(2.0))), want
+    )
+
+
 def test_bin_stats_reasonable():
     verts, _, tris = tetrahedron_mesh()
     coef_tiles, stats = bin_triangles(jnp.asarray(verts), jnp.asarray(tris), 64)

@@ -74,6 +74,56 @@ def test_frame_pipeline_inflight_bound():
     assert not pipe._inflight
 
 
+def test_frame_pipeline_static_builds_once(monkeypatch):
+    """Static parity frames must NOT re-bin per frame: the queue is built
+    once and every frame only dispatches the kernel — the reference's
+    build-AS-once (Voxelizer.cpp:264-326) vs per-frame DispatchRays-only
+    (:351-369) split. Round-3 verdict finding #2."""
+    import dxrvoxelizer_tpu.core.pipeline as cp
+    import dxrvoxelizer_tpu.ops.voxelize_queue as vq
+    from dxrvoxelizer_tpu.ops.packing import pack_bits_z
+    from dxrvoxelizer_tpu.ops.voxelize_ref import voxelize_parity_ref
+
+    builds = {"n": 0}
+    real_build = vq.build_queue
+
+    def counting_build(*a, **kw):
+        builds["n"] += 1
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(vq, "build_queue", counting_build)
+    # CPU CI: force the accelerated static path, run the kernel interpreted
+    monkeypatch.setattr(cp, "_pallas_ok", lambda n: True)
+
+    class InterpStatic(vq.StaticVoxelizer):
+        def __init__(self, verts, tris, n, **kw):
+            kw["interpret"] = True
+            super().__init__(verts, tris, n, **kw)
+
+    monkeypatch.setattr(vq, "StaticVoxelizer", InterpStatic)
+
+    cfg = VoxelizerConfig(grid_size=32, width=32, height=24, num_samples=16,
+                          num_light_samples=4)
+    scene = _tet_scene()
+    pipe = FramePipeline(cfg, scene.buffers, vox_impl="queue")
+    cam = OrbitCamera(cfg.width, cfg.height)
+    for frame in range(3):
+        cam.orbit(10.0, 0.0)
+        consts = scene.update_frame(cam.eye, cam.view_proj, 32, 24)
+        img = pipe.frame(consts)
+    pipe.sync()
+    assert builds["n"] == 1, f"re-binned {builds['n']} times over 3 frames"
+    assert np.isfinite(np.asarray(img)).all()
+    # and the cached dispatch is still bit-exact vs the oracle
+    want = pack_bits_z(
+        voxelize_parity_ref(scene.buffers.positions_norm, scene.buffers.tris,
+                            n=32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pipe._static_vox()), np.asarray(want)
+    )
+
+
 def test_cli_parse_reference_flags():
     cfg = parse_args(["-mesh", "Assets/dragon.obj", "0.0", "2.8", "0.0", "0.03"])
     assert cfg.mesh == "Assets/dragon.obj"

@@ -68,6 +68,60 @@ def test_preview_long_poll_wakes_on_publish():
         srv.close()
 
 
+def _post_json(url, obj):
+    import json
+
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=5)
+
+
+def test_preview_input_route_drains_to_camera():
+    """POST /input events queue and drain into the orbit camera — the
+    reference's WM_MOUSEMOVE/WM_MOUSEWHEEL path (DXRVoxelizer.cpp:301-356)
+    through the browser page."""
+    from dxrvoxelizer_tpu.models.camera import OrbitCamera
+
+    srv = PreviewServer(port=0)
+    try:
+        r = _post_json(srv.url + "input", {"dx": 24.0, "dy": -8.0})
+        assert r.status == 204
+        r = _post_json(srv.url + "input", [{"wheel": 2.0}])  # list form too
+        assert r.status == 204
+
+        cam = OrbitCamera(640, 360)
+        eye0 = np.asarray(cam.eye).copy()
+        dist0 = float(np.linalg.norm(np.asarray(cam.eye)))
+        assert srv.apply_camera_inputs(cam)
+        assert not np.allclose(np.asarray(cam.eye), eye0)  # drag orbited
+        assert float(np.linalg.norm(np.asarray(cam.eye))) < dist0  # zoomed in
+        assert srv.poll_inputs() == []  # drained
+    finally:
+        srv.close()
+
+
+def test_preview_input_route_rejects_garbage():
+    srv = PreviewServer(port=0)
+    try:
+        import urllib.error
+
+        req = urllib.request.Request(
+            srv.url + "input", data=b"not json", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # and the page wires the input handlers
+        page = urllib.request.urlopen(srv.url, timeout=5).read()
+        assert b"/input" in page and b"pointermove" in page
+    finally:
+        srv.close()
+
+
 def test_preview_float_frame_and_stats():
     srv = PreviewServer(port=0)
     try:

@@ -116,6 +116,50 @@ def test_refit_tables_match_fresh_assembly_at_rest():
             ).all()
 
 
+def test_refit_coef_only_matches_full_refit():
+    """The unchanged-normals fast path (normals=None, or the same array
+    object — the app's -deform) == the full refit with equal-valued
+    normals, bit-for-bit on every table."""
+    v, nr, t = _jx(icosphere_mesh(2))
+    rf = RaystabRefitter(v, t, nr, n=32, pad=0.06)
+    v_t = _wobble(v, nr, amp=0.04, phase=0.3)
+    a = rf.refit(v_t)  # coef-only (normals omitted)
+    nr2 = jnp.array(np.asarray(nr))  # distinct object -> full refit path
+    b = rf.refit(v_t, nr2)
+    for cls_a, cls_b in zip(a.levels[0], b.levels[0]):
+        assert (np.asarray(cls_a[1]) == np.asarray(cls_b[1])).all()  # coefs
+        assert (np.asarray(cls_a[4]) == np.asarray(cls_b[4])).all()  # ntab
+    assert (a.ov_dense is None) == (b.ov_dense is None)
+    if a.ov_dense is not None:
+        for i in (1, 2):
+            assert (
+                np.asarray(a.ov_dense[i]) == np.asarray(b.ov_dense[i])
+            ).all()
+
+
+def test_refit_deformed_normals_full_path():
+    """A frame whose NORMALS genuinely change (recomputed per frame) takes
+    the full refit path and stays bit-exact vs the oracle on the deformed
+    (verts, normals)."""
+    v, nr, t = _jx(icosphere_mesh(2))
+    n = 32
+    rf = RaystabRefitter(v, t, nr, n=n, pad=0.06)
+    v_t = _wobble(v, nr, amp=0.04, phase=0.7)
+    tilt = 0.2 * np.sin(np.asarray(v)[:, 1:2] * 3.0)
+    nr_t = np.asarray(nr) + tilt * np.roll(np.asarray(nr), 1, axis=1)
+    nr_t = jnp.asarray(
+        (nr_t / np.linalg.norm(nr_t, axis=-1, keepdims=True))
+        .astype(np.float32)
+    )
+    accel_t = rf.refit(v_t, nr_t)
+    occ, rgba = raystab_query2(v_t, nr_t, t, accel_t, interpret=True)
+    occ_r, rgba_r = voxelize_raystab_radial_ref(
+        v_t, nr_t, t, n=n, ray_chunk=2048
+    )
+    assert bool((occ == occ_r).all())
+    assert bool((rgba == rgba_r).all())
+
+
 def test_refit_pad_check_raises():
     v, nr, t = _jx(icosphere_mesh(1))
     rf = RaystabRefitter(v, t, nr, n=32, pad=0.02)

@@ -116,6 +116,36 @@ def test_deforming_voxelizer_device_layout():
         assert (np.asarray(ref) == np.asarray(got)).all(), scale
 
 
+def test_static_voxelizer_matches_queue():
+    """Build-once StaticVoxelizer == the per-call queue path, bit-for-bit,
+    across repeated dispatches (incl. the benchmark perturb no-op)."""
+    v, t = _cases()["box"]
+    v = jnp.asarray(v, jnp.float32)
+    t = jnp.asarray(t, jnp.int32)
+    n = 64
+    want = np.asarray(vq.voxelize_parity_queue(v, t, n, interpret=True))
+    sv = vq.StaticVoxelizer(v, t, n, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sv()), want)
+    np.testing.assert_array_equal(
+        np.asarray(sv(perturb=jnp.float32(3.0))), want
+    )
+
+
+def test_static_voxelizer_multigroup(monkeypatch):
+    """StaticVoxelizer over the 512^3-style VMEM group split (forced small)."""
+    from meshes import icosphere_mesh
+
+    v, _, t = icosphere_mesh(2)
+    v = jnp.asarray(v, jnp.float32)
+    t = jnp.asarray(t, jnp.int32)
+    n = 64
+    ref = pack_bits_z(voxelize_parity_ref(v, t, n=n))
+    monkeypatch.setattr(vq, "VMEM_OUT_BUDGET", 8 * 1024)
+    sv = vq.StaticVoxelizer(v, t, n, interpret=True)
+    assert len(sv.groups) > 1
+    np.testing.assert_array_equal(np.asarray(sv()), np.asarray(ref))
+
+
 def test_suffix_parity_reference():
     """The jnp suffix-parity reference matches a brute-force bit loop (the
     in-kernel conversion implements the same recurrence)."""
