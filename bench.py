@@ -500,7 +500,10 @@ def main() -> int:
 
         rf = RaystabRefitter(
             scene64.buffers.positions_norm, scene64.buffers.tris,
-            scene64.buffers.normals, n=64, pad=0.05, use_cache=True,
+            scene64.buffers.normals, n=64, pad=0.035, use_cache=True,
+            # the app's -deform wobble displaces along vertex normals:
+            # the product config uses the directional (capsule) bound
+            pad_dirs=scene64.buffers.normals,
         )
 
         def make_refit_body(rf_, tris_, full_refit: bool):
@@ -541,6 +544,27 @@ def main() -> int:
                   args=(rf.device_state(), scene64.buffers.positions_norm,
                         scene64.buffers.normals))
             del rf
+
+        # ---- fresh 64^3 accel build (per-geometry cold; round-3 verdict
+        # asked for < 1 s — the reference's one-shot GPU AS build is ms,
+        # Voxelizer.cpp:313-323) -------------------------------------------
+        with guarded("raystab_accel_build64"):
+            from dxrvoxelizer_tpu.ops.raystab_fast import (
+                build_raystab_accel2,
+                fence_scalar,
+            )
+
+            t0 = time.perf_counter()
+            accel64f = build_raystab_accel2(
+                scene64.buffers.positions_norm, scene64.buffers.tris,
+                scene64.buffers.normals, 64,
+            )
+            _ = fence_scalar(jax.tree.leaves(accel64f.levels))
+            build64_s = time.perf_counter() - t0
+            print(f"# ray-stab accel 64^3 fresh build: {build64_s:.2f} s",
+                  file=sys.stderr)
+            secondaries["raystab_accel_build64_s"] = round(build64_s, 2)
+            del accel64f
 
         # ---- deforming mesh: re-bin + re-voxelize every frame ----------------
         from dxrvoxelizer_tpu.ops.voxelize_queue import DeformingVoxelizer

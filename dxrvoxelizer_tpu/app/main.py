@@ -212,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
                 import jax.numpy as jnp
 
                 t = frame / 15.0
-                amp = 0.04 * np.sin(
+                amp = 0.03 * np.sin(
                     2 * np.pi * t + np.asarray(base_mesh.positions_norm)[:, :1] * 5.0
                 )
                 engine.pipeline.mesh = dataclasses.replace(

@@ -337,11 +337,24 @@ class FramePipeline:
                     RaystabRefitter,
                 )
 
+                # the engine's -deform animation displaces along vertex
+                # normals, so the refit uses the directional (capsule)
+                # bound — several-fold smaller candidate tables than the
+                # any-direction ball (raystab_fast._capsule_params).
+                # API callers deforming meshes off-axis should rebuild
+                # with cfg.deform_dirs="any" (refit(check=True) verifies
+                # the contract).
+                dirs = (
+                    self._rest_mesh.normals
+                    if getattr(self.cfg, "deform_dirs", "normals")
+                    == "normals" else None
+                )
                 self._refitter = RaystabRefitter(
                     self._rest_mesh.positions_norm, self._rest_mesh.tris,
                     self._rest_mesh.normals, self.cfg.grid_size,
                     pad=self.cfg.deform_pad,
                     use_cache=getattr(self.cfg, "accel_cache", True),
+                    pad_dirs=dirs,
                 )
             return self._refitter.refit(
                 self.mesh.positions_norm, self.mesh.normals

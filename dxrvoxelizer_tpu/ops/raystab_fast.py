@@ -37,7 +37,6 @@ grids match ops/voxelize_ref.voxelize_raystab_ref.
 from __future__ import annotations
 
 import os
-import zipfile
 from dataclasses import dataclass
 from functools import lru_cache, partial
 
@@ -46,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dxrvoxelizer_tpu.ops import intersect
+from dxrvoxelizer_tpu.ops.raystab_pallas import LANE_MIN_K
 from dxrvoxelizer_tpu.ops.packing import voxel_centers_norm
 from dxrvoxelizer_tpu.ops.voxelize_ref import INSIDE_THRESHOLD
 
@@ -142,27 +142,24 @@ def _raytab_cache_dir() -> str | None:
 @lru_cache(maxsize=8)
 def _ray_table_filled(n: int, g: int):
     """Static voxel->cell grouping: (ray_table [C, R_cap] int32 voxel
-    ids / -1, rc [C] int64 per-cell ray counts).
+    ids / -1, rc [C] int64 per-cell ray counts). Within every cell the
+    rays are ordered by (origin-radius f32 bits, voxel id) ascending —
+    radius-banded, so the pack walk slices big cells into strips
+    DIRECTLY instead of sorting 16.7M rays by s0 per geometry build.
 
     Pure function of (n, g) — mesh-independent — so both live in the
-    on-disk raytab cache: cell assignment + the 16.7M argsort + the
-    [C, R_cap] fill were ~20 s of every 256^3 accel build for any
-    geometry. A v2 cache hit memory-maps the filled table (the pack walk
-    pages it in row-by-row under the native packer) and reads the counts
-    from a tiny sibling file, so nothing scans the full table on the
-    build's critical path.
+    on-disk raytab cache (v3 since the radius ordering): a cache hit
+    memory-maps the filled table (the pack walk pages it in row-by-row
+    under the native packer) and reads the counts from a tiny sibling
+    file, so nothing scans the full table on the build's critical path.
     """
     from dxrvoxelizer_tpu.utils import native
 
     n_cells = 6 * g * g
     v = n * n * n
     root = _raytab_cache_dir()
-    path = os.path.join(root, f"rt{n}_g{g}.npz") if root else None
-    # v2 cache: the FILLED table as a raw .npy (one mmap-speed open
-    # instead of zip inflate + the [C, r_cap] fill: 3.4 s + 13 s at
-    # 256^3) + the per-cell counts as a sibling .npy
-    path2 = os.path.join(root, f"rt{n}_g{g}_f2.npy") if root else None
-    path_rc = os.path.join(root, f"rt{n}_g{g}_rc2.npy") if root else None
+    path2 = os.path.join(root, f"rt{n}_g{g}_f3.npy") if root else None
+    path_rc = os.path.join(root, f"rt{n}_g{g}_rc3.npy") if root else None
 
     def _save_npy(p, arr):
         if p is None:
@@ -174,6 +171,19 @@ def _ray_table_filled(n: int, g: int):
             os.replace(tmp + ".npy", p)
         except OSError:
             pass
+
+    def _save_npy_bg(p, arr):
+        """Cache write off the critical path (the 256^3 table is 120 MiB;
+        a foreground np.save cost ~5 s of every COLD build). Daemon
+        thread + atomic tmp-replace: a torn write never becomes the
+        cache file, and readers either see the old state or the new."""
+        if p is None:
+            return
+        import threading
+
+        threading.Thread(
+            target=_save_npy, args=(p, arr), daemon=True
+        ).start()
 
     if path2 is not None and os.path.exists(path2):
         try:
@@ -193,30 +203,32 @@ def _ray_table_filled(n: int, g: int):
             pass
 
     def _save2(rt, rc):
-        _save_npy(path2, rt)
-        _save_npy(path_rc, rc)
+        _save_npy_bg(path_rc, rc)
+        _save_npy_bg(path2, rt)
 
-    if path is not None and os.path.exists(path):
-        try:
-            z = np.load(path)
-            order, starts = z["order"], z["starts"]
-            if order.shape == (v,) and starts.shape == (n_cells + 1,):
-                rt = _raytab_fill(order, starts, n_cells)
-                rc = (starts[1:] - starts[:-1]).astype(np.int64)
-                _save2(rt, rc)
-                return rt, rc
-        except (OSError, KeyError, ValueError, zipfile.BadZipFile):
-            pass
+    nat = native.raytab_native(n, g)
+    if nat is not None:  # one-call C++ counting-sort build (~3x the numpy)
+        rt, rc = nat
+        _save2(rt, rc)
+        return rt, rc
+    # pure-numpy fallback (bit-identical to the native path, see tests)
+    cx, cy, cz = voxel_centers_norm(n)
+    pos = np.stack(
+        np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1
+    ).reshape(-1, 3).astype(np.float32)
     cells = native.dir_cells_native(n, g)
-    if cells is None:  # pure-numpy fallback (bit-identical, see tests)
-        cx, cy, cz = voxel_centers_norm(n)
-        pos = np.stack(
-            np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1
-        ).reshape(-1, 3).astype(np.float32)
+    if cells is None:
         # _dir_cells_host is scale-invariant: no normalize over 16.7M rays
         cells = _dir_cells_host(pos, g)
-    order = np.argsort(cells, kind="stable").astype(np.int32)
-    sorted_cells = cells[order]
+    # within-cell order = (origin-radius f32 bits, voxel id) ascending:
+    # sort once by the packed secondary key, then stable-sort by cell
+    r = np.sqrt((pos * pos).sum(-1, dtype=np.float32))
+    skey = (
+        r.view(np.uint32).astype(np.uint64) << np.uint64(32)
+    ) | np.arange(v, dtype=np.uint64)
+    perm1 = np.argsort(skey)
+    order = perm1[np.argsort(cells[perm1], kind="stable")].astype(np.int32)
+    sorted_cells = np.sort(cells)
     starts = np.searchsorted(sorted_cells, np.arange(n_cells + 1)).astype(
         np.int64
     )
@@ -344,6 +356,235 @@ def _cone_keys(verts_norm, tris, g: int, span: int, pad=0.0):
     over = over & valid_tri
 
     return jnp.stack(rects, axis=0), over
+
+
+def _capsule_params(verts_h, tris_h, pad: float, pad_dirs):
+    """Per-triangle capsule endpoints + effective radius for a
+    DIRECTIONAL deformation bound.
+
+    Contract: every frame's vertices satisfy v'_i = v_i + s_i * d_i with
+    |s_i| <= pad and d_i = pad_dirs[i]. Decompose with the per-triangle
+    mean direction a = (d_0 + d_1 + d_2)/3:
+        v_i + s_i d_i = (v_i + s_i a) + s_i (d_i - a)
+    so every deformed point lies in Minkowski(triangle, segment(+-pad*a),
+    ball(pad * max_i |d_i - a|)) — the hull of two balls at c +- pad*a
+    with radius r + pad*maxdev. Where the motion axis aligns with the
+    view direction (outward normals on a radially-viewed surface) the
+    direction cone barely grows, vs the isotropic ball's r + pad.
+
+    Returns (offs [T,3] f32 = pad*a, r_extra [T] f32 = pad*maxdev).
+    """
+    d0 = pad_dirs[tris_h[:, 0]].astype(np.float32)
+    d1 = pad_dirs[tris_h[:, 1]].astype(np.float32)
+    d2 = pad_dirs[tris_h[:, 2]].astype(np.float32)
+    a = (d0 + d1 + d2) / np.float32(3.0)
+    maxdev = np.sqrt(
+        np.maximum(
+            ((d0 - a) ** 2).sum(-1),
+            np.maximum(((d1 - a) ** 2).sum(-1), ((d2 - a) ** 2).sum(-1)),
+        )
+    )
+    return np.float32(pad) * a, np.float32(pad) * maxdev
+
+
+def _seg_origin_dist(p, q):
+    """Distance from the origin to segment(p, q), vectorized f32."""
+    d = q - p
+    dd = (d * d).sum(-1)
+    t = np.clip(
+        -(p * d).sum(-1) / np.maximum(dd, np.float32(1e-30)), 0.0, 1.0
+    )
+    x = p + t[:, None] * d
+    return np.linalg.norm(x, axis=-1).astype(np.float32)
+
+
+def _cone_keys_np(verts_h: np.ndarray, tris_h: np.ndarray, g: int,
+                  span: int, pad: float = 0.0, pad_dirs=None):
+    """Numpy port of :func:`_cone_keys` for the build's host path.
+
+    The jnp version cost one fresh XLA:CPU compile PER LADDER LEVEL
+    (~6-7 s each at 100k tris — 20 s of the cold 256^3 build was
+    compiles of this trivially-vectorizable math). Same f32 expressions;
+    libm vs XLA may differ by ulps on the transcendentals, which is safe
+    — the rectangles are a conservative prefilter with a 1e-4 rad guard
+    and the exact intersection test rejects extras either way.
+
+    ``pad_dirs`` (with ``pad`` > 0) selects the DIRECTIONAL deformation
+    bound. Every deformed point lies in the hull of the SIX corner
+    points v_i +- pad*d_i, so on faces where all six corners have a
+    positive dominant coordinate the rectangle is just the corner
+    direction extrema: for positive denominators the mediant inequality
+    gives min_i(b_i/a_i) <= (sum l_i b_i)/(sum l_i a_i) <= max_i(b_i/a_i)
+    — hull directions never leave the corner interval. Where corner
+    signs mix (hull straddling a coordinate plane), the face falls back
+    to the capsule bound hull(ball(c - pad*a, r_eff), ball(c + pad*a,
+    r_eff)) from :func:`_capsule_params` (itself conservative: each face
+    rectangle is the union of the two endpoint balls' intervals, and a
+    segment's direction coordinate u(t) = p_b(t)/p_a(t) is a Mobius
+    function of t with a positive denominator wherever the face is
+    valid, hence monotone). Near-origin/relevance/empty flags always
+    come from the capsule (a superset of the hull)."""
+    verts_h = np.asarray(verts_h, np.float32)
+    tris_h = np.asarray(tris_h)
+    v0 = verts_h[tris_h[:, 0]]
+    v1 = verts_h[tris_h[:, 1]]
+    v2 = verts_h[tris_h[:, 2]]
+
+    c = (v0 + v1 + v2) / np.float32(3.0)
+    pad = np.float32(pad)
+    r = np.sqrt(
+        np.maximum(
+            ((v0 - c) ** 2).sum(-1),
+            np.maximum(((v1 - c) ** 2).sum(-1), ((v2 - c) ** 2).sum(-1)),
+        )
+    )
+    corners = None
+    if pad_dirs is not None and pad > 0.0:
+        offs, r_extra = _capsule_params(verts_h, tris_h, pad, pad_dirs)
+        centers = (c - offs, c + offs)
+        r = r + r_extra
+        d_origin = _seg_origin_dist(c - offs, c + offs)
+        # the six deformed-hull corners v_i +- pad*d_i, [6, T, 3]
+        dirs = np.asarray(pad_dirs, np.float32)
+        d0 = np.float32(pad) * dirs[tris_h[:, 0]]
+        d1 = np.float32(pad) * dirs[tris_h[:, 1]]
+        d2 = np.float32(pad) * dirs[tris_h[:, 2]]
+        corners = np.stack([
+            v0 - d0, v0 + d0, v1 - d1, v1 + d1, v2 - d2, v2 + d2,
+        ])
+    else:
+        centers = (c,)
+        r = r + pad
+        d_origin = np.linalg.norm(c, axis=-1).astype(np.float32)
+
+    near_origin = d_origin <= np.float32(1.5) * r + np.float32(1e-7)
+
+    guard = np.float32(1e-4)
+    max_face_angle = np.float32(np.arccos(1.0 / np.sqrt(3.0)) + 1e-3)
+
+    def ball_face_terms(cc):
+        """Per endpoint ball: (chat, sin_a, alpha) used by the interval
+        math — identical expressions to the single-ball path."""
+        cn = np.linalg.norm(cc, axis=-1).astype(np.float32)
+        safe_cn = np.maximum(cn, np.float32(1e-20))
+        chat = cc / safe_cn[:, None]
+        sin_a = np.minimum(
+            r / safe_cn * np.float32(1.0 + 1e-5) + np.float32(1e-6),
+            np.float32(1.0),
+        )
+        alpha = np.arcsin(np.clip(sin_a, 0.0, 1.0)).astype(np.float32)
+        return chat, sin_a, alpha
+
+    terms = [ball_face_terms(cc) for cc in centers]
+
+    def face_interval(sin_a, ca, cb):
+        rho = np.sqrt(ca * ca + cb * cb)
+        full = (sin_a >= rho - np.float32(1e-6)) | (
+            sin_a >= np.float32(1.0 - 1e-6)
+        )
+        dphi = np.arcsin(
+            np.clip(sin_a / np.maximum(rho, np.float32(1e-20)), 0.0, 1.0)
+        )
+        full = full | (dphi >= np.float32(np.pi / 2) - guard)
+        az = np.arctan2(cb, ca).astype(np.float32)
+        lo = az - dphi - guard
+        hi = az + dphi + guard
+        empty = (~full) & (
+            (lo > np.float32(np.pi / 2)) | (hi < np.float32(-np.pi / 2))
+        )
+        lim = np.float32(np.pi / 2 - 1e-4)
+        u_lo = np.where(full, np.float32(-1.0), np.tan(np.clip(lo, -lim, lim)))
+        u_hi = np.where(full, np.float32(1.0), np.tan(np.clip(hi, -lim, lim)))
+        return (
+            np.clip(u_lo - np.float32(1e-5), -1.0, 1.0).astype(np.float32),
+            np.clip(u_hi + np.float32(1e-5), -1.0, 1.0).astype(np.float32),
+            empty,
+        )
+
+    rects = []
+    spans = []
+    half_g = np.float32(0.5 * g)
+    for f in range(6):
+        a = f >> 1
+        s = np.float32(1.0 if f % 2 == 0 else -1.0)
+        b, cax = int(_OTHERS[a, 0]), int(_OTHERS[a, 1])
+        # union over capsule endpoints (one iteration for the ball case)
+        u_lo = v_lo = None
+        relevant = empty_u = empty_v = None
+        for chat, sin_a, alpha in terms:
+            ca = s * chat[:, a]
+            rel = (
+                np.arccos(np.clip(ca, -1.0, 1.0)).astype(np.float32)
+                - alpha <= max_face_angle
+            )
+            ul, uh, eu = face_interval(sin_a, ca, chat[:, b])
+            vl, vh, ev = face_interval(sin_a, ca, chat[:, cax])
+            if u_lo is None:
+                u_lo, u_hi, v_lo, v_hi = ul, uh, vl, vh
+                relevant, empty_u, empty_v = rel, eu, ev
+            else:
+                u_lo = np.minimum(u_lo, ul)
+                u_hi = np.maximum(u_hi, uh)
+                v_lo = np.minimum(v_lo, vl)
+                v_hi = np.maximum(v_hi, vh)
+                relevant = relevant | rel
+                empty_u = empty_u & eu
+                empty_v = empty_v & ev
+        if corners is not None:
+            # 6-point hull refinement: where every corner's dominant
+            # coordinate is safely positive, the corner extrema bound
+            # ALL hull directions (mediant inequality) — far tighter
+            # than the capsule (no triangle-ball or normal-deviation
+            # inflation). Mixed-sign faces keep the capsule interval.
+            pa = s * corners[..., a]
+            pb = corners[..., b]
+            pc = corners[..., cax]
+            all_pos = (pa > np.float32(1e-12)).all(axis=0)
+            safe_pa = np.maximum(pa, np.float32(1e-30))
+            uc = pb / safe_pa
+            vc_ = pc / safe_pa
+            hg = np.float32(2e-4)  # fp guard in u (cells are >= 2/g wide)
+            u_lo = np.where(
+                all_pos,
+                np.clip(uc.min(axis=0) - hg, -1.0, 1.0).astype(np.float32),
+                u_lo,
+            )
+            u_hi = np.where(
+                all_pos,
+                np.clip(uc.max(axis=0) + hg, -1.0, 1.0).astype(np.float32),
+                u_hi,
+            )
+            v_lo = np.where(
+                all_pos,
+                np.clip(vc_.min(axis=0) - hg, -1.0, 1.0).astype(np.float32),
+                v_lo,
+            )
+            v_hi = np.where(
+                all_pos,
+                np.clip(vc_.max(axis=0) + hg, -1.0, 1.0).astype(np.float32),
+                v_hi,
+            )
+        face_ok = relevant & (~empty_u) & (~empty_v) & (~near_origin)
+        iu0 = np.clip(((u_lo + 1.0) * half_g).astype(np.int32), 0, g - 1)
+        iu1 = np.clip(((u_hi + 1.0) * half_g).astype(np.int32), 0, g - 1)
+        iv0 = np.clip(((v_lo + 1.0) * half_g).astype(np.int32), 0, g - 1)
+        iv1 = np.clip(((v_hi + 1.0) * half_g).astype(np.int32), 0, g - 1)
+        su = iu1 - iu0 + 1
+        sv = iv1 - iv0 + 1
+        fits = face_ok & (su <= span) & (sv <= span)
+        spans.append((face_ok, fits))
+        rects.append(
+            np.stack([iu0, iu1, iv0, iv1, fits.astype(np.int32)], axis=0)
+        )
+    over = near_origin
+    for face_ok, fits in spans:
+        over = over | (face_ok & ~fits)
+    valid_tri = (
+        np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1) > 0.0
+    ) | (pad > 0.0)
+    over = over & valid_tri
+
+    return np.stack(rects, axis=0), over
 
 
 def _cone_bins_host(rects_h: np.ndarray, over_h: np.ndarray, g: int,
@@ -861,6 +1102,17 @@ CLASS_CAPS2 = (
     2048, 3072, 4096, 6144, 8192,
 )
 LEVELS2 = (32, 8)  # cubemap sizes, fine -> coarse
+
+
+def default_gs(n: int) -> tuple:
+    """Default cubemap ladder by grid size (see build_raystab_compact2):
+    hi-res grids get finer top levels so rays-per-cell stays near one
+    128-lane strip."""
+    if n >= 256:
+        return (128, 32, 8)
+    if n >= 128:
+        return (64, 16, 8)
+    return LEVELS2
 CELLS_PER_STEP = 8  # virtual cells per kernel grid step (raystab_pallas)
 
 
@@ -1061,26 +1313,10 @@ def _sort_keys_dev(scs: tuple, v: int, filler_len: int):
     return jnp.concatenate([sc_all, filler])
 
 
-LANE_MIN_K = 96
-"""Capacity classes with K >= this store their tables TRANSPOSED
-([..., 12, K], lane-aligned) and run stab_fold_extract3 (the gen-6
-kernel); smaller classes keep the classic [..., K, 12] layout and run
-stab_fold_extract2 (gen-4).
+# LANE_MIN_K (the lane-aligned layout threshold) lives in
+# ops/raystab_pallas.py beside the kernels and the cells-per-step policy
+# that both depend on it; re-exported here for the build/query callers.
 
-Why: the classic layout's 12-float minor dim pads to 128 lanes in the
-TPU's (8, 128) f32 tiling — ~10.7x physical HBM and DMA traffic, the
-binding constraint at 256^3. Transposing puts K on the lanes (unpadded
-for K a multiple of 128, ~8x cut). The gen-6 kernel transposes each
-chunk back ONCE in VMEM and runs the gen-4 fold, so compute is gen-4's
-(measured r03 at 64^3: 3.28 ms full query vs gen-4's 3.82 — the
-lane-aligned extraction matmuls skip a relayout; the retired gen-5
-kernel that computed directly in the transposed geometry was 3.5x
-SLOWER, see ops/raystab_pallas.py layout-history comment). Below
-K ~ 96 the transposed table pads K up to 128 lanes, so the memory win
-fades while the per-chunk transpose overhead stays — small classes keep
-the classic layout. (The format-4 accel cache stores only the compact id
-tables, so changing this threshold needs no cache-format bump — layout is
-chosen at assembly time.)"""
 
 
 def fence_scalar(leaves) -> float:
@@ -1196,15 +1432,28 @@ def _make_packs_py(cell_csr, ray_table, rc, s0_p, tri_bounds):
     cur_ids: list = []
     cur_n = 0
 
-    def by_distance(ids):
-        if tri_bounds is None:
-            return ids
-        return ids[np.argsort(tri_bounds[ids], kind="stable")]
+    # packed dedupe+order key per id: the bound's high 40 IEEE bits with
+    # the id in the low 24 (ids < 2^24, asserted at build entry; bounds
+    # are non-negative doubles, so bit patterns order like values). One
+    # sort+unique of the packed keys = unique ids ascending by
+    # (40-bit-truncated bound, id) — the native packer computes the same.
+    max_id = int(cell_data.max()) if cell_data.size else 0
+    if tri_bounds is not None:
+        hi = np.asarray(tri_bounds[: max_id + 1], np.float64).view(np.uint64)
+        key_tab = (hi & np.uint64(~np.uint64(0xFFFFFF))) | np.arange(
+            max_id + 1, dtype=np.uint64
+        )
+    else:
+        key_tab = np.arange(max_id + 1, dtype=np.uint64)
+
+    def uniq_ids(ids):
+        keys = np.unique(key_tab[ids])
+        return (keys & np.uint64(0xFFFFFF)).astype(np.int64)
 
     def close():
         nonlocal cur_rays, cur_ids, cur_n
         if cur_rays:
-            ids = by_distance(np.unique(np.concatenate(cur_ids)))
+            ids = uniq_ids(np.concatenate(cur_ids))
             packs.append((np.concatenate(cur_rays), ids))
         cur_rays, cur_ids, cur_n = [], [], 0
 
@@ -1215,13 +1464,14 @@ def _make_packs_py(cell_csr, ray_table, rc, s0_p, tri_bounds):
             continue  # no candidates / no voxel direction in this cell
         if nray > 128:
             close()
-            ids_sorted = by_distance(np.unique(ids_c))
-            full = ray_table[cell, :nray]
+            ids_sorted = uniq_ids(ids_c)
             # split strips in origin-radius order: the chunk skip bound is
             # chunk_R_min - max(s0 over the strip's lanes), so radius-band
             # strips keep the bound tight for near-origin strips instead
-            # of every strip inheriting the cell's farthest voxel
-            full = full[np.argsort(s0_p[full], kind="stable")]
+            # of every strip inheriting the cell's farthest voxel. The ray
+            # table stores each cell pre-sorted by (radius, id)
+            # (_ray_table_filled), so the slice IS the radius band.
+            full = ray_table[cell, :nray]
             for s in range(0, nray, 128):
                 seg = full[s : s + 128]
                 if seg.shape[0] == 128:
@@ -1303,6 +1553,44 @@ def _pack_classes2(cell_ids, ray_table, rc, s0_p, tri_bounds):
     the cubemap instead, see build_raystab_accel2).
     """
     mark = _stage_timer()
+
+    def caps_fn(max_k):
+        caps = [k for k in CLASS_CAPS2 if k < max_k]
+        caps.append(max(_pow2cap(max_k), 8))
+        return caps
+
+    def chunk_bounds(rt128, tab, k):
+        if tri_bounds is None or k <= 256:
+            return None
+        # chunk lower bound on t = (min candidate R in chunk) - (max
+        # ray origin radius in strip); candidates ascend by bound so
+        # the chunk minimum is its first entry — gather only the
+        # chunk-head columns, not the full [rows, k] bound table
+        tab_sub = tab[:, ::256]  # [rows, k//256] chunk heads
+        chunk_lo = np.where(
+            tab_sub >= 0, tri_bounds[np.maximum(tab_sub, 0)], np.inf
+        )
+        idx = np.where(rt128 >= 0, rt128, 0)
+        s0m = np.where(rt128 >= 0, s0_p[idx], 0.0).max(axis=1)
+        return np.maximum(chunk_lo - s0m[:, None], 0.0).astype(np.float32)
+
+    from dxrvoxelizer_tpu.ops.raystab_pallas import cells_per_step_for
+    from dxrvoxelizer_tpu.utils import native
+
+    nat = native.accel_pack_tables_native(
+        cell_ids[0], cell_ids[1], ray_table, rc, s0_p, tri_bounds,
+        caps_fn, cells_per_step_for,
+    )
+    if nat is not None:
+        mark("  pack walk + class tables (native)")
+        compact = [
+            (rt128, tab, chunk_bounds(rt128, tab, int(tab.shape[1])))
+            for rt128, tab, _vc in nat
+        ]
+        total_vc = sum(vc for _r, _t, vc in nat)
+        mark("  chunk bounds")
+        return compact, total_vc
+
     ray_data, ray_offs, id_data, id_offs = _make_packs(
         cell_ids, ray_table, rc, s0_p, tri_bounds
     )  # cell_ids: CSR (offs, data) from _fold_levels_csr
@@ -1312,8 +1600,7 @@ def _pack_classes2(cell_ids, ray_table, rc, s0_p, tri_bounds):
     total_vc = 0
     sizes = id_offs[1:] - id_offs[:-1]
     max_k = int(sizes.max()) if sizes.size else 0
-    caps = [k for k in CLASS_CAPS2 if k < max_k]
-    caps.append(max(_pow2cap(max_k), 8))
+    caps = caps_fn(max_k)
     lo = 0
     for k in caps:
         sel = np.nonzero((sizes > lo) & (sizes <= k))[0]
@@ -1324,7 +1611,10 @@ def _pack_classes2(cell_ids, ray_table, rc, s0_p, tri_bounds):
         # vectorized row assembly: row-major boolean-mask fill == a
         # per-pack loop (same order, same padding)
         vc = sel.size
-        vc_pad = vc + (-vc) % CELLS_PER_STEP
+        # pad rows to the kernel's strips-per-grid-step for this K
+        # (small-K classes batch up to 64 strips per step — see
+        # raystab_pallas.cells_per_step_for; vc bounds the padding)
+        vc_pad = vc + (-vc) % cells_per_step_for(k, vc=vc)
         ray_lens = ray_offs[sel + 1] - ray_offs[sel]
         rt128 = np.full((vc_pad, 128), -1, np.int32)
         rt128[:vc][np.arange(128)[None, :] < ray_lens[:, None]] = (
@@ -1335,22 +1625,7 @@ def _pack_classes2(cell_ids, ray_table, rc, s0_p, tri_bounds):
         tab[:vc][np.arange(k)[None, :] < sizes[sel][:, None]] = (
             _csr_gather(id_data, id_offs, sel)
         )
-        bounds_np = None
-        if tri_bounds is not None and k > 256:
-            # chunk lower bound on t = (min candidate R in chunk) - (max
-            # ray origin radius in strip); candidates ascend by bound so
-            # the chunk minimum is its first entry — gather only the
-            # chunk-head columns, not the full [rows, k] bound table
-            tab_sub = tab[:, ::256]  # [rows, k//256] chunk heads
-            chunk_lo = np.where(
-                tab_sub >= 0, tri_bounds[np.maximum(tab_sub, 0)], np.inf
-            )
-            idx = np.where(rt128 >= 0, rt128, 0)
-            s0m = np.where(rt128 >= 0, s0_p[idx], 0.0).max(axis=1)
-            bounds_np = np.maximum(
-                chunk_lo - s0m[:, None], 0.0
-            ).astype(np.float32)
-        compact.append((rt128, tab, bounds_np))
+        compact.append((rt128, tab, chunk_bounds(rt128, tab, k)))
         total_vc += vc
     mark("  class tables")
     return compact, total_vc
@@ -1418,6 +1693,7 @@ def build_raystab_compact2(
     gs: tuple | None = None,
     span: int = 8,
     pad: float = 0.0,
+    pad_dirs=None,
 ) -> RaystabCompact2:
     """Binning + packing half of the gen-2 accel build: bin each triangle
     at the finest cubemap level whose ``span``-cell rectangle covers its
@@ -1435,14 +1711,17 @@ def build_raystab_compact2(
     bounds stay conservative for any per-vertex displacement <= pad (see
     _cone_keys), so the same id tables serve every frame of a bounded
     deformation and only the coefficient/normal tables need a per-frame
-    refit (ops/raystab_refit.py)."""
-    if gs is None:
-        if n >= 256:
-            gs = (128, 32, 8)
-        elif n >= 128:
-            gs = (64, 16, 8)
-        else:
-            gs = LEVELS2
+    refit (ops/raystab_refit.py).
+
+    ``pad_dirs`` ([V, 3], with pad > 0) declares the deformation
+    DIRECTIONAL: every frame must satisfy v'_i = v_i + s_i * pad_dirs[i]
+    with |s_i| <= pad (the app's -deform wobble moves along vertex
+    normals). The padded volume is then a CAPSULE instead of a ball
+    (_capsule_params) — where the motion axis aligns with the direction
+    from the origin, the candidate cone barely grows: the 64^3 dragon's
+    padded tables shrink several-fold vs the isotropic bound, and the
+    refit query's kernel pair count with them."""
+    gs = default_gs(n) if gs is None else gs
     t_count = int(tris.shape[0])
     assert t_count < 2**24, (
         f"{t_count} triangles exceed the 2^24 id range of the f32 id "
@@ -1452,17 +1731,8 @@ def build_raystab_compact2(
     v = n * n * n
     sub_ids = np.arange(t_count, dtype=np.int32)
     tris_h = np.asarray(tris)
+    verts_h = np.asarray(verts_norm, np.float32)
     stat_levels = []
-
-    # binning on the local CPU backend (see _host_cpu); the kernel-facing
-    # coefficient values are assembled later on the default backend
-    # (oracle bit-exactness)
-    cpu = _host_cpu()
-    verts_bin = verts_norm
-    if cpu is not None:
-        verts_h = np.asarray(verts_norm)
-        with jax.default_device(cpu):
-            verts_bin = jnp.asarray(verts_h)
 
     # s0 (per-voxel origin radius) orders the packing walk and feeds the
     # conservative chunk-skip bounds; computed with the oracle's exact
@@ -1472,27 +1742,21 @@ def build_raystab_compact2(
     s0_p = np.concatenate([s0_h, np.zeros((1,), np.float32)])
     mark("ray params")
 
-    import contextlib
-
-    bin_ctx = (
-        (lambda: jax.default_device(cpu)) if cpu is not None
-        else contextlib.nullcontext
-    )
     # Bin at each ladder level, then FOLD every level's cells into the
     # FINEST level's cell lists (a coarse cell's candidates go to all its
     # children). The covered-ray set per triangle is its own level's —
     # unchanged — so the kernel pair count is conserved, but the query gets
     # ONE sort-merge stream instead of one per level (each level's sort was
-    # ~0.5 ms at 64^3).
+    # ~0.5 ms at 64^3). Binning is pure numpy (_cone_keys_np) — host-side
+    # and backend-independent by construction.
     g_fine = gs[0]
     level_runs = []  # per level: (global ids in bin order, starts, counts, g)
     for g in gs:
         if sub_ids.size == 0:
             break
-        with bin_ctx():
-            cur = jnp.asarray(tris_h[sub_ids])
-            rects_d, over_d = _cone_keys(verts_bin, cur, g, span, pad)
-            rects_h, over_h = np.asarray(rects_d), np.asarray(over_d)
+        rects_h, over_h = _cone_keys_np(
+            verts_h, tris_h[sub_ids], g, span, pad, pad_dirs
+        )
         mark(f"cone keys g={g}")
         sorted_tris, starts, counts_h, ov_np = _cone_bins_host(
             rects_h, over_h, g, span
@@ -1518,9 +1782,25 @@ def build_raystab_compact2(
         tv = np.asarray(verts_norm, np.float64)[tris_h]
         cc = tv.mean(axis=1)
         rr = np.sqrt(((tv - cc[:, None, :]) ** 2).sum(-1)).max(axis=1)
-        if pad:  # deformed hits stay inside the padded ball
-            rr = rr + float(pad)
-        tb = np.maximum(np.linalg.norm(cc, axis=-1) - rr, 0.0)
+        if pad and pad_dirs is not None:
+            # capsule bound: distance from origin to the padded segment
+            # minus the capsule radius (conservative for directional
+            # deformation; see _capsule_params)
+            offs, r_extra = _capsule_params(
+                verts_h, tris_h, pad, np.asarray(pad_dirs, np.float32)
+            )
+            cdist = _seg_origin_dist(
+                (cc - offs).astype(np.float32),
+                (cc + offs).astype(np.float32),
+            ).astype(np.float64)
+            rr = rr + r_extra.astype(np.float64)
+            # f32 segment distance can round above exact: shave 2 ulp
+            cdist = cdist * (1.0 - 3e-7)
+        else:
+            if pad:  # deformed hits stay inside the padded ball
+                rr = rr + float(pad)
+            cdist = np.linalg.norm(cc, axis=-1)
+        tb = np.maximum(cdist - rr, 0.0)
         tri_bounds = np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
         ray_table, rc = _ray_table_filled(n, g_fine)
         mark("ray tables")
@@ -1646,6 +1926,7 @@ def build_raystab_accel2(
     gs: tuple | None = None,
     span: int = 8,
     pad: float = 0.0,
+    pad_dirs=None,
 ) -> RaystabAccel2:
     """Build the gen-2 accel (compact binning/packing + device assembly).
     ``normals`` are baked into the per-class normal tables — like the
@@ -1655,7 +1936,9 @@ def build_raystab_accel2(
     rebuild it. Callers that want the on-disk cache use
     utils/accel_cache.cached_build_raystab_accel2 (it persists the
     compact half and re-runs only the assembly)."""
-    compact = build_raystab_compact2(verts_norm, tris, n, gs, span, pad)
+    compact = build_raystab_compact2(
+        verts_norm, tris, n, gs, span, pad, pad_dirs
+    )
     return assemble_raystab_accel2(compact, verts_norm, tris, normals)
 
 
@@ -1688,6 +1971,39 @@ def _merge_winners2(levels, sort_keys, ov_dense, n: int, ks: tuple,
 
     v = n * n * n
     big = jnp.int32(2**30)
+
+    if ov_dense is None and sum(1 for lv in levels if lv) == 1:
+        # Overflow-free single-level accel (every static default build):
+        # strips PARTITION the rays, so each ray's winner is its one
+        # slot's in-kernel winner and the sort is a pure permutation —
+        # the t/id channels exist only to merge overflow/extra levels.
+        # Sorting 5 channels instead of 7 cuts the merge ~29% (the sort
+        # dominates hi-res queries: ~12 ms of the 23 ms 128^3 round-3
+        # query was this permutation).
+        for level, level_ks, keys in zip(levels, ks, sort_keys):
+            if not level:
+                continue
+            nparts = [[], [], [], []]
+            rows = 0
+            for (rays, coefs, scatter, bounds, ntab), k in zip(
+                level, level_ks
+            ):
+                _t_c, _i_c, ns = run_class(rays, coefs, ntab, k, bounds,
+                                           False)
+                rows += ns.shape[0] * ns.shape[2]
+                for j in range(4):
+                    nparts[j].append(ns[:, j, :].reshape(-1))
+            filler = keys.shape[0] - rows
+            fz = jnp.zeros((filler,), jnp.float32)
+            for j in range(4):
+                nparts[j].append(fz)
+            sorted_arrs = jax.lax.sort(
+                (keys,) + tuple(jnp.concatenate(p) for p in nparts),
+                dimension=0, is_stable=False, num_keys=1,
+            )
+            best = [sorted_arrs[1 + j][:v] for j in range(4)]
+            return (None, None) + tuple(best)
+
     best_t = jnp.full((v,), jnp.inf, jnp.float32)
     best_i = jnp.full((v,), big, jnp.int32)
     zero = jnp.zeros((v,), jnp.float32)

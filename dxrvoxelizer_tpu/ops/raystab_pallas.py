@@ -36,6 +36,57 @@ from jax.experimental.pallas import tpu as pltpu
 from dxrvoxelizer_tpu.ops.intersect import EPS_DET, T_MAX, radial_hit
 
 CELLS_PER_STEP = 8
+
+LANE_MIN_K = 96
+"""Capacity classes with K >= this store their tables TRANSPOSED
+([..., 12, K], lane-aligned) and run stab_fold_extract3 (the gen-6
+kernel); smaller classes keep the classic [..., K, 12] layout and run
+stab_fold_extract2 (gen-4). See the layout-history comment above
+_fold_extract_kernel6 and the rationale note in ops/raystab_fast.py.
+cells_per_step_for's VMEM budget depends on this split, which is why the
+threshold lives here beside the kernels."""
+
+
+def cells_per_step_for(k: int, c: int | None = None,
+                       vc: int | None = None) -> int:
+    """Strips per grid step for the fused fold+extract kernels.
+
+    Each grid step costs ~1 us of dispatch/DMA bookkeeping regardless of
+    its work; at CELLS_PER_STEP=8 a 128^3 query's 24k strips were ~3k
+    steps = ~3 ms of pure step overhead on 16-candidate classes whose
+    per-step compute is tiny. Small-K classes therefore batch MORE
+    strips per step (VMEM-bounded: the classic [cps, kblk, 12] block
+    pads its 12-lane minor to 128, so cps*kblk*128*4 B must stay well
+    under VMEM with double buffering). ``c`` (the strip count, always a
+    multiple of 8) reduces the target to a divisor so sharded or legacy
+    paddings keep working; build-side vc padding targets the full value
+    (raystab_fast._pack_classes2).
+    """
+    kblk = min(k, K_BLOCK)
+    # The kernel body unrolls over the cps strips, and Mosaic's scoped
+    # VMEM charges each unrolled strip's live extraction temporaries
+    # (~kblk * 4 KB of one-hot/matmul intermediates measured from the
+    # compiler's OOM reports: cps=64 x kblk=64 -> 18 MB, cps=32 x
+    # kblk=256 -> 22.6 MB against the 16 MB limit) PLUS the operand
+    # blocks (classic tables pad 12 lanes -> 128). cps * kblk <= 2048
+    # keeps both comfortably inside the limit at every class size.
+    cps = 64
+    while cps > 8 and cps * kblk > 2048:
+        cps //= 2
+    if vc is not None:
+        # bound the row padding: padding a vc-row class to a cps
+        # multiple adds up to cps-1 inert strips of kernel work, so keep
+        # cps <= ~vc/4 (the native packer applies the same rule —
+        # accelpack_classes_begin)
+        while cps > 8 and cps * 4 > vc:
+            cps //= 2
+    if c is not None:
+        while c % cps:
+            cps //= 2
+    assert cps >= 1
+    return cps
+
+
 K_BLOCK = 256  # candidate chunk per grid step (VMEM bound)
 BIG_ID = 2**30  # exactly representable in f32
 NCF = 12  # v0(3) e1(3) e2(3) id(1) pad(2)
@@ -379,13 +430,17 @@ NNC = 12  # normal-table row: n0(3) n1(3) n2(3) pad(3)
 
 
 def _fold_extract_kernel2(*refs, kblk: int, shared: bool, skip: bool,
-                          t_count: int, threshold: float, rule: str):
+                          t_count: int, threshold: float, rule: str,
+                          cps: int = CELLS_PER_STEP):
     """Fused fold + winner extraction + in-slot finalize, one table read.
 
-    Inputs: rays [8, 8, 128], coefs, ntab (+ bounds SMEM when ``skip``).
-    Outputs: t_ref/i_ref [8, 128] (winner t / id-as-f32), out_ref
-    [8, 4, 128] finished (nx, ny, nz, a) channels. Scratch ``acc_ref``
-    [8, 18, 128] holds the current winner's g(9) + n(9) rows.
+    Inputs: rays [cps, 8, 128], coefs, ntab (+ bounds SMEM when ``skip``).
+    Outputs: t_ref/i_ref [cps, 128] (winner t / id-as-f32), out_ref
+    [cps, 4, 128] finished (nx, ny, nz, a) channels. Scratch ``acc_ref``
+    [cps, 18, 128] holds the current winner's g(9) + n(9) rows. ``cps``
+    (strips per grid step) scales inversely with K so small-candidate
+    classes don't pay ~1 us of step overhead per 8 strips
+    (cells_per_step_for).
     """
     if skip:
         ray_ref, coef_ref, ntab_ref, bnd_ref, t_ref, i_ref, out_ref = (
@@ -409,7 +464,7 @@ def _fold_extract_kernel2(*refs, kblk: int, shared: bool, skip: bool,
         i_ref[...] = jnp.full_like(i_ref, float(BIG_ID))
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    for ci in range(CELLS_PER_STEP):
+    for ci in range(cps):
         dx = ray_ref[ci, 0:1, :]
         dy = ray_ref[ci, 1:2, :]
         dz = ray_ref[ci, 2:3, :]
@@ -546,7 +601,8 @@ def _fold_extract_kernel2(*refs, kblk: int, shared: bool, skip: bool,
 
 
 def _fold_extract_kernel6(*refs, kblk: int, shared: bool, skip: bool,
-                          t_count: int, threshold: float, rule: str):
+                          t_count: int, threshold: float, rule: str,
+                          cps: int = CELLS_PER_STEP):
     """Gen-6 fused fold + extraction + finalize over transposed tables.
 
     Inputs: rays [8, 8, 128], coefs/ntab [8, 12, kblk] (or [12, kblk]
@@ -578,7 +634,7 @@ def _fold_extract_kernel6(*refs, kblk: int, shared: bool, skip: bool,
         i_ref[...] = jnp.full_like(i_ref, float(BIG_ID))
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    for ci in range(CELLS_PER_STEP):
+    for ci in range(cps):
         dx = ray_ref[ci, 0:1, :]
         dy = ray_ref[ci, 1:2, :]
         dz = ray_ref[ci, 2:3, :]
@@ -697,9 +753,13 @@ def stab_fold_extract3(
     """
     c = rays.shape[0]
     assert c % CELLS_PER_STEP == 0 and k % 8 == 0
-    steps = c // CELLS_PER_STEP
     kblk = min(k, K_BLOCK)
     assert k % kblk == 0, f"k={k} not a multiple of K_BLOCK={K_BLOCK}"
+    # interpret mode (the CPU CI path) keeps the base batching: a 64-strip
+    # step is 8x the python-level trace and brings no step-overhead win
+    # off-hardware
+    cps = CELLS_PER_STEP if interpret else cells_per_step_for(k, c)
+    steps = c // cps
     k_steps = k // kblk
     skip = bounds is not None and k_steps > 1 and not shared
     if shared:
@@ -711,16 +771,16 @@ def stab_fold_extract3(
         )
     else:
         coef_spec = pl.BlockSpec(
-            (CELLS_PER_STEP, NCF2, kblk), lambda i, kc: (i, 0, kc),
+            (cps, NCF2, kblk), lambda i, kc: (i, 0, kc),
             memory_space=pltpu.VMEM,
         )
         ntab_spec = pl.BlockSpec(
-            (CELLS_PER_STEP, NNC, kblk), lambda i, kc: (i, 0, kc),
+            (cps, NNC, kblk), lambda i, kc: (i, 0, kc),
             memory_space=pltpu.VMEM,
         )
     in_specs = [
         pl.BlockSpec(
-            (CELLS_PER_STEP, 8, 128), lambda i, kc: (i, 0, 0),
+            (cps, 8, 128), lambda i, kc: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         coef_spec,
@@ -729,24 +789,24 @@ def stab_fold_extract3(
     args = [rays, coefs, ntab]
     if skip:
         in_specs.append(pl.BlockSpec(
-            (CELLS_PER_STEP, k_steps), lambda i, kc: (i, 0),
+            (cps, k_steps), lambda i, kc: (i, 0),
             memory_space=pltpu.SMEM,
         ))
         args.append(bounds)
     row_spec = pl.BlockSpec(
-        (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
+        (cps, 128), lambda i, kc: (i, 0),
         memory_space=pltpu.VMEM,
     )
     t_out, i_out, ns = pl.pallas_call(
         partial(_fold_extract_kernel6, kblk=kblk, shared=shared, skip=skip,
-                t_count=t_count, threshold=threshold, rule=rule),
+                t_count=t_count, threshold=threshold, rule=rule, cps=cps),
         grid=(steps, k_steps),
         in_specs=in_specs,
         out_specs=[
             row_spec,
             row_spec,
             pl.BlockSpec(
-                (CELLS_PER_STEP, 4, 128), lambda i, kc: (i, 0, 0),
+                (cps, 4, 128), lambda i, kc: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -756,7 +816,7 @@ def stab_fold_extract3(
             jax.ShapeDtypeStruct((c, 4, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CELLS_PER_STEP, 18, 128), jnp.float32),
+            pltpu.VMEM((cps, 18, 128), jnp.float32),
             pltpu.VMEM((kblk, NCF2), jnp.float32),
         ],
         interpret=interpret,
@@ -786,8 +846,12 @@ def stab_fold_extract2(
     """
     c = rays.shape[0]
     assert c % CELLS_PER_STEP == 0 and k % 8 == 0
-    steps = c // CELLS_PER_STEP
     kblk = min(k, K_BLOCK)
+    # interpret mode (the CPU CI path) keeps the base batching: a 64-strip
+    # step is 8x the python-level trace and brings no step-overhead win
+    # off-hardware
+    cps = CELLS_PER_STEP if interpret else cells_per_step_for(k, c)
+    steps = c // cps
     assert k % kblk == 0, f"k={k} not a multiple of K_BLOCK={K_BLOCK}"
     k_steps = k // kblk
     skip = bounds is not None and k_steps > 1 and not shared
@@ -800,16 +864,16 @@ def stab_fold_extract2(
         )
     else:
         coef_spec = pl.BlockSpec(
-            (CELLS_PER_STEP, kblk, NCF2), lambda i, kc: (i, kc, 0),
+            (cps, kblk, NCF2), lambda i, kc: (i, kc, 0),
             memory_space=pltpu.VMEM,
         )
         ntab_spec = pl.BlockSpec(
-            (CELLS_PER_STEP, kblk, NNC), lambda i, kc: (i, kc, 0),
+            (cps, kblk, NNC), lambda i, kc: (i, kc, 0),
             memory_space=pltpu.VMEM,
         )
     in_specs = [
         pl.BlockSpec(
-            (CELLS_PER_STEP, 8, 128), lambda i, kc: (i, 0, 0),
+            (cps, 8, 128), lambda i, kc: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         coef_spec,
@@ -818,24 +882,25 @@ def stab_fold_extract2(
     args = [rays, coefs, ntab]
     if skip:
         in_specs.append(pl.BlockSpec(
-            (CELLS_PER_STEP, k_steps), lambda i, kc: (i, 0),
+            (cps, k_steps), lambda i, kc: (i, 0),
             memory_space=pltpu.SMEM,
         ))
         args.append(bounds)
     row_spec = pl.BlockSpec(
-        (CELLS_PER_STEP, 128), lambda i, kc: (i, 0),
+        (cps, 128), lambda i, kc: (i, 0),
         memory_space=pltpu.VMEM,
     )
     t_out, i_out, ns = pl.pallas_call(
         partial(_fold_extract_kernel2, kblk=kblk, shared=shared, skip=skip,
-                t_count=t_count, threshold=threshold, rule=rule),
+                t_count=t_count, threshold=threshold, rule=rule,
+                cps=cps),
         grid=(steps, k_steps),
         in_specs=in_specs,
         out_specs=[
             row_spec,
             row_spec,
             pl.BlockSpec(
-                (CELLS_PER_STEP, 4, 128), lambda i, kc: (i, 0, 0),
+                (cps, 4, 128), lambda i, kc: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -844,7 +909,7 @@ def stab_fold_extract2(
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 4, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((CELLS_PER_STEP, 18, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((cps, 18, 128), jnp.float32)],
         interpret=interpret,
     )(*args)
     return t_out, i_out.astype(jnp.int32), ns

@@ -45,20 +45,40 @@ from dxrvoxelizer_tpu.ops.raystab_fast import (
 )
 
 
+def _gather_rows_to_cols(mat, idx2d):
+    """operand [R, W], indices [VC, K] -> output [VC, W, K]: the offset
+    (W) axis placed at output dim 1 by the gather itself — the
+    lane-aligned table layout comes straight out of the gather, no
+    separate [VC, K, W] -> [VC, W, K] transpose op (slope-measured ~1.8 ms
+    cheaper across the 64^3 dragon's padded classes)."""
+    vc, k = idx2d.shape
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0,),
+    )
+    idx = idx2d.reshape(vc, k, 1)
+    return jax.lax.gather(
+        mat, idx, dn, slice_sizes=(1, mat.shape[1]),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 @partial(jax.jit, static_argnames=("lanes", "ov_lane"))
 def _refit_tables(verts_norm, normals, tris, tabs, ov_ids,
                   lanes: tuple, ov_lane: bool):
     """Deformed geometry -> fresh (coefs, ntab) per class + overflow.
 
     ``tabs``: per-class candidate id tables [VC, K] int32 / -1 (device
-    resident, static across frames). Gathers/transposes are identical to
+    resident, static across frames). Gathers are value-identical to
     raystab_fast._assemble_class_dev, so refitted tables match a fresh
-    assembly bit-for-bit.
+    assembly bit-for-bit (lane-aligned classes gather DIRECTLY into the
+    [VC, 24, K] layout, _gather_rows_to_cols).
 
     XLA TPU gathers cost per ROW regardless of row width, so the
     coefficient and normal matrices are fused into ONE [T+1, 24] matrix
-    and gathered together — half the gather rows (the refit's dominant
-    cost: 3.44 M candidate rows for the 64^3 dragon) and half the padded
+    and gathered together — half the gather rows (0.98M slots on the
+    64^3 dragon's directional-pad tables) and half the padded
     intermediates; the split into the kernel operands is pure slicing."""
     t_count = tris.shape[0]
     coef = _radial_coef_matrix(
@@ -69,11 +89,11 @@ def _refit_tables(verts_norm, normals, tris, tabs, ov_ids,
     outs = []
     for tab, lane_aligned in zip(tabs, lanes):
         ti = jnp.where(tab >= 0, tab, t_count)
-        g = fused[ti]  # [VC, K, 24]
         if lane_aligned:
-            g = g.transpose(0, 2, 1)  # [VC, 24, K]
+            g = _gather_rows_to_cols(fused, ti)  # [VC, 24, K]
             outs.append((g[:, :12], g[:, 12:]))
         else:
+            g = fused[ti]  # [VC, K, 24]
             outs.append((g[..., :12], g[..., 12:]))
     ov = None
     if ov_ids is not None:
@@ -102,10 +122,10 @@ def _refit_tables_coef(verts_norm, tris, tabs, ov_ids,
     outs = []
     for tab, lane_aligned in zip(tabs, lanes):
         ti = jnp.where(tab >= 0, tab, t_count)
-        cf = coef[ti]
         if lane_aligned:
-            cf = cf.transpose(0, 2, 1)
-        outs.append(cf)
+            outs.append(_gather_rows_to_cols(coef, ti))  # [VC, 12, K]
+        else:
+            outs.append(coef[ti])
     ov = None
     if ov_ids is not None:
         ti = jnp.where(ov_ids >= 0, ov_ids, t_count)
@@ -130,28 +150,45 @@ class RaystabRefitter:
     strips, scatter streams, chunk bounds and sort keys are reused from
     the rest build. Use exactly like a static accel:
 
-        rf = RaystabRefitter(rest_verts, tris, rest_normals, n=64, pad=0.05)
+        rf = RaystabRefitter(rest_verts, tris, rest_normals, n=64,
+                             pad=0.035, pad_dirs=rest_normals)
         accel_t = rf.refit(verts_t, normals_t)   # per frame
         occ, rgba = raystab_query2(verts_t, normals_t, tris, accel_t)
     """
 
     def __init__(self, verts_rest, tris, normals_rest, n: int = 64,
-                 pad: float = 0.05, gs: tuple | None = None, span: int = 8,
-                 use_cache: bool = False, cache_dir: str | None = None):
+                 pad: float = 0.035, gs: tuple | None = None, span: int = 8,
+                 use_cache: bool = False, cache_dir: str | None = None,
+                 pad_dirs=None):
         assert pad > 0.0, "a zero-pad refitter cannot absorb deformation"
         self.n = int(n)
         self.pad = float(pad)
         self.tris = jnp.asarray(tris)
+        # directional (capsule) deformation bound: frames must move each
+        # vertex ALONG pad_dirs[i] only (v' = v + s*pad_dirs[i],
+        # |s| <= pad) — the app's -deform wobble displaces along vertex
+        # normals, so it passes normals here and the padded candidate
+        # tables shrink several-fold vs the any-direction ball bound
+        # (raystab_fast._capsule_params). None keeps the isotropic
+        # contract: any displacement with |v' - v| <= pad.
+        self._pad_dirs = (
+            None if pad_dirs is None
+            else jnp.asarray(pad_dirs, jnp.float32)
+        )
         if use_cache:
             from dxrvoxelizer_tpu.utils.accel_cache import cached_compact2
 
             compact = cached_compact2(
                 verts_rest, tris, n, gs, span, pad=self.pad,
-                cache_dir=cache_dir,
+                cache_dir=cache_dir, pad_dirs=self._pad_dirs,
             )
         else:
             compact = build_raystab_compact2(
-                verts_rest, tris, n, gs, span, pad=self.pad
+                verts_rest, tris, n, gs, span, pad=self.pad,
+                pad_dirs=(
+                    None if self._pad_dirs is None
+                    else np.asarray(self._pad_dirs)
+                ),
             )
         accel0 = assemble_raystab_accel2(
             compact, verts_rest, tris, normals_rest
@@ -253,14 +290,28 @@ class RaystabRefitter:
         is bit-exact because the values are unchanged.
         ``check=True`` host-syncs to verify the displacement bound."""
         if check:
-            disp = float(jnp.max(jnp.linalg.norm(
-                jnp.asarray(verts_norm) - self._verts_rest, axis=-1
-            )))
+            d = jnp.asarray(verts_norm) - self._verts_rest
+            disp = float(jnp.max(jnp.linalg.norm(d, axis=-1)))
             if disp > self.pad:
                 raise RuntimeError(
                     f"deformation {disp:.4f} exceeds the refit pad "
                     f"{self.pad:.4f}; rebuild the refitter with more"
                 )
+            if self._pad_dirs is not None:
+                # directional contract: displacement must be ALONG the
+                # declared axis (v' = v + s*dir, |s| <= pad)
+                dirs = self._pad_dirs
+                dd = jnp.sum(dirs * dirs, axis=-1)
+                s = jnp.sum(d * dirs, axis=-1) / jnp.maximum(dd, 1e-30)
+                resid = float(jnp.max(jnp.linalg.norm(
+                    d - s[:, None] * dirs, axis=-1
+                )))
+                if resid > 1e-5:
+                    raise RuntimeError(
+                        f"off-axis deformation {resid:.2e} violates the "
+                        "directional refit contract (pad_dirs); rebuild "
+                        "with pad_dirs=None for an isotropic bound"
+                    )
         if normals is self._normals_rest:
             normals = None  # same object -> same values -> reuse tables
         return self.refit_with_state(

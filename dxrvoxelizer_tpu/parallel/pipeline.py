@@ -107,6 +107,13 @@ class ShardedFramePipeline:
                     mesh_buffers.normals, cfg.grid_size,
                     pad=cfg.deform_pad,
                     use_cache=getattr(cfg, "accel_cache", True),
+                    # -deform displaces along vertex normals (capsule
+                    # bound; see core/pipeline.py)
+                    pad_dirs=(
+                        mesh_buffers.normals
+                        if getattr(cfg, "deform_dirs", "normals")
+                        == "normals" else None
+                    ),
                 )
             else:
                 # init-built AS, strip-sharded per-frame re-trace

@@ -10,26 +10,37 @@
 //
 // Contract (mirrors the Python exactly):
 //  - iterate fine cells in order; skip cells with no candidates or rays;
-//  - cells with > 128 rays: flush the pool, sort the cell's rays by origin
-//    radius s0 (stable), emit full 128-lane strips sharing the cell's
-//    bound-sorted unique candidate list, send the tail to the pool;
+//  - cells with > 128 rays: flush the pool, emit full 128-lane strips in
+//    table order (each cell's rays arrive pre-sorted by origin radius,
+//    accelpack_raytab_fill) sharing the cell's bound-sorted unique
+//    candidate list, send the tail to the pool;
 //  - small cells accumulate in the pool until 128 lanes would overflow;
 //  - a flushed pool emits one strip whose candidate list is the
 //    bound-sorted unique union of its cells' raw lists;
-//  - candidate lists: ascending unique ids, then stable-sorted by
-//    tri_bounds (ties keep ascending id order) when bounds are given.
+//  - candidate lists: unique ids ordered by the PACKED key
+//    (tri_bounds high 40 IEEE-double bits, id in the low 24) ascending —
+//    i.e. by bound truncated to 40 bits, ties by id; plain ascending ids
+//    when bounds are absent.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 namespace {
+
+struct PackClass {
+    int64_t k = 0, vc = 0, vc_pad = 0;
+    std::vector<int64_t> packs;  // pack indices, stable size-descending
+};
 
 struct AccelPackResult {
     std::vector<int32_t> ray_data;
     std::vector<int64_t> ray_offs;
     std::vector<int64_t> id_data;
     std::vector<int64_t> id_offs;
+    std::vector<PackClass> classes;
 };
 
 }  // namespace
@@ -45,40 +56,65 @@ void* accelpack_run(
     res->ray_offs.push_back(0);
     res->id_offs.push_back(0);
 
-    std::vector<int32_t> cur_rays;  // pooled ray lanes
-    std::vector<int64_t> cur_ids;   // pooled raw candidate ids (with dups)
-    std::vector<int64_t> uniq;      // scratch: sorted unique candidates
-    std::vector<int32_t> full;      // scratch: big-cell ray order
+    // Packed sort key per candidate id: the bound's high 40 IEEE bits with
+    // the id in the low 24 (ids < 2^24, asserted at build entry; bounds are
+    // non-negative doubles, so their bit patterns order like the values).
+    // ONE plain int64 sort + consecutive-unique replaces the historical
+    // sort + unique + stable_sort-by-bound triple: same dedupe (equal ids
+    // give equal keys), ascending (truncated bound, id) order. The Python
+    // reference (_make_packs_py) computes the identical key.
+    int64_t max_id = 0;
+    for (int64_t c = 0; c < n_cells; ++c) {
+        for (int64_t i = cell_offs[c]; i < cell_offs[c + 1]; ++i) {
+            max_id = std::max(max_id, cell_data[i]);
+        }
+    }
+    std::vector<uint64_t> key_tab(static_cast<size_t>(max_id + 1));
+    for (int64_t t = 0; t <= max_id; ++t) {
+        uint64_t hi = 0;
+        if (tri_bounds) {
+            std::memcpy(&hi, &tri_bounds[t], sizeof(hi));
+            hi &= ~uint64_t(0xFFFFFF);
+        }
+        key_tab[static_cast<size_t>(t)] = hi | static_cast<uint64_t>(t);
+    }
+
+    std::vector<int32_t> cur_rays;   // pooled ray lanes
+    std::vector<uint64_t> cur_keys;  // pooled candidate keys (with dups)
+    std::vector<uint64_t> uniq;      // scratch: sorted unique keys
+    std::vector<int32_t> full;       // scratch: big-cell ray order
 
     auto emit = [&](const int32_t* rays, int64_t nr,
-                    const std::vector<int64_t>& ids) {
+                    const std::vector<uint64_t>& keys) {
         res->ray_data.insert(res->ray_data.end(), rays, rays + nr);
         res->ray_offs.push_back(static_cast<int64_t>(res->ray_data.size()));
-        res->id_data.insert(res->id_data.end(), ids.begin(), ids.end());
+        for (uint64_t k : keys) {
+            res->id_data.push_back(static_cast<int64_t>(k & 0xFFFFFF));
+        }
         res->id_offs.push_back(static_cast<int64_t>(res->id_data.size()));
     };
 
-    auto sort_ids = [&](std::vector<int64_t>& ids) {
-        std::sort(ids.begin(), ids.end());  // np.unique: ascending…
-        ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
-        if (tri_bounds) {  // …then stable by bound, ties keep id order
-            std::stable_sort(
-                ids.begin(), ids.end(),
-                [&](int64_t a, int64_t b) {
-                    return tri_bounds[a] < tri_bounds[b];
-                });
+    auto sort_keys = [&](std::vector<uint64_t>& keys) {
+        std::sort(keys.begin(), keys.end());
+        keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+    };
+
+    auto push_keys = [&](std::vector<uint64_t>& dst, const int64_t* ids,
+                         int64_t m) {
+        for (int64_t i = 0; i < m; ++i) {
+            dst.push_back(key_tab[static_cast<size_t>(ids[i])]);
         }
     };
 
     auto close = [&]() {
         if (!cur_rays.empty()) {
-            uniq = cur_ids;
-            sort_ids(uniq);
+            uniq = cur_keys;
+            sort_keys(uniq);
             emit(cur_rays.data(), static_cast<int64_t>(cur_rays.size()),
                  uniq);
         }
         cur_rays.clear();
-        cur_ids.clear();
+        cur_keys.clear();
     };
 
     for (int64_t c = 0; c < n_cells; ++c) {
@@ -89,13 +125,15 @@ void* accelpack_run(
         const int32_t* row = ray_table + c * r_cap;
         if (nray > 128) {
             close();
-            uniq.assign(cell_data + beg, cell_data + end);
-            sort_ids(uniq);
+            uniq.clear();
+            push_keys(uniq, cell_data + beg, m);
+            sort_keys(uniq);
+            // strips in origin-radius order: the ray table stores each
+            // cell's rays pre-sorted by (radius bits, voxel id) — see
+            // accelpack_raytab_fill — so strip slicing is direct (the
+            // historical per-build stable_sort-by-s0 paid 16.7M random
+            // s0 loads at 256^3 for every geometry).
             full.assign(row, row + nray);
-            // strips in origin-radius order (stable, like np.argsort)
-            std::stable_sort(
-                full.begin(), full.end(),
-                [&](int32_t a, int32_t b) { return s0[a] < s0[b]; });
             for (int64_t s = 0; s < nray; s += 128) {
                 const int64_t len = std::min<int64_t>(128, nray - s);
                 if (len == 128) {
@@ -103,15 +141,14 @@ void* accelpack_run(
                 } else {  // tail strip joins the packing pool
                     cur_rays.insert(cur_rays.end(), full.begin() + s,
                                     full.begin() + s + len);
-                    cur_ids.insert(cur_ids.end(), cell_data + beg,
-                                   cell_data + end);
+                    push_keys(cur_keys, cell_data + beg, m);
                 }
             }
             continue;
         }
         if (static_cast<int64_t>(cur_rays.size()) + nray > 128) close();
         cur_rays.insert(cur_rays.end(), row, row + nray);
-        cur_ids.insert(cur_ids.end(), cell_data + beg, cell_data + end);
+        push_keys(cur_keys, cell_data + beg, m);
     }
     close();
     return res;
@@ -142,6 +179,93 @@ void accelpack_copy(void* h, int32_t* ray_data, int64_t* ray_offs,
 }
 
 void accelpack_free(void* h) { delete static_cast<AccelPackResult*>(h); }
+
+// ---- class-table emission (ops/raystab_fast._pack_classes2 fast path) ------
+//
+// Partitions packs into capacity classes ((lo, cap] by ascending caps, empty
+// classes skipped, rows stable-ordered by DESCENDING id-list size) and fills
+// the padded per-class tables directly — the numpy CSR-regather + boolean-
+// mask fills of the same product were ~4 s of the 256^3 build. Semantics
+// mirror the Python reference exactly (pinned by tests).
+
+int64_t accelpack_max_ids(void* h) {
+    auto* r = static_cast<AccelPackResult*>(h);
+    int64_t m = 0;
+    for (size_t p = 0; p + 1 < r->id_offs.size(); ++p) {
+        m = std::max(m, r->id_offs[p + 1] - r->id_offs[p]);
+    }
+    return m;
+}
+
+int64_t accelpack_classes_begin(void* h, const int64_t* caps,
+                                int64_t n_caps,
+                                const int64_t* cells_per_step) {
+    // cells_per_step: PER-CAP row-padding quantum (the kernel batches
+    // cells_per_step_for(k) strips per grid step; the table's vc must be
+    // a multiple of it — ops/raystab_pallas.cells_per_step_for).
+    auto* r = static_cast<AccelPackResult*>(h);
+    r->classes.clear();
+    const int64_t n_packs =
+        static_cast<int64_t>(r->id_offs.size()) - 1;
+    std::vector<int64_t> sizes(static_cast<size_t>(n_packs));
+    for (int64_t p = 0; p < n_packs; ++p) {
+        sizes[static_cast<size_t>(p)] = r->id_offs[p + 1] - r->id_offs[p];
+    }
+    int64_t lo = 0;
+    for (int64_t ci = 0; ci < n_caps; ++ci) {
+        const int64_t k = caps[ci];
+        const int64_t cps = cells_per_step[ci];
+        PackClass cls;
+        cls.k = k;
+        for (int64_t p = 0; p < n_packs; ++p) {
+            const int64_t s = sizes[static_cast<size_t>(p)];
+            if (s > lo && s <= k) cls.packs.push_back(p);
+        }
+        lo = k;
+        if (cls.packs.empty()) continue;
+        std::stable_sort(
+            cls.packs.begin(), cls.packs.end(),
+            [&](int64_t a, int64_t b) {
+                return sizes[static_cast<size_t>(a)] >
+                       sizes[static_cast<size_t>(b)];
+            });
+        cls.vc = static_cast<int64_t>(cls.packs.size());
+        // bound the row padding to ~25%: cps <= vc/4 (mirrors
+        // raystab_pallas.cells_per_step_for's vc rule exactly)
+        int64_t cps_eff = cps;
+        while (cps_eff > 8 && cps_eff * 4 > cls.vc) cps_eff /= 2;
+        cls.vc_pad = cls.vc + (cps_eff - cls.vc % cps_eff) % cps_eff;
+        r->classes.push_back(std::move(cls));
+    }
+    return static_cast<int64_t>(r->classes.size());
+}
+
+void accelpack_class_info(void* h, int64_t i, int64_t* out3) {
+    auto* r = static_cast<AccelPackResult*>(h);
+    const PackClass& c = r->classes[static_cast<size_t>(i)];
+    out3[0] = c.k;
+    out3[1] = c.vc;
+    out3[2] = c.vc_pad;
+}
+
+void accelpack_class_fill(void* h, int64_t i, int32_t* rt128,
+                          int32_t* tab) {
+    auto* r = static_cast<AccelPackResult*>(h);
+    const PackClass& c = r->classes[static_cast<size_t>(i)];
+    std::fill(rt128, rt128 + c.vc_pad * 128, int32_t(-1));
+    std::fill(tab, tab + c.vc_pad * c.k, int32_t(-1));
+    for (int64_t row = 0; row < c.vc; ++row) {
+        const int64_t p = c.packs[static_cast<size_t>(row)];
+        const int64_t rb = r->ray_offs[p], re = r->ray_offs[p + 1];
+        std::copy(r->ray_data.begin() + rb, r->ray_data.begin() + re,
+                  rt128 + row * 128);
+        const int64_t ib = r->id_offs[p], ie = r->id_offs[p + 1];
+        int32_t* dst = tab + row * c.k;
+        for (int64_t j = ib; j < ie; ++j) {
+            *dst++ = static_cast<int32_t>(r->id_data[j]);
+        }
+    }
+}
 
 // Voxel-center -> direction-cubemap cell id for every voxel of an n^3
 // grid, fused with the center generation (the numpy path materializes a
@@ -186,6 +310,140 @@ void accelpack_dir_cells(int64_t n, int64_t g, int64_t* out) {
             }
         }
     }
+}
+
+}  // extern "C"
+
+// ---- raytab: voxel -> direction-cell table, counting-sort build -------------
+//
+// Replaces the host-python pipeline (dir_cells + 16.7M-row stable argsort +
+// searchsorted + masked fill: ~10 s at 256^3 on one core) with two linear
+// passes: cell compute + histogram, then a stable ascending scatter straight
+// into the padded [n_cells, r_cap] table. Voxel ids are enumerated in
+// ascending order, so each cell's run ascends — identical to the stable
+// argsort the Python reference produces (pinned by tests/test_raystab2.py).
+
+namespace {
+
+struct RaytabState {
+    int64_t n, g;
+    std::vector<uint32_t> cells;   // per voxel
+    std::vector<uint32_t> rbits;   // per voxel: origin-radius f32 bits
+    std::vector<int64_t> counts;   // per cell
+};
+
+inline uint32_t dir_cell_one(float x, float y, float z, float half_g,
+                             int64_t g, int64_t gg) {
+    const float ax = x < 0 ? -x : x;
+    const float ay = y < 0 ? -y : y;
+    const float az = z < 0 ? -z : z;
+    const int a = (ax >= ay) ? (ax >= az ? 0 : 2) : (ay >= az ? 1 : 2);
+    const float da = a == 0 ? x : (a == 1 ? y : z);
+    const float db = a == 0 ? y : x;
+    const float dc = a == 2 ? y : z;
+    const float ada = da < 0 ? -da : da;
+    int64_t iu = static_cast<int64_t>((db / ada + 1.0f) * half_g);
+    int64_t iv = static_cast<int64_t>((dc / ada + 1.0f) * half_g);
+    iu = iu < 0 ? 0 : (iu > g - 1 ? g - 1 : iu);
+    iv = iv < 0 ? 0 : (iv > g - 1 ? g - 1 : iv);
+    const int64_t f = 2 * a + (da < 0 ? 1 : 0);
+    return static_cast<uint32_t>(f * gg + iu * g + iv);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* accelpack_raytab_start(int64_t n, int64_t g) {
+    auto* st = new (std::nothrow) RaytabState();
+    if (!st) return nullptr;
+    st->n = n;
+    st->g = g;
+    const int64_t v_total = n * n * n;
+    const int64_t n_cells = 6 * g * g;
+    st->cells.resize(static_cast<size_t>(v_total));
+    st->rbits.resize(static_cast<size_t>(v_total));
+    st->counts.assign(static_cast<size_t>(n_cells), 0);
+    std::vector<float> t(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i) {
+        t[static_cast<size_t>(i)] =
+            (static_cast<float>(i) + 0.5f) / static_cast<float>(n) * 2.0f -
+            1.0f;
+    }
+    const float half_g = 0.5f * static_cast<float>(g);
+    const int64_t gg = g * g;
+    int64_t v = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const float x = t[static_cast<size_t>(i)];
+        for (int64_t j = 0; j < n; ++j) {
+            const float y = -t[static_cast<size_t>(j)];
+            for (int64_t k = 0; k < n; ++k, ++v) {
+                const float z = t[static_cast<size_t>(k)];
+                const uint32_t c =
+                    dir_cell_one(x, y, z, half_g, g, gg);
+                st->cells[static_cast<size_t>(v)] = c;
+                // origin radius, f32 bits (>= 0, so the bits order like
+                // the values): the in-cell ray sort key (see fill)
+                const float r = std::sqrt(x * x + y * y + z * z);
+                std::memcpy(&st->rbits[static_cast<size_t>(v)], &r,
+                            sizeof(float));
+                ++st->counts[c];
+            }
+        }
+    }
+    return st;
+}
+
+int64_t accelpack_raytab_rcap(void* handle) {
+    auto* st = static_cast<RaytabState*>(handle);
+    int64_t m = 0;
+    for (int64_t c : st->counts) m = m > c ? m : c;
+    int64_t cap = ((m + 7) / 8) * 8;  // pad to the 8-sublane quantum
+    return cap < 8 ? 8 : cap;
+}
+
+void accelpack_raytab_counts(void* handle, int64_t* rc) {
+    auto* st = static_cast<RaytabState*>(handle);
+    std::copy(st->counts.begin(), st->counts.end(), rc);
+}
+
+void accelpack_raytab_fill(void* handle, int64_t r_cap, int32_t* rt) {
+    auto* st = static_cast<RaytabState*>(handle);
+    const int64_t n_cells = 6 * st->g * st->g;
+    const int64_t v_total = st->n * st->n * st->n;
+    std::fill(rt, rt + n_cells * r_cap, int32_t(-1));
+    // scatter packed (radius bits << 32 | voxel id) keys per cell, sort
+    // each cell's run, emit the low ids: every cell's rays come out
+    // ordered by (origin radius, voxel id) — so the pack walk slices
+    // big cells into radius-banded strips with NO per-build sort and no
+    // random 67 MB s0 lookups (this table is cached per (n, g)).
+    std::vector<int64_t> offs(static_cast<size_t>(n_cells) + 1, 0);
+    for (int64_t c = 0; c < n_cells; ++c) {
+        offs[static_cast<size_t>(c) + 1] =
+            offs[static_cast<size_t>(c)] + st->counts[static_cast<size_t>(c)];
+    }
+    std::vector<uint64_t> keys(static_cast<size_t>(v_total));
+    std::vector<int64_t> pos(offs.begin(), offs.end() - 1);
+    for (int64_t v = 0; v < v_total; ++v) {
+        const uint32_t c = st->cells[static_cast<size_t>(v)];
+        keys[static_cast<size_t>(pos[c]++)] =
+            (static_cast<uint64_t>(st->rbits[static_cast<size_t>(v)])
+             << 32) |
+            static_cast<uint64_t>(static_cast<uint32_t>(v));
+    }
+    for (int64_t c = 0; c < n_cells; ++c) {
+        uint64_t* beg = keys.data() + offs[static_cast<size_t>(c)];
+        uint64_t* end = keys.data() + offs[static_cast<size_t>(c) + 1];
+        std::sort(beg, end);
+        int32_t* dst = rt + c * r_cap;
+        for (uint64_t* p = beg; p != end; ++p) {
+            *dst++ = static_cast<int32_t>(*p & 0xFFFFFFFF);
+        }
+    }
+}
+
+void accelpack_raytab_free(void* handle) {
+    delete static_cast<RaytabState*>(handle);
 }
 
 }  // extern "C"

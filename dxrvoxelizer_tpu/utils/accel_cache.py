@@ -28,7 +28,11 @@ import zipfile
 
 import numpy as np
 
-_FORMAT = 4  # bump when RaystabCompact2's layout or packing contract changes
+_FORMAT = 7  # bump when RaystabCompact2's layout or packing contract
+# changes (5: numpy cone-key binning — libm transcendentals can move a
+# boundary rectangle one cell vs the old XLA:CPU build; 6-7: per-class
+# vc padding follows raystab_pallas.cells_per_step_for incl. its
+# vc-bounded padding rule)
 # (2: gen-5 lane-aligned tables; 3: lane-aligned only for K >= LANE_MIN_K;
 #  4: compact binning product only — assembly re-runs on load)
 
@@ -43,15 +47,20 @@ def default_cache_dir() -> str:
 
 
 def _accel_key(verts_h, tris_h, n: int, gs, span: int,
-               pad: float = 0.0) -> str:
+               pad: float = 0.0, pad_dirs_h=None) -> str:
     import hashlib
 
     h = hashlib.sha256()
     tag = f"fmt{_FORMAT}|n{n}|gs{gs}|span{span}"
     if pad:  # pad extends the key only when set: old entries stay valid
         tag += f"|pad{pad!r}"
+    if pad_dirs_h is not None:  # directional (capsule) pads: key on dirs
+        tag += "|dirs"
     h.update(tag.encode())
-    for a in (verts_h, tris_h):
+    arrays = (verts_h, tris_h) if pad_dirs_h is None else (
+        verts_h, tris_h, pad_dirs_h
+    )
+    for a in arrays:
         arr = np.ascontiguousarray(a)
         h.update(str(arr.dtype).encode())
         h.update(str(arr.shape).encode())
@@ -127,13 +136,14 @@ def load_compact2(path: str):
 
 def cached_compact2(
     verts_norm, tris, n: int = 64, gs=None, span: int = 8,
-    pad: float = 0.0, cache_dir: str | None = None,
+    pad: float = 0.0, cache_dir: str | None = None, pad_dirs=None,
 ):
     """build_raystab_compact2 behind the on-disk cache.
 
-    Key: sha256 of (geometry bytes, n, gs, span, pad, format) — normals
-    are NOT in the key (they don't influence binning/packing). Miss ->
-    bin/pack + persist; hit -> load.
+    Key: sha256 of (geometry bytes, n, gs, span, pad, pad_dirs bytes,
+    format) — normals are NOT in the key (they don't influence
+    binning/packing; pad_dirs ARE — directional pads shape the bins).
+    Miss -> bin/pack + persist; hit -> load.
     """
     import jax
 
@@ -141,13 +151,20 @@ def cached_compact2(
 
     root = cache_dir or default_cache_dir()
     if str(root) in ("0", "off", "none"):
-        return build_raystab_compact2(verts_norm, tris, n, gs, span, pad)
+        return build_raystab_compact2(
+            verts_norm, tris, n, gs, span, pad, pad_dirs
+        )
     verts_h, tris_h = jax.device_get((verts_norm, tris))
-    key = _accel_key(verts_h, tris_h, n, gs, span, pad)
+    dirs_h = None if pad_dirs is None else np.asarray(
+        jax.device_get(pad_dirs), np.float32
+    )
+    key = _accel_key(verts_h, tris_h, n, gs, span, pad, dirs_h)
     path = os.path.join(root, key + ".npz")
     compact = load_compact2(path)
     if compact is None:
-        compact = build_raystab_compact2(verts_norm, tris, n, gs, span, pad)
+        compact = build_raystab_compact2(
+            verts_norm, tris, n, gs, span, pad, dirs_h
+        )
         try:
             save_compact2(path, compact)
         except OSError:

@@ -45,10 +45,15 @@ class VoxelizerConfig:
     # shear-warp intermediate resolution cap (128 = speed, up to 512 =
     # sharper hi-res renders; the -quality flag raises it)
     intermediate_cap: int = 128
-    # shear-warp z-supersampling factor (the -hq high-fidelity mode):
-    # ss sub-slabs per voxel slab, z-LERPed so every sample is fully
-    # trilinear like the reference's 128-step march (PSRayCast.hlsl:117-145)
-    render_ss: int = 1
+    # shear-warp z-supersampling factor: ss sub-slabs per voxel slab,
+    # z-LERPed so every sample is fully trilinear like the reference's
+    # 128-step march (PSRayCast.hlsl:117-145). DEFAULT 2 (the -hq mode,
+    # which also selects the reference-step light sweep): the reference's
+    # quality IS its default, and the measured cost is ~0.2 ms on the
+    # 16.7 ms 1080p frame budget for a 4x accuracy win (p99 u8 error
+    # 9-15 vs 34-41 — docs/RENDER_QUALITY.md). -fast restores ss=1 +
+    # the per-slab recurrence light sweep (the speed mode).
+    render_ss: int = 2
     # the reference's _POINT_LIGHT_ compile branch (PSRayCast.hlsl:151-154):
     # per-sample light direction toward the light POINT instead of the
     # directional default
@@ -63,9 +68,18 @@ class VoxelizerConfig:
     accel_cache: bool = True
     # deforming raystab: per-vertex displacement bound (normalized space)
     # the per-frame accel REFIT absorbs (ops/raystab_refit.py, the DXR
-    # AS-update analog). The app's -deform wobble peaks at 0.04; the
-    # default leaves margin. -deformpad X overrides.
-    deform_pad: float = 0.05
+    # AS-update analog). The app's -deform wobble peaks at 0.03; the
+    # default leaves margin. Keep it TIGHT: padded-cone candidate tables
+    # grow superlinearly with the pad (64^3 dragon slot rows: 0.84M at
+    # 0.01, 1.85M at 0.03, 3.44M at 0.05 vs 0.47M static), and the refit
+    # regathers every slot each frame. -deformpad X overrides.
+    deform_pad: float = 0.035
+    # deformation direction contract for the raystab refit: "normals"
+    # (the engine's -deform wobble moves each vertex along its normal —
+    # padded candidate cones become CAPSULES, several-fold smaller) or
+    # "any" (isotropic ball bound, any displacement <= deform_pad).
+    # -deformdirs any opts out for off-axis API deformations.
+    deform_dirs: str = "normals"
     # midpoint-subdivision levels applied at load (4x tris per level) — the
     # hi-poly bench configs (BASELINE.md: the 871k-tri full Stanford dragon
     # is not shipped; the 100k decimation at -subdiv 1 is the 400k-tri
@@ -155,10 +169,19 @@ def parse_args(argv: list[str]) -> VoxelizerConfig:
             if has_value(i):
                 i += 1
                 kw["deform_pad"] = float(argv[i])
+        elif is_flag(a, "deformdirs"):
+            if has_value(i):
+                i += 1
+                kw["deform_dirs"] = argv[i].lower()
         elif is_flag(a, "hq"):
-            # high-fidelity render: 2x z-supersampling (optionally -hq N)
+            # high-fidelity render: 2x z-supersampling (optionally -hq N;
+            # the default since round 4 — kept as an explicit override)
             kw["render_ss"] = int(argv[i + 1]) if has_value(i) else 2
             if has_value(i):
                 i += 1
+        elif is_flag(a, "fast"):
+            # speed mode: no z-supersampling + the per-slab recurrence
+            # light sweep (the pre-round-4 default)
+            kw["render_ss"] = 1
         i += 1
     return cfg.replace(**kw)

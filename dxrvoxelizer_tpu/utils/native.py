@@ -213,9 +213,36 @@ def get_pack_lib():
             ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.accelpack_free.argtypes = [ctypes.c_void_p]
+        lib.accelpack_max_ids.restype = ctypes.c_longlong
+        lib.accelpack_max_ids.argtypes = [ctypes.c_void_p]
+        lib.accelpack_classes_begin.restype = ctypes.c_longlong
+        lib.accelpack_classes_begin.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p,
+        ]
+        lib.accelpack_class_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.accelpack_class_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.accelpack_dir_cells.argtypes = [
             ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
         ]
+        lib.accelpack_raytab_start.restype = ctypes.c_void_p
+        lib.accelpack_raytab_start.argtypes = [
+            ctypes.c_longlong, ctypes.c_longlong,
+        ]
+        lib.accelpack_raytab_rcap.restype = ctypes.c_longlong
+        lib.accelpack_raytab_rcap.argtypes = [ctypes.c_void_p]
+        lib.accelpack_raytab_counts.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.accelpack_raytab_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.accelpack_raytab_free.argtypes = [ctypes.c_void_p]
         _pack_lib = lib
         return _pack_lib
 
@@ -268,6 +295,96 @@ def accel_pack_native(cell_offs, cell_data, ray_table, rc, s0_p, tri_bounds):
     finally:
         lib.accelpack_free(h)
     return ray_data, ray_offs, id_data, id_offs
+
+
+def accel_pack_tables_native(cell_offs, cell_data, ray_table, rc, s0_p,
+                             tri_bounds, caps_fn, cps_fn):
+    """Pack walk + class partitioning + padded-table fills in one native
+    pass (ops/raystab_fast._pack_classes2's python body is the behavioral
+    reference). ``caps_fn(max_k) -> ascending capacity list``;
+    ``cps_fn(k) -> row-padding quantum`` for each capacity (the kernel's
+    strips-per-grid-step, ops/raystab_pallas.cells_per_step_for). Returns
+    a list of (rt128 [vc_pad,128] i32, tab [vc_pad,k] i32, vc) or None
+    when the native library is unavailable."""
+    lib = get_pack_lib()
+    if lib is None or not hasattr(lib, "accelpack_classes_begin"):
+        return None
+    cell_offs = np.ascontiguousarray(cell_offs, np.int64)
+    cell_data = np.ascontiguousarray(cell_data, np.int64)
+    ray_table = np.ascontiguousarray(ray_table, np.int32)
+    rc = np.ascontiguousarray(rc, np.int64)
+    s0_p = np.ascontiguousarray(s0_p, np.float32)
+    if tri_bounds is not None:
+        tri_bounds = np.ascontiguousarray(tri_bounds, np.float64)
+    n_cells = cell_offs.shape[0] - 1
+    h = lib.accelpack_run(
+        cell_offs.ctypes.data_as(ctypes.c_void_p),
+        cell_data.ctypes.data_as(ctypes.c_void_p),
+        n_cells,
+        ray_table.ctypes.data_as(ctypes.c_void_p),
+        ray_table.shape[1],
+        rc.ctypes.data_as(ctypes.c_void_p),
+        s0_p.ctypes.data_as(ctypes.c_void_p),
+        tri_bounds.ctypes.data_as(ctypes.c_void_p)
+        if tri_bounds is not None else None,
+    )
+    if not h:
+        return None
+    try:
+        max_k = int(lib.accelpack_max_ids(h))
+        caps = np.ascontiguousarray(caps_fn(max_k), np.int64)
+        cps = np.ascontiguousarray(
+            [cps_fn(int(k)) for k in caps], np.int64
+        )
+        nc = int(lib.accelpack_classes_begin(
+            h, caps.ctypes.data_as(ctypes.c_void_p), caps.shape[0],
+            cps.ctypes.data_as(ctypes.c_void_p),
+        ))
+        out = []
+        info = np.empty((3,), np.int64)
+        for i in range(nc):
+            lib.accelpack_class_info(
+                h, i, info.ctypes.data_as(ctypes.c_void_p)
+            )
+            k, vc, vc_pad = (int(x) for x in info)
+            rt128 = np.empty((vc_pad, 128), np.int32)
+            tab = np.empty((vc_pad, k), np.int32)
+            lib.accelpack_class_fill(
+                h, i,
+                rt128.ctypes.data_as(ctypes.c_void_p),
+                tab.ctypes.data_as(ctypes.c_void_p),
+            )
+            out.append((rt128, tab, vc))
+    finally:
+        lib.accelpack_free(h)
+    return out
+
+
+def raytab_native(n: int, g: int):
+    """Full raytab build in C++: (ray_table [C, r_cap] i32 voxel ids / -1,
+    rc [C] i64 per-cell counts) by two linear passes (cell compute +
+    histogram, then a stable ascending counting-sort scatter) — replaces
+    the numpy argsort pipeline (~10 s -> ~3 s at 256^3 on one core).
+    Bit-identical to the numpy path (each cell's run ascends, like the
+    stable argsort). None when the toolchain is missing."""
+    lib = get_pack_lib()
+    if lib is None or not hasattr(lib, "accelpack_raytab_start"):
+        return None
+    h = lib.accelpack_raytab_start(n, g)
+    if not h:
+        return None
+    try:
+        n_cells = 6 * g * g
+        r_cap = int(lib.accelpack_raytab_rcap(h))
+        rc = np.empty((n_cells,), np.int64)
+        lib.accelpack_raytab_counts(h, rc.ctypes.data_as(ctypes.c_void_p))
+        rt = np.empty((n_cells, r_cap), np.int32)
+        lib.accelpack_raytab_fill(
+            h, r_cap, rt.ctypes.data_as(ctypes.c_void_p)
+        )
+    finally:
+        lib.accelpack_raytab_free(h)
+    return rt, rc
 
 
 def dir_cells_native(n: int, g: int):

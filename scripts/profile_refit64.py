@@ -53,7 +53,8 @@ def main() -> int:
     scene = Scene.load(VoxelizerConfig(mesh=args.mesh, grid_size=n))
     b = scene.buffers
     rf = RaystabRefitter(
-        b.positions_norm, b.tris, b.normals, n=n, pad=0.05, use_cache=True
+        b.positions_norm, b.tris, b.normals, n=n, pad=0.035,
+        use_cache=True, pad_dirs=b.normals,
     )
     tc = int(b.tris.shape[0])
 

@@ -70,7 +70,10 @@ def test_golden_render_tet():
         aabb_min=np.asarray(v, np.float32).min(axis=0),
         aabb_max=np.asarray(v, np.float32).max(axis=0),
     )
-    cfg = VoxelizerConfig(grid_size=32, width=96, height=64)
+    # the stored image is the -fast mode's (ss=1 + recurrence light
+    # sweep); pin that mode explicitly — the hq DEFAULT is pinned by
+    # test_production_render_720p_vs_reference_golden's bounds instead
+    cfg = VoxelizerConfig(grid_size=32, width=96, height=64, render_ss=1)
     scene = Scene(mesh)
     cam = OrbitCamera(cfg.width, cfg.height)
     fc = scene.update_frame(cam.eye, cam.view_proj, cfg.width, cfg.height)
@@ -123,22 +126,26 @@ def test_production_render_720p_vs_reference_golden(
     grid = VoxelGrid(words=jnp.asarray(words))
     cam = OrbitCamera(cfg.width, cfg.height)
     fc = scene.update_frame(cam.eye, cam.view_proj, cfg.width, cfg.height)
-    img = to_u8(np.asarray(render(grid, fc, cfg, impl="warp"))).astype(
+    # the DEFAULT config is the high-fidelity mode (render_ss=2 +
+    # reference-step light sweep, the quality-default decision of round 4:
+    # docs/RENDER_QUALITY.md) and must land ~4x closer to the shader-exact
+    # reference than -fast
+    assert cfg.render_ss == 2, "hq is the documented default"
+    img_hq = to_u8(np.asarray(render(grid, fc, cfg, impl="warp"))).astype(
         np.int32
     )
-    err = np.abs(img - golden)
-    mean_b, p99_b, max_b = RENDER_BOUNDS[name]
-    assert err.mean() < mean_b, err.mean()
-    assert np.percentile(err, 99) < p99_b, np.percentile(err, 99)
-    assert err.max() < max_b, err.max()
-
-    # -hq high-fidelity mode: 2x z-supersampling + reference-step light
-    # sweep must land ~4x closer to the shader-exact reference
-    img_hq = to_u8(np.asarray(
-        render(grid, fc, cfg.replace(render_ss=2), impl="warp")
-    )).astype(np.int32)
     err_hq = np.abs(img_hq - golden)
     mean_b, p99_b, max_b = HQ_RENDER_BOUNDS[name]
     assert err_hq.mean() < mean_b, err_hq.mean()
     assert np.percentile(err_hq, 99) < p99_b, np.percentile(err_hq, 99)
     assert err_hq.max() < max_b, err_hq.max()
+
+    # -fast speed mode (ss=1 + per-slab recurrence light sweep)
+    img = to_u8(np.asarray(
+        render(grid, fc, cfg.replace(render_ss=1), impl="warp")
+    )).astype(np.int32)
+    err = np.abs(img - golden)
+    mean_b, p99_b, max_b = RENDER_BOUNDS[name]
+    assert err.mean() < mean_b, err.mean()
+    assert np.percentile(err, 99) < p99_b, np.percentile(err, 99)
+    assert err.max() < max_b, err.max()

@@ -345,6 +345,81 @@ def test_native_pack_matches_python_pack():
             np.testing.assert_array_equal(a, b)
 
 
+def test_native_class_tables_match_python():
+    """accel_pack_tables_native (one-call walk + class partition + padded
+    fills in C++) must reproduce the python class-table assembly array
+    for array, including the padded-refit (runified) layout."""
+    import dxrvoxelizer_tpu.ops.raystab_fast as rf
+    from dxrvoxelizer_tpu.utils import native
+
+    if native.get_pack_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    v_np, n_np, t_np = icosphere_mesh(3, radius=0.6, center=(0.15, 0.0, 0.1))
+    v, t = jnp.asarray(v_np), jnp.asarray(t_np)
+    for pad in (0.0, 0.05):
+        c_auto = rf.build_raystab_compact2(v, t, 32, pad=pad)
+        orig = native.accel_pack_tables_native
+        native.accel_pack_tables_native = lambda *a, **k: None
+        try:
+            c_py = rf.build_raystab_compact2(v, t, 32, pad=pad)
+        finally:
+            native.accel_pack_tables_native = orig
+        assert len(c_auto.classes) == len(c_py.classes)
+        for (r1, t1, b1), (r2, t2, b2) in zip(c_auto.classes, c_py.classes):
+            np.testing.assert_array_equal(r1, r2)
+            np.testing.assert_array_equal(t1, t2)
+            if b1 is None:
+                assert b2 is None
+            else:
+                np.testing.assert_array_equal(b1, b2)
+        assert c_auto.stats == c_py.stats
+
+
+def test_raytab_native_matches_numpy_and_radius_order():
+    """The C++ counting-sort raytab (accelpack_raytab_*) must equal the
+    numpy fallback bit-for-bit, and every cell's rays must ascend by
+    (origin-radius f32 bits, voxel id) — the v3 contract the pack walk's
+    strip slicing relies on."""
+    import dxrvoxelizer_tpu.ops.raystab_fast as rf
+    from dxrvoxelizer_tpu.ops.packing import voxel_centers_norm
+    from dxrvoxelizer_tpu.utils import native
+
+    if native.get_pack_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    n, g = 16, 8
+    nat = native.raytab_native(n, g)
+    assert nat is not None
+    orig = native.raytab_native
+    native.raytab_native = lambda *a, **k: None
+    rf._ray_table_filled.cache_clear()
+    try:
+        rt_p, rc_p = rf._ray_table_filled(n, g)
+    finally:
+        native.raytab_native = orig
+        rf._ray_table_filled.cache_clear()
+    np.testing.assert_array_equal(nat[0], np.asarray(rt_p))
+    np.testing.assert_array_equal(nat[1], np.asarray(rc_p))
+    # radius ordering within each cell
+    cx, cy, cz = voxel_centers_norm(n)
+    pos = np.stack(
+        np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1
+    ).reshape(-1, 3).astype(np.float32)
+    r = np.sqrt((pos * pos).sum(-1, dtype=np.float32))
+    key = (r.view(np.uint32).astype(np.uint64) << np.uint64(32)) | np.arange(
+        n ** 3, dtype=np.uint64
+    )
+    rt, rc = nat
+    for c in range(rt.shape[0]):
+        row = rt[c, : rc[c]]
+        k = key[row]
+        assert (k[1:] > k[:-1]).all()
+
+
 def test_accel_build_native_and_python_paths_identical():
     """build_raystab_accel2 through the native packer == through the
     pure-Python fallback, array for array."""
@@ -357,11 +432,14 @@ def test_accel_build_native_and_python_paths_identical():
     v, nr, t = jnp.asarray(v_np), jnp.asarray(n_np), jnp.asarray(t_np)
     a_auto = rf.build_raystab_accel2(v, t, nr, n=16)
     orig = native.accel_pack_native
+    orig_t = native.accel_pack_tables_native
     native.accel_pack_native = lambda *a, **k: None
+    native.accel_pack_tables_native = lambda *a, **k: None
     try:
         a_py = rf.build_raystab_accel2(v, t, nr, n=16)
     finally:
         native.accel_pack_native = orig
+        native.accel_pack_tables_native = orig_t
     assert a_auto.stats == a_py.stats
     la = jtu.tree_leaves((a_auto.levels, a_auto.ov_dense, a_auto.sort_keys))
     lp = jtu.tree_leaves((a_py.levels, a_py.ov_dense, a_py.sort_keys))

@@ -82,6 +82,40 @@ def test_refit_bitexact_vs_radial_oracle_deformed(phase):
     assert bool((rgba == rgba_r).all())
 
 
+@pytest.mark.parametrize("phase", [0.25, 0.6], ids=["p25", "p60"])
+def test_directional_refit_bitexact_vs_oracle(phase):
+    """pad_dirs=normals (the app's -deform contract: displacement along
+    vertex normals only) builds the capsule/6-point-hull padded bins
+    (raystab_fast._capsule_params + the corner-extrema rectangles) —
+    ~2x smaller candidate tables than the isotropic ball on the dragon,
+    and still bit-exact vs the radial oracle on every deformed frame."""
+    v, nr, t = _jx(icosphere_mesh(2))
+    n = 32
+    rf = RaystabRefitter(v, t, nr, n=n, pad=0.06, pad_dirs=nr)
+    v_t = _wobble(v, nr, amp=0.055, phase=phase)  # near the pad bound
+    accel_t = rf.refit(v_t, nr, check=True)
+    occ, rgba = raystab_query2(v_t, nr, t, accel_t, interpret=True)
+    occ_r, rgba_r = voxelize_raystab_radial_ref(
+        v_t, nr, t, n=n, ray_chunk=2048
+    )
+    assert bool((occ == occ_r).all())
+    assert bool((rgba == rgba_r).all())
+
+
+def test_directional_refit_check_rejects_off_axis():
+    """refit(check=True) must reject displacements off the declared
+    pad_dirs axis (the directional bins are not conservative for them)."""
+    v, nr, t = _jx(icosphere_mesh(1))
+    rf = RaystabRefitter(v, t, nr, n=32, pad=0.06, pad_dirs=nr)
+    tangent = np.cross(np.asarray(nr), np.array([0.3, 0.9, 0.1]))
+    tangent /= np.maximum(
+        np.linalg.norm(tangent, axis=-1, keepdims=True), 1e-9
+    )
+    v_t = v + 0.03 * jnp.asarray(tangent.astype(np.float32))
+    with pytest.raises(RuntimeError, match="off-axis"):
+        rf.refit(v_t, check=True)
+
+
 def test_refit_near_origin_mesh():
     """A mesh whose padded cones reach the origin exercises the overflow
     refit path."""
