@@ -109,11 +109,22 @@ def main() -> int:
                 b = min(b, time.perf_counter() - t0)
             return b
 
-        dt = (best(fb) - best(fa)) / (rb - ra)
-        print(f"# {label}: {dt*1e3:.3f} ms/iter (slope r={ra}->{rb})",
+        # TWO independent slope samples (round-4 verdict: single-sample
+        # secondaries could not distinguish tunnel noise from real
+        # regressions). Report the min; when the samples disagree by
+        # > 20% the number is noise-suspect and the spread is recorded
+        # as its own machine-readable secondary.
+        s1 = (best(fb) - best(fa)) / (rb - ra)
+        s2 = (best(fb) - best(fa)) / (rb - ra)
+        dt = min(s1, s2)
+        spread = abs(s1 - s2) / max(dt, 1e-12)
+        tag = f"  [spread {spread:.0%}]" if spread > 0.2 else ""
+        print(f"# {label}: {dt*1e3:.3f} ms/iter (slope r={ra}->{rb}){tag}",
               file=sys.stderr)
         if key is not None:
             secondaries[key] = round(dt * 1e3, 4)
+            if spread > 0.2:
+                secondaries[f"{key}_spread"] = round(spread, 2)
         return dt
 
     from contextlib import contextmanager
@@ -152,11 +163,16 @@ def main() -> int:
     # ---- binning (acceleration-structure rebuild, incl. one host sync) ------
     # (the build_queue above already compiled + host-synced the binning
     # graphs, so the timer below sees steady-state rebuild cost only)
-    t0 = time.perf_counter()
-    for _ in range(3):
+    # min-of-5, each run individually fenced: the eager rebuild includes
+    # several tunnel round-trips whose latency is the dominant noise
+    # source (round-4: 167 -> 751 ms on untouched code was exactly this
+    # — a mean-of-3 with one shared fence soaked up a tunnel stall)
+    bin_s = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
         c3, _, _, _, _ = build_queue(verts, tris, n, k_chunk=64)
-    _ = float(c3[0, 0])
-    bin_s = (time.perf_counter() - t0) / 3
+        _ = float(c3[0, 0])
+        bin_s = min(bin_s, time.perf_counter() - t0)
     print(f"# binning rebuild: {bin_s*1e3:.1f} ms (incl. dispatch overhead)",
           file=sys.stderr)
     secondaries["binning_rebuild_ms"] = round(bin_s * 1e3, 4)
@@ -332,6 +348,32 @@ def main() -> int:
                 1.0 / max(fr_s, 1e-9), 1
             )
 
+        # ---- WHOLE static frame, SHIPPED default config (-hq): the app
+        # default is render_ss=2 + reference-step light field
+        # (utils/config.py render_ss; round-4 verdict weak #4 — the
+        # default product frame must be the thing the bench measures) ----
+        with guarded("static_frame_256_hq"):
+            def frame_hq_body(carry, _):
+                words = sv(perturb=carry)
+                dens = unpack_bits_z(words, n).astype(jnp.float32)
+                lvr = light_sweep_ref(
+                    dens, jnp.asarray(light_np), n, lr_axis256, lr_flip256,
+                    lr_d0256,
+                )
+                img = _shearwarp_core(
+                    dens, lvr, s2l, eye, clear, n, 128,
+                    cfg64.width, cfg64.height, axis, flip, swap, True,
+                    ss=2,
+                )
+                return img[0, 0, 0], None
+
+            frh_s = slope(frame_hq_body, (10, 40),
+                          f"WHOLE static frame {n}^3 (-hq default config)",
+                          key=f"static_frame_{n}_hq_ms")
+            secondaries[f"static_frame_{n}_hq_fps"] = round(
+                1.0 / max(frh_s, 1e-9), 1
+            )
+
         # ---- hi-res 512^3 (stress config, BASELINE.json) --------------------
         s512 = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=512))
         c512, ct5, cf5, cl5, _ = build_queue(
@@ -346,6 +388,33 @@ def main() -> int:
 
         slope(vox512_body, (10, 40), "dragon 512^3 voxelize kernel",
               key="voxelize_512_ms")
+
+        # ---- 1080p render from the 512^3 grid (round-4 verdict weak #8:
+        # the long-axis scaling story was voxelize-only; this is the
+        # render half — same shear-warp pipeline, 512-deep volume) -------
+        with guarded("render_512"):
+            words512 = voxelize_parity_queue_run(
+                c512, ct5h, cf5h, cl5h, 512, k_chunk=64
+            )
+            density512 = unpack_bits_z(words512, 512).astype(jnp.float32)
+            lv512 = light_sweep(density512, jnp.asarray(light_np), 512,
+                                l_axis, l_flip)
+
+            def render512_body(carry, _):
+                d2 = density512 + carry * 1e-38
+                img = _shearwarp_core(
+                    d2, lv512, s2l, eye, clear, 512, 128,
+                    cfg64.width, cfg64.height, axis, flip, swap, True,
+                )
+                return img[0, 0, 0], None
+
+            rm512_s = slope(render512_body, (5, 20),
+                            "shear-warp render 1080p (512^3 grid)",
+                            key="render_1080p_grid512_ms")
+            secondaries["render_1080p_grid512_fps"] = round(
+                1.0 / max(rm512_s, 1e-9), 1
+            )
+            del words512, density512, lv512
 
         # ---- 1024^3 (the "long axis" scaling config: 1.07B voxels) ----------
         s1k = Scene.load(VoxelizerConfig(mesh="dragon.obj", grid_size=1024))

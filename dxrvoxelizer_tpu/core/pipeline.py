@@ -314,6 +314,7 @@ class FramePipeline:
         self._deformer = None  # lazy DeformingVoxelizer (fixed topology)
         self._rest_mesh = mesh  # the refit pad is anchored to this pose
         self._refitter = None  # lazy RaystabRefitter (deforming raystab)
+        self._refit_checked = False  # first-frame contract check done?
         self._static_vox = None  # build-once parity queue (static meshes)
         self._static_vox_mesh = None
 
@@ -356,8 +357,16 @@ class FramePipeline:
                     use_cache=getattr(self.cfg, "accel_cache", True),
                     pad_dirs=dirs,
                 )
+            # validate the deformation contract (magnitude, axis, |s|
+            # bound) on the FIRST refit frame — one host sync, then
+            # trust the caller (ADVICE r4: check=False every frame let
+            # an out-of-contract deformation silently produce
+            # non-conservative tables)
+            do_check = not self._refit_checked
+            self._refit_checked = True
             return self._refitter.refit(
-                self.mesh.positions_norm, self.mesh.normals
+                self.mesh.positions_norm, self.mesh.normals,
+                check=do_check,
             )
         if self._stab_accel is None or self._stab_mesh is not self.mesh:
             if jax.default_backend() == "cpu":

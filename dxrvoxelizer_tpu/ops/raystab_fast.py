@@ -1052,6 +1052,12 @@ def raystab_query(
     backend supports it). A :class:`RaystabAccel2` routes to the gen-2
     radial query regardless of ``impl``.
     """
+    if type(accel).__name__ == "RaystabAccel7":
+        from dxrvoxelizer_tpu.ops.raystab_tiled import raystab_query7
+
+        return raystab_query7(
+            verts_norm, normals, tris, accel, threshold, interpret
+        )
     if isinstance(accel, RaystabAccel2):
         return raystab_query2(
             verts_norm, normals, tris, accel, threshold, interpret
@@ -1563,9 +1569,14 @@ def _pack_classes2(cell_ids, ray_table, rc, s0_p, tri_bounds):
         if tri_bounds is None or k <= 256:
             return None
         # chunk lower bound on t = (min candidate R in chunk) - (max
-        # ray origin radius in strip); candidates ascend by bound so
-        # the chunk minimum is its first entry — gather only the
-        # chunk-head columns, not the full [rows, k] bound table
+        # ray origin radius in strip). Candidates ascend by the 40-bit-
+        # TRUNCATED bound key (the native packer's packed u64 sort), so
+        # within a truncation tie the chunk head can sit ~2^-28 relative
+        # ABOVE the true chunk minimum; the skip stays conservative only
+        # because tri_bounds carries the 1e-3 relative / 1e-6 absolute
+        # slack applied at build — neither margin may be tightened
+        # without revisiting the other (ADVICE r4). Gather only the
+        # chunk-head columns, not the full [rows, k] bound table.
         tab_sub = tab[:, ::256]  # [rows, k//256] chunk heads
         chunk_lo = np.where(
             tab_sub >= 0, tri_bounds[np.maximum(tab_sub, 0)], np.inf

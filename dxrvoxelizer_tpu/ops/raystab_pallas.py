@@ -732,7 +732,7 @@ def _fold_extract_kernel6(*refs, kblk: int, shared: bool, skip: bool,
 
 
 @partial(jax.jit, static_argnames=("k", "shared", "interpret", "t_count",
-                                   "threshold", "rule"))
+                                   "threshold", "rule", "cps_override"))
 def stab_fold_extract3(
     rays: jnp.ndarray,   # [C, 8, 128] f32 (dx dy dz s0 rows)
     coefs: jnp.ndarray,  # [C, 12, K] f32 (or [12, K] when shared)
@@ -744,6 +744,7 @@ def stab_fold_extract3(
     interpret: bool = False,
     bounds: jnp.ndarray | None = None,
     rule: str = "backface",
+    cps_override: int | None = None,
 ):
     """Gen-6 fused query over lane-aligned (transposed) candidate tables.
 
@@ -758,7 +759,14 @@ def stab_fold_extract3(
     # interpret mode (the CPU CI path) keeps the base batching: a 64-strip
     # step is 8x the python-level trace and brings no step-overhead win
     # off-hardware
-    cps = CELLS_PER_STEP if interpret else cells_per_step_for(k, c)
+    # cps_override: test hook — interpret mode otherwise pins the base
+    # batching, leaving the cps>8 index math (loop ranges, block specs,
+    # scratch shapes) exercised only on real TPUs (ADVICE r4)
+    if cps_override is not None:
+        cps = cps_override
+        assert c % cps == 0
+    else:
+        cps = CELLS_PER_STEP if interpret else cells_per_step_for(k, c)
     steps = c // cps
     k_steps = k // kblk
     skip = bounds is not None and k_steps > 1 and not shared
@@ -825,7 +833,7 @@ def stab_fold_extract3(
 
 
 @partial(jax.jit, static_argnames=("k", "shared", "interpret", "t_count",
-                                   "threshold", "rule"))
+                                   "threshold", "rule", "cps_override"))
 def stab_fold_extract2(
     rays: jnp.ndarray,   # [C, 8, 128] f32 (dx dy dz s0 rows)
     coefs: jnp.ndarray,  # [C, K, 12] f32 (or [K, 12] when shared)
@@ -837,6 +845,7 @@ def stab_fold_extract2(
     interpret: bool = False,
     bounds: jnp.ndarray | None = None,
     rule: str = "backface",
+    cps_override: int | None = None,
 ):
     """Fused closest-hit + winner extraction + in-slot finalize.
 
@@ -850,7 +859,14 @@ def stab_fold_extract2(
     # interpret mode (the CPU CI path) keeps the base batching: a 64-strip
     # step is 8x the python-level trace and brings no step-overhead win
     # off-hardware
-    cps = CELLS_PER_STEP if interpret else cells_per_step_for(k, c)
+    # cps_override: test hook — interpret mode otherwise pins the base
+    # batching, leaving the cps>8 index math (loop ranges, block specs,
+    # scratch shapes) exercised only on real TPUs (ADVICE r4)
+    if cps_override is not None:
+        cps = cps_override
+        assert c % cps == 0
+    else:
+        cps = CELLS_PER_STEP if interpret else cells_per_step_for(k, c)
     steps = c // cps
     assert k % kblk == 0, f"k={k} not a multiple of K_BLOCK={K_BLOCK}"
     k_steps = k // kblk

@@ -290,28 +290,19 @@ class RaystabRefitter:
         is bit-exact because the values are unchanged.
         ``check=True`` host-syncs to verify the displacement bound."""
         if check:
-            d = jnp.asarray(verts_norm) - self._verts_rest
-            disp = float(jnp.max(jnp.linalg.norm(d, axis=-1)))
-            if disp > self.pad:
-                raise RuntimeError(
-                    f"deformation {disp:.4f} exceeds the refit pad "
-                    f"{self.pad:.4f}; rebuild the refitter with more"
-                )
-            if self._pad_dirs is not None:
-                # directional contract: displacement must be ALONG the
-                # declared axis (v' = v + s*dir, |s| <= pad)
-                dirs = self._pad_dirs
-                dd = jnp.sum(dirs * dirs, axis=-1)
-                s = jnp.sum(d * dirs, axis=-1) / jnp.maximum(dd, 1e-30)
-                resid = float(jnp.max(jnp.linalg.norm(
-                    d - s[:, None] * dirs, axis=-1
-                )))
-                if resid > 1e-5:
-                    raise RuntimeError(
-                        f"off-axis deformation {resid:.2e} violates the "
-                        "directional refit contract (pad_dirs); rebuild "
-                        "with pad_dirs=None for an isotropic bound"
-                    )
+            from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                check_deform_contract,
+            )
+
+            # shared validator (gen-6 + gen-7): magnitude for isotropic
+            # pads; axis residual AND the PARAMETER bound max|s| <= pad
+            # for directional pads — the capsule tables bound |s|, not
+            # the displacement, so non-unit pad_dirs could otherwise
+            # pass |disp| <= pad while |s| > pad (ADVICE r4)
+            check_deform_contract(
+                jnp.asarray(verts_norm), self._verts_rest, self.pad,
+                self._pad_dirs,
+            )
         if normals is self._normals_rest:
             normals = None  # same object -> same values -> reuse tables
         return self.refit_with_state(

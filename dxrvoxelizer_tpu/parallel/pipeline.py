@@ -94,6 +94,7 @@ class ShardedFramePipeline:
         self._inflight: list[jax.Array] = []
         self.accel = None
         self.refitter = None
+        self._refit_checked = False
         if cfg.inside_mode == "raystab":
             if deforming:
                 # rest-pose padded AS + per-frame refit under the same
@@ -184,6 +185,20 @@ class ShardedFramePipeline:
             self.mesh.normals if self.refitter is not None
             else self.mesh.tris
         )
+        if self.refitter is not None and not self._refit_checked:
+            # validate the deformation contract on the first refit frame
+            # (one host sync; ADVICE r4 — the sharded frame itself
+            # refits with no check every frame)
+            from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                check_deform_contract,
+            )
+
+            check_deform_contract(
+                jnp.asarray(self.mesh.positions_norm),
+                self.refitter._verts_rest, self.refitter.pad,
+                self.refitter._pad_dirs,
+            )
+            self._refit_checked = True
         img = fn(
             self.mesh.positions_norm, second,
             jnp.asarray(consts.screen_to_local),

@@ -109,6 +109,63 @@ def _make_run_class(mesh: Mesh, t_count: int, threshold: float, rule: str,
 
 @partial(
     jax.jit,
+    static_argnames=("n", "tile", "threshold", "ks", "t_count",
+                     "interpret", "rule", "mesh"),
+)
+def _sharded_query7(
+    classes, n: int, tile: tuple, threshold: float, ks: tuple,
+    t_count: int, interpret: bool, rule: str, mesh: Mesh,
+):
+    """Gen-7 (tiled, sort-free) sharded query: each class's TILE axis
+    shards over the mesh through the same padded run_class wrapper as
+    gen-4 strips (tiles are independent rows of the same fused kernels);
+    the merge is the gen-7 row scatter + un-tiling reshape on the
+    gathered channel streams — no sort, so the per-frame cross-chip
+    traffic is just the [tiles, 4, 128] channels."""
+    rep = NamedSharding(mesh, P())
+    classes = jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, rep), classes
+    )
+    run_class = _make_run_class(mesh, t_count, threshold, rule, interpret)
+    tx, ty, tz = tile
+    v = n * n * n
+    nt = v // 128
+    out = jnp.zeros((nt + 1, 4, 128), jnp.float32)
+    for (rays, coefs, ntab, bounds, tids), k in zip(classes, ks):
+        _t, _i, ns = run_class(rays, coefs, ntab, k, bounds, False)
+        idx = jnp.where(tids < 0, nt, tids)
+        out = out.at[idx].set(ns)
+    rgba = (
+        out[:nt]
+        .reshape(n // tx, n // ty, n // tz, 4, tx, ty, tz)
+        .transpose(0, 4, 1, 5, 2, 6, 3)
+        .reshape(n, n, n, 4)
+    )
+    return (rgba[..., 3] != 0.0), rgba
+
+
+def raystab_query7_sharded(
+    verts_norm: jnp.ndarray,
+    normals: jnp.ndarray,
+    tris: jnp.ndarray,
+    accel,
+    mesh: Mesh,
+    threshold: float = INSIDE_THRESHOLD,
+    interpret: bool = False,
+    rule: str = "backface",
+):
+    """Multi-chip gen-7 trace -> (occupancy, rgba), bit-identical to
+    :func:`~dxrvoxelizer_tpu.ops.raystab_tiled.raystab_query7`."""
+    del verts_norm, normals
+    ks = tuple(table_k(c[1]) for c in accel.classes)
+    return _sharded_query7(
+        accel.classes, accel.n, accel.tile, threshold, ks,
+        int(tris.shape[0]), interpret, rule, mesh,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("n", "threshold", "ks", "ov_k", "t_count", "interpret",
                      "rule", "mesh"),
 )
@@ -187,10 +244,14 @@ def sharded_frame_raystab(
     """
     from dxrvoxelizer_tpu.ops.packing import quantize_r10g10b10a2
 
-    ks = tuple(
-        tuple(table_k(c[1]) for c in level) for level in accel.levels
-    )
-    ov_k = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
+    tiled = type(accel).__name__ == "RaystabAccel7"
+    if tiled:
+        ks7 = tuple(table_k(c[1]) for c in accel.classes)
+    else:
+        ks = tuple(
+            tuple(table_k(c[1]) for c in level) for level in accel.levels
+        )
+        ov_k = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
     render = _make_band_renderer(
         mesh, n, width, height, statics, interpret, render_impl,
         n_samples, n_light, point_light,
@@ -204,11 +265,17 @@ def sharded_frame_raystab(
             lambda x: jax.lax.with_sharding_constraint(x, rep),
             (s2l, eye, light, clear),
         )
-        _, rgba = _sharded_query2(
-            accel.levels, accel.sort_keys, accel.ov_dense, n,
-            float(threshold), ks, ov_k, t_count, interpret, "backface",
-            mesh,
-        )
+        if tiled:
+            _, rgba = _sharded_query7(
+                accel.classes, n, accel.tile, float(threshold), ks7,
+                t_count, interpret, "backface", mesh,
+            )
+        else:
+            _, rgba = _sharded_query2(
+                accel.levels, accel.sort_keys, accel.ov_dense, n,
+                float(threshold), ks, ov_k, t_count, interpret, "backface",
+                mesh,
+            )
         density = quantize_r10g10b10a2(rgba)[..., 3]
         return render(density, s2l, eye, light, clear)
 
@@ -306,10 +373,14 @@ def sharded_frame_raystab_deforming(
 
     t_count = int(refitter.tris.shape[0])
     acc0 = refitter.rest_accel
-    ks = tuple(
-        tuple(table_k(c[1]) for c in level) for level in acc0.levels
-    )
-    ov_k = table_k(acc0.ov_dense[1]) if acc0.ov_dense else 0
+    tiled = type(acc0).__name__ == "RaystabAccel7"
+    if tiled:
+        ks7 = tuple(table_k(c[1]) for c in acc0.classes)
+    else:
+        ks = tuple(
+            tuple(table_k(c[1]) for c in level) for level in acc0.levels
+        )
+        ov_k = table_k(acc0.ov_dense[1]) if acc0.ov_dense else 0
     state = refitter.device_state()
     render = _make_band_renderer(
         mesh, n, width, height, statics, interpret, render_impl,
@@ -324,11 +395,17 @@ def sharded_frame_raystab_deforming(
             (verts_norm, normals, s2l, eye, light, clear),
         )
         acc = refitter.refit_with_state(state, verts_norm, normals)
-        _, rgba = _sharded_query2(
-            acc.levels, acc.sort_keys, acc.ov_dense, n,
-            float(threshold), ks, ov_k, t_count, interpret, "backface",
-            mesh,
-        )
+        if tiled:
+            _, rgba = _sharded_query7(
+                acc.classes, n, acc.tile, float(threshold), ks7,
+                t_count, interpret, "backface", mesh,
+            )
+        else:
+            _, rgba = _sharded_query2(
+                acc.levels, acc.sort_keys, acc.ov_dense, n,
+                float(threshold), ks, ov_k, t_count, interpret, "backface",
+                mesh,
+            )
         density = quantize_r10g10b10a2(rgba)[..., 3]
         return render(density, s2l, eye, light, clear)
 

@@ -43,6 +43,30 @@ struct AccelPackResult {
     std::vector<PackClass> classes;
 };
 
+// Direction -> cubemap cell id: THE single C++ implementation of the
+// cell-assignment math (bit-identical to ops/raystab_fast._dir_cells_host:
+// same f32 expressions, np.argmax first-max tie rule, trunc-toward-zero
+// cast). Both accelpack_dir_cells and the raytab builder call this —
+// a divergent copy here would silently split the persistent raytab cache
+// from the binning path (ADVICE r4).
+inline uint32_t dir_cell_one(float x, float y, float z, float half_g,
+                             int64_t g, int64_t gg) {
+    const float ax = x < 0 ? -x : x;
+    const float ay = y < 0 ? -y : y;
+    const float az = z < 0 ? -z : z;
+    const int a = (ax >= ay) ? (ax >= az ? 0 : 2) : (ay >= az ? 1 : 2);
+    const float da = a == 0 ? x : (a == 1 ? y : z);
+    const float db = a == 0 ? y : x;  // _OTHERS[a, 0]
+    const float dc = a == 2 ? y : z;  // _OTHERS[a, 1]
+    const float ada = da < 0 ? -da : da;
+    int64_t iu = static_cast<int64_t>((db / ada + 1.0f) * half_g);
+    int64_t iv = static_cast<int64_t>((dc / ada + 1.0f) * half_g);
+    iu = iu < 0 ? 0 : (iu > g - 1 ? g - 1 : iu);
+    iv = iv < 0 ? 0 : (iv > g - 1 ? g - 1 : iv);
+    const int64_t f = 2 * a + (da < 0 ? 1 : 0);
+    return static_cast<uint32_t>(f * gg + iu * g + iv);
+}
+
 }  // namespace
 
 extern "C" {
@@ -285,28 +309,12 @@ void accelpack_dir_cells(int64_t n, int64_t g, int64_t* out) {
     int64_t v = 0;
     for (int64_t i = 0; i < n; ++i) {
         const float x = t[static_cast<size_t>(i)];
-        const float ax = x < 0 ? -x : x;
         for (int64_t j = 0; j < n; ++j) {
             const float y = -t[static_cast<size_t>(j)];
-            const float ay = y < 0 ? -y : y;
             for (int64_t k = 0; k < n; ++k, ++v) {
                 const float z = t[static_cast<size_t>(k)];
-                const float az = z < 0 ? -z : z;
-                // np.argmax's first-max tie rule
-                const int a = (ax >= ay) ? (ax >= az ? 0 : 2)
-                                         : (ay >= az ? 1 : 2);
-                const float da = a == 0 ? x : (a == 1 ? y : z);
-                const float db = a == 0 ? y : x;  // _OTHERS[a, 0]
-                const float dc = a == 2 ? y : z;  // _OTHERS[a, 1]
-                const float ada = da < 0 ? -da : da;
-                int64_t iu =
-                    static_cast<int64_t>((db / ada + 1.0f) * half_g);
-                int64_t iv =
-                    static_cast<int64_t>((dc / ada + 1.0f) * half_g);
-                iu = iu < 0 ? 0 : (iu > g - 1 ? g - 1 : iu);
-                iv = iv < 0 ? 0 : (iv > g - 1 ? g - 1 : iv);
-                const int64_t f = 2 * a + (da < 0 ? 1 : 0);
-                out[v] = f * gg + iu * g + iv;
+                out[v] = static_cast<int64_t>(
+                    dir_cell_one(x, y, z, half_g, g, gg));
             }
         }
     }
@@ -331,24 +339,6 @@ struct RaytabState {
     std::vector<uint32_t> rbits;   // per voxel: origin-radius f32 bits
     std::vector<int64_t> counts;   // per cell
 };
-
-inline uint32_t dir_cell_one(float x, float y, float z, float half_g,
-                             int64_t g, int64_t gg) {
-    const float ax = x < 0 ? -x : x;
-    const float ay = y < 0 ? -y : y;
-    const float az = z < 0 ? -z : z;
-    const int a = (ax >= ay) ? (ax >= az ? 0 : 2) : (ay >= az ? 1 : 2);
-    const float da = a == 0 ? x : (a == 1 ? y : z);
-    const float db = a == 0 ? y : x;
-    const float dc = a == 2 ? y : z;
-    const float ada = da < 0 ? -da : da;
-    int64_t iu = static_cast<int64_t>((db / ada + 1.0f) * half_g);
-    int64_t iv = static_cast<int64_t>((dc / ada + 1.0f) * half_g);
-    iu = iu < 0 ? 0 : (iu > g - 1 ? g - 1 : iu);
-    iv = iv < 0 ? 0 : (iv > g - 1 ? g - 1 : iv);
-    const int64_t f = 2 * a + (da < 0 ? 1 : 0);
-    return static_cast<uint32_t>(f * gg + iu * g + iv);
-}
 
 }  // namespace
 

@@ -172,6 +172,132 @@ def cached_compact2(
     return compact
 
 
+def save_compact7(path: str, compact) -> None:
+    """Serialize a RaystabCompact7 (gen-7 tiled compact) — same .npz +
+    manifest scheme as :func:`save_compact2`, tile-id tables instead of
+    ray tables."""
+    arrays: dict[str, np.ndarray] = {}
+    manifest = {
+        "format": _FORMAT,
+        "kind": "tiled7",
+        "n": compact.n,
+        "tile": list(compact.tile),
+        "stats": {
+            "g_fine": compact.stats.g_fine,
+            "live_tiles": compact.stats.live_tiles,
+            "dead_tiles": compact.stats.dead_tiles,
+            "pairs": compact.stats.pairs,
+            "near_origin": compact.stats.near_origin,
+            "classes": [list(x) for x in compact.stats.classes],
+        },
+        "classes": [],
+    }
+    for j, (tids, tab, bounds) in enumerate(compact.classes):
+        pre = f"C{j}_"
+        arrays[pre + "tids"] = np.asarray(tids)
+        arrays[pre + "tab"] = np.asarray(tab)
+        if bounds is not None:
+            arrays[pre + "bounds"] = np.asarray(bounds)
+        manifest["classes"].append({"bounds": bounds is not None})
+    arrays["manifest"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_compact7(path: str):
+    """Load a RaystabCompact7, or None when absent/unreadable/stale."""
+    from dxrvoxelizer_tpu.ops.raystab_tiled import (
+        Raystab7Stats,
+        RaystabCompact7,
+    )
+
+    try:
+        z = np.load(path)
+        manifest = json.loads(bytes(z["manifest"]).decode())
+        if (manifest.get("format") != _FORMAT
+                or manifest.get("kind") != "tiled7"):
+            return None
+        classes = []
+        for j, meta in enumerate(manifest["classes"]):
+            pre = f"C{j}_"
+            classes.append((
+                z[pre + "tids"],
+                z[pre + "tab"],
+                z[pre + "bounds"] if meta["bounds"] else None,
+            ))
+        st = manifest["stats"]
+        return RaystabCompact7(
+            n=manifest["n"],
+            tile=tuple(manifest["tile"]),
+            classes=tuple(classes),
+            stats=Raystab7Stats(
+                g_fine=st["g_fine"], live_tiles=st["live_tiles"],
+                dead_tiles=st["dead_tiles"], pairs=st["pairs"],
+                near_origin=st["near_origin"],
+                classes=tuple(tuple(x) for x in st["classes"]),
+            ),
+        )
+    except (OSError, KeyError, ValueError, json.JSONDecodeError,
+            zipfile.BadZipFile):
+        return None
+
+
+def cached_compact7(
+    verts_norm, tris, n: int = 64, gs=None, span: int = 8,
+    pad: float = 0.0, cache_dir: str | None = None, pad_dirs=None,
+    tile=None,
+):
+    """build_raystab_compact7 behind the on-disk cache (key scheme of
+    :func:`cached_compact2` plus a gen-7 discriminator + tile shape)."""
+    import jax
+
+    from dxrvoxelizer_tpu.ops.raystab_tiled import (
+        TILE,
+        build_raystab_compact7,
+    )
+
+    tile = TILE if tile is None else tuple(tile)
+    root = cache_dir or default_cache_dir()
+    if str(root) in ("0", "off", "none"):
+        return build_raystab_compact7(
+            verts_norm, tris, n, gs, span, pad, pad_dirs, tile=tile
+        )
+    verts_h, tris_h = jax.device_get((verts_norm, tris))
+    dirs_h = None if pad_dirs is None else np.asarray(
+        jax.device_get(pad_dirs), np.float32
+    )
+    key = _accel_key(verts_h, tris_h, n, gs, span, pad, dirs_h)
+    path = os.path.join(root, f"t7_{'x'.join(map(str, tile))}_{key}.npz")
+    compact = load_compact7(path)
+    if compact is None:
+        compact = build_raystab_compact7(
+            verts_norm, tris, n, gs, span, pad, dirs_h, tile=tile
+        )
+        try:
+            save_compact7(path, compact)
+        except OSError:
+            pass
+    return compact
+
+
+def cached_build_raystab_accel7(
+    verts_norm, tris, normals, n: int = 64, gs=None, span: int = 8,
+    cache_dir: str | None = None, pad: float = 0.0, tile=None,
+):
+    """build_raystab_accel7 behind the on-disk compact cache."""
+    from dxrvoxelizer_tpu.ops.raystab_tiled import assemble_raystab_accel7
+
+    compact = cached_compact7(
+        verts_norm, tris, n, gs, span, pad, cache_dir, tile=tile
+    )
+    return assemble_raystab_accel7(compact, verts_norm, tris, normals)
+
+
 def cached_build_raystab_accel2(
     verts_norm, tris, normals, n: int = 64, gs=None, span: int = 8,
     cache_dir: str | None = None, pad: float = 0.0,

@@ -164,7 +164,9 @@ def test_native_dir_cells_bitidentical():
 
     if native.get_pack_lib() is None:
         pytest.skip("native toolchain unavailable")
-    for n, g in ((16, 4), (32, 8), (32, 32)):
+    # incl. an ODD g (ADVICE r4: pin the single shared dir_cell_one
+    # implementation across non-power-of-two cell grids too)
+    for n, g in ((16, 4), (32, 8), (32, 32), (24, 5)):
         cx, cy, cz = voxel_centers_norm(n)
         pos = np.stack(
             np.meshgrid(cx, cy, cz, indexing="ij"), axis=-1
