@@ -543,23 +543,44 @@ def main() -> int:
                   key="raystab_query2_64_ms",
                   args=(accel.levels, accel.sort_keys, accel.ov_dense))
 
-        # hi-res raystab (beyond the reference's fixed 64^3): 128^3
+        # hi-res raystab (beyond the reference's fixed 64^3): 128^3 —
+        # the PRODUCT path at >= 128^3 is the gen-7 tiled sort-free
+        # query (ops/raystab_tiled.py; key names kept across rounds —
+        # they mean "the product raystab query at this grid")
+        def make_stab7_body(n_stab, acc7, ks7_t):
+            def with_args(a):
+                classes = a
+
+                def stab_body(carry, _):
+                    eps = carry * 1e-38
+                    cls = tuple(
+                        (c[0] + eps,) + tuple(c[1:]) for c in classes
+                    )
+                    occ, rgba = _raystab_query7(
+                        cls, n_stab, acc7.tile, ks7_t, tc, 0.12, False
+                    )
+                    return (jnp.sum(rgba * 1e-38)
+                            + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+
+                return stab_body
+
+            return with_args
+
         with guarded("raystab_query2_128"):
-            accel128 = cached_build_raystab_accel2(
+            from dxrvoxelizer_tpu.ops.raystab_tiled import _raystab_query7
+            from dxrvoxelizer_tpu.utils.accel_cache import (
+                cached_build_raystab_accel7,
+            )
+
+            accel128 = cached_build_raystab_accel7(
                 scene64.buffers.positions_norm, scene64.buffers.tris,
                 scene64.buffers.normals, 128,
             )
-            ks128 = tuple(
-                tuple(table_k(c[1]) for c in lv) for lv in accel128.levels
-            )
-            ovk128 = (
-                table_k(accel128.ov_dense[1]) if accel128.ov_dense else 0
-            )
-            slope(make_stab_body(128, ks128, ovk128), (2, 8),
-                  "dragon ray-stab gen-6 query 128^3",
+            ks128 = tuple(table_k(c[1]) for c in accel128.classes)
+            slope(make_stab7_body(128, accel128, ks128), (2, 8),
+                  "dragon ray-stab gen-7 query 128^3",
                   key="raystab_query2_128_ms",
-                  args=(accel128.levels, accel128.sort_keys,
-                        accel128.ov_dense))
+                  args=accel128.classes)
             del accel128
 
         # ---- deforming raystab: per-frame accel REFIT + query (the DXR
@@ -656,36 +677,53 @@ def main() -> int:
         # the raytab/compile caches are machine-level like the
         # reference's driver/shader caches), then the query slope.
         with guarded("raystab_256"):
-            from dxrvoxelizer_tpu.ops.raystab_fast import (
-                build_raystab_accel2,
-                fence_scalar,
+            from dxrvoxelizer_tpu.ops.raystab_fast import fence_scalar
+            from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                _raystab_query7,
+                build_raystab_accel7,
             )
 
+            from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                assemble_raystab_accel7,
+                build_raystab_compact7,
+            )
+
+            # stage split published per round-4 verdict #1: host half
+            # (binning + native tile unions + class tables) vs device
+            # half (compact upload + one-dispatch gathers + fence) —
+            # the latter is dominated by the ~3 MB/s tunnel upload of
+            # the id tables, which real-TPU deployments don't pay
             t0 = time.perf_counter()
-            accel256 = build_raystab_accel2(
-                scene64.buffers.positions_norm, scene64.buffers.tris,
-                scene64.buffers.normals, 256,
+            compact256 = build_raystab_compact7(
+                scene64.buffers.positions_norm, scene64.buffers.tris, 256,
+            )
+            host256_s = time.perf_counter() - t0
+            accel256 = assemble_raystab_accel7(
+                compact256, scene64.buffers.positions_norm,
+                scene64.buffers.tris, scene64.buffers.normals,
             )
             # fence with ONE jitted scalar over every table
             # (block_until_ready is a no-op over the tunnel; eager
             # per-leaf slices each pay a remote compile + dispatch):
             # charge the assembly to the build
-            _ = fence_scalar(jax.tree.leaves(accel256.levels))
+            _ = fence_scalar(jax.tree.leaves(accel256.classes))
             build256_s = time.perf_counter() - t0
-            print(f"# ray-stab accel 256^3 fresh build: {build256_s:.1f} s",
-                  file=sys.stderr)
+            print(f"# ray-stab accel 256^3 fresh build: {build256_s:.1f} s "
+                  f"(host {host256_s:.1f} s, upload+assembly "
+                  f"{build256_s - host256_s:.1f} s)", file=sys.stderr)
             secondaries["raystab_accel_build256_s"] = round(build256_s, 2)
-            ks256 = tuple(
-                tuple(table_k(c[1]) for c in lv) for lv in accel256.levels
+            secondaries["raystab_accel_build256_host_s"] = round(
+                host256_s, 2
             )
-            ovk256 = (
-                table_k(accel256.ov_dense[1]) if accel256.ov_dense else 0
+            secondaries["raystab_accel_build256_asm_s"] = round(
+                build256_s - host256_s, 2
             )
-            slope(make_stab_body(256, ks256, ovk256), (2, 8),
-                  "dragon ray-stab gen-6 query 256^3",
+            del compact256
+            ks256 = tuple(table_k(c[1]) for c in accel256.classes)
+            slope(make_stab7_body(256, accel256, ks256), (2, 8),
+                  "dragon ray-stab gen-7 query 256^3",
                   key="raystab_query2_256_ms",
-                  args=(accel256.levels, accel256.sort_keys,
-                        accel256.ov_dense))
+                  args=accel256.classes)
             del accel256
 
     value = vox_s * 1e3

@@ -173,18 +173,37 @@ def _parity_rgba(mesh: MeshBuffers, words: jax.Array, n: int, accel=None,
             mesh.positions_norm, mesh.normals, mesh.tris, n=n, rule="hit"
         )
     else:
-        from dxrvoxelizer_tpu.ops.raystab_fast import (
-            build_raystab_accel2,
-            raystab_query2,
-        )
-
         if accel is None:
-            accel = build_raystab_accel2(
-                mesh.positions_norm, mesh.tris, mesh.normals, n
+            if _use_tiled_raystab(n):
+                from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                    build_raystab_accel7,
+                )
+
+                accel = build_raystab_accel7(
+                    mesh.positions_norm, mesh.tris, mesh.normals, n
+                )
+            else:
+                from dxrvoxelizer_tpu.ops.raystab_fast import (
+                    build_raystab_accel2,
+                )
+
+                accel = build_raystab_accel2(
+                    mesh.positions_norm, mesh.tris, mesh.normals, n
+                )
+        if type(accel).__name__ == "RaystabAccel7":
+            from dxrvoxelizer_tpu.ops.raystab_tiled import raystab_query7
+
+            _, rgba_hit = raystab_query7(
+                mesh.positions_norm, mesh.normals, mesh.tris, accel,
+                rule="hit",
             )
-        _, rgba_hit = raystab_query2(
-            mesh.positions_norm, mesh.normals, mesh.tris, accel, rule="hit"
-        )
+        else:
+            from dxrvoxelizer_tpu.ops.raystab_fast import raystab_query2
+
+            _, rgba_hit = raystab_query2(
+                mesh.positions_norm, mesh.normals, mesh.tris, accel,
+                rule="hit",
+            )
     occ_f = occ_b.astype(jnp.float32)[..., None]
     rgba = jnp.concatenate(
         [rgba_hit[..., :3] * occ_f, occ_f], axis=-1
@@ -194,17 +213,33 @@ def _parity_rgba(mesh: MeshBuffers, words: jax.Array, n: int, accel=None,
     return rgba
 
 
-def _stab_accel_for(cfg, mesh):
-    """The gen-2/4 accel for (cfg, mesh), through the on-disk cache when
-    ``cfg.accel_cache`` (the reference ships precompiled pipeline blobs;
-    utils/accel_cache.py is the AS-analog of that)."""
-    if getattr(cfg, "accel_cache", True):
-        from dxrvoxelizer_tpu.utils.accel_cache import (
-            cached_build_raystab_accel2,
-        )
+def _use_tiled_raystab(n: int) -> bool:
+    """Gen routing for the raystab accel (see
+    ops/raystab_tiled.use_tiled_raystab: gen-7 at n >= 128, gen-6 at
+    the reference 64^3; DXRV_RAYSTAB_GEN=6|7 overrides)."""
+    from dxrvoxelizer_tpu.ops.raystab_tiled import use_tiled_raystab
 
-        return cached_build_raystab_accel2(
-            mesh.positions_norm, mesh.tris, mesh.normals, cfg.grid_size
+    return use_tiled_raystab(n)
+
+
+def _stab_accel_for(cfg, mesh):
+    """The raystab accel for (cfg, mesh) — gen-7 tiled or gen-2/4 cone
+    strips by grid size (_use_tiled_raystab) — through the on-disk cache
+    when ``cfg.accel_cache`` (the reference ships precompiled pipeline
+    blobs; utils/accel_cache.py is the AS-analog of that)."""
+    n = cfg.grid_size
+    tiled = _use_tiled_raystab(n)
+    if getattr(cfg, "accel_cache", True):
+        from dxrvoxelizer_tpu.utils import accel_cache as ac
+
+        fn = (ac.cached_build_raystab_accel7 if tiled
+              else ac.cached_build_raystab_accel2)
+        return fn(mesh.positions_norm, mesh.tris, mesh.normals, n)
+    if tiled:
+        from dxrvoxelizer_tpu.ops.raystab_tiled import build_raystab_accel7
+
+        return build_raystab_accel7(
+            mesh.positions_norm, mesh.tris, mesh.normals, n
         )
     from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel2
 
@@ -334,9 +369,14 @@ class FramePipeline:
             and self.cfg.deform_pad > 0.0
         ):
             if self._refitter is None:
-                from dxrvoxelizer_tpu.ops.raystab_refit import (
-                    RaystabRefitter,
-                )
+                if _use_tiled_raystab(self.cfg.grid_size):
+                    from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                        RaystabTiledRefitter as RaystabRefitter,
+                    )
+                else:
+                    from dxrvoxelizer_tpu.ops.raystab_refit import (
+                        RaystabRefitter,
+                    )
 
                 # the engine's -deform animation displaces along vertex
                 # normals, so the refit uses the directional (capsule)

@@ -341,19 +341,49 @@ def light_sweep_ref(density: jnp.ndarray, light_local: jnp.ndarray,
     att = jnp.clip(1.0 - ABSORPTION * ls * g, 0.0, 1.0)  # [K, X, Y]
     mask = in_xy[None] & in_z[:, None, None]  # [K, X, Y]
 
-    def body(win, xs):
-        # win[j] = L[k+1+j]; reads land at slabs k+d0 (j=d0-1), k+d0+1 (j=d0)
-        att_k, mask_k = xs
-        lmix = win[d0 - 1] * (1.0 - w) + win[d0] * w
-        lres = (
-            wx_l @ lmix @ wy_l.T + corr_l
+    # BLOCKED far-to-near recurrence (round-5: the naive per-slab scan
+    # copied its [d0+1, N, N] sliding window every slab — ~1.9 GB of
+    # pure window movement at 256^3 — and issued 2N latency-bound
+    # [N, N] matmuls). Slab k reads only slabs k+d0 and k+d0+1, so a
+    # block of d0 CONSECUTIVE slabs has no intra-block dependence: scan
+    # over ceil(N/d0) blocks, each resampling its whole block with two
+    # batched einsums (MXU-shaped) and carrying the last d0+1 slabs.
+    # Per-slab arithmetic (mix weights, matmul contractions, select) is
+    # the scalar recurrence's, op for op — pinned bit-exact against the
+    # per-slab scan by tests/test_raymarch_warp.py.
+    # Reversed (far-to-near) slab space: r = n-1-k; slab r reads r-d0-1
+    # (weight w) and r-d0 (weight 1-w) — strictly earlier outputs.
+    attr = att[::-1]
+    maskr = mask[::-1]
+    nb = -(-n // d0)
+    padn = nb * d0 - n
+    if padn:
+        # padding slabs sit at the NEAR end (processed last), masked to
+        # the constant 1 and sliced off — they feed nothing
+        attr = jnp.concatenate(
+            [attr, jnp.ones((padn, n, n), attr.dtype)], axis=0
         )
-        l_k = jnp.where(mask_k, att_k * lres, 1.0)
-        return jnp.concatenate([l_k[None], win[:-1]], axis=0), l_k
+        maskr = jnp.concatenate(
+            [maskr, jnp.zeros((padn, n, n), bool)], axis=0
+        )
+
+    def body(carry, xs):
+        # carry[i] = L[(b-1)*d0 - 1 + i], i in [0, d0]; block slab j
+        # (r = b*d0 + j) reads r-d0-1 = carry[j] (w) and r-d0 =
+        # carry[j+1] (1-w)
+        att_b, mask_b = xs  # [d0, n, n]
+        lmix = carry[1:] * (1.0 - w) + carry[:-1] * w
+        lres = jnp.einsum("mn,jny->jmy", wx_l, lmix)
+        lres = jnp.einsum("jmy,py->jmp", lres, wy_l) + corr_l
+        l_b = jnp.where(mask_b, att_b * lres, 1.0)
+        return jnp.concatenate([carry[-1:], l_b], axis=0), l_b
 
     init = jnp.ones((d0 + 1, n, n), jnp.float32)  # beyond the far face: 1
-    _, ls_stack = jax.lax.scan(body, init, (att[::-1], mask[::-1]))
-    lvol = ls_stack[::-1]  # [K, X, Y]
+    _, lb = jax.lax.scan(
+        body, init,
+        (attr.reshape(nb, d0, n, n), maskr.reshape(nb, d0, n, n)),
+    )
+    lvol = lb.reshape(nb * d0, n, n)[:n][::-1]  # [K, X, Y]
 
     lvol = jnp.moveaxis(lvol, 0, -1)
     if flip:

@@ -2151,6 +2151,17 @@ def voxelize_raystab_fast(
             jnp.zeros((n, n, n, 4), jnp.float32),
         )
     if jax.default_backend() != "cpu":
+        from dxrvoxelizer_tpu.ops.raystab_tiled import use_tiled_raystab
+
+        if use_tiled_raystab(n):
+            from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                build_raystab_accel7,
+                raystab_query7,
+            )
+
+            accel7 = build_raystab_accel7(verts_norm, tris, normals, n=n)
+            return raystab_query7(verts_norm, normals, tris, accel7,
+                                  threshold)
         accel2 = build_raystab_accel2(verts_norm, tris, normals, n=n)
         return raystab_query2(verts_norm, normals, tris, accel2, threshold)
     accel = build_raystab_accel(

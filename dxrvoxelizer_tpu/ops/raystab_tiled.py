@@ -75,6 +75,19 @@ from dxrvoxelizer_tpu.ops.raystab_pallas import K_BLOCK, cells_per_step_for
 
 TILE = (8, 4, 4)  # x-major voxel tile; product must be 128 (one strip)
 
+
+def use_tiled_raystab(n: int) -> bool:
+    """Gen routing for the raystab accel: gen-7 wherever it measures
+    faster. TPU A/B on the dragon (round 5, bit-exact both ways): 64^3
+    gen-6 2.02 ms vs gen-7 2.45 (the near-prefix drop only breaks even
+    at the reference grid and class padding costs ~2x pairs), 128^3
+    18.8 vs 10.9. So: gen-7 at n >= 128, gen-6 at the reference 64^3.
+    Override with DXRV_RAYSTAB_GEN=6|7."""
+    forced = os.environ.get("DXRV_RAYSTAB_GEN")
+    if forced in ("6", "7"):
+        return forced == "7"
+    return n >= 128
+
 CLASS_CAPS7 = (
     16, 24, 32, 48, 64, 96, 128, 192, 256, 512, 768, 1024, 1536,
     2048, 3072, 4096, 6144, 8192, 12288, 16384,
@@ -189,6 +202,52 @@ def _tri_minr(verts_norm, tris_h, pad: float, pad_dirs) -> np.ndarray:
     return np.maximum(tb * (1.0 - 1e-3) - 1e-6, 0.0)
 
 
+def _tile_union_py(n, g_fine, tile, cell_offs, cell_data, maxr_f32,
+                   bounds_f32, sub_ids, s0min):
+    """Vectorized-numpy tile unions — the behavioral reference for the
+    native pass (utils/_native/accelpack.cpp accelpack_tileunion_run,
+    bit-identical output, pinned by tests/test_raystab_tiled.py) and the
+    no-toolchain fallback. Returns (tile_offs [NT+1] i64, tile_data i32
+    per-tile candidate ids ordered by (min-R bound, id))."""
+    tx, ty, tz = tile
+    v = n * n * n
+    nt = v // 128
+    kcell = cell_offs[1:] - cell_offs[:-1]
+    pos, _s0 = _host_voxel_pos_s0(n)
+    cells = _dir_cells_host(pos, g_fine)
+    nc = 6 * g_fine * g_fine
+    pairkey = _tile_ids(n, tile) * nc + cells
+    upairs = np.unique(pairkey)
+    ub = (upairs // nc).astype(np.int64)
+    uc = (upairs % nc).astype(np.int64)
+    reps = kcell[uc]
+    live_pair = reps > 0
+    ub_l, uc_l, reps_l = ub[live_pair], uc[live_pair], reps[live_pair]
+    tri_rep = _csr_gather(cell_data, cell_offs, uc_l)
+    bl_rep = np.repeat(ub_l, reps_l)
+    alive = maxr_f32[tri_rep] >= s0min[bl_rep]
+    key = bl_rep[alive] * (1 << 24) + tri_rep[alive]
+    if sub_ids.size:
+        # near-origin overflow triangles (direction cone contains the
+        # origin — unbinnable) are candidates for EVERY ray: append to
+        # every tile, near-drop included; dedup below removes doubles
+        ov = sub_ids.astype(np.int64)
+        tiles_all = np.arange(nt, dtype=np.int64)
+        ov_alive = maxr_f32[ov][None, :] >= s0min[:, None]
+        ovkey = (tiles_all[:, None] * (1 << 24) + ov[None, :])[ov_alive]
+        key = np.concatenate([key, ovkey])
+    key = np.unique(key)
+    tile_of = key >> 24
+    tri_of = (key & ((1 << 24) - 1)).astype(np.int64)
+    order = np.lexsort((tri_of, bounds_f32[tri_of], tile_of))
+    tile_of = tile_of[order]
+    tri_of = tri_of[order]
+    sizes_all = np.bincount(tile_of, minlength=nt)
+    tile_offs = np.zeros(nt + 1, np.int64)
+    np.cumsum(sizes_all, out=tile_offs[1:])
+    return tile_offs, tri_of.astype(np.int32)
+
+
 def build_raystab_compact7(
     verts_norm,
     tris,
@@ -239,56 +298,47 @@ def build_raystab_compact7(
         sub_ids = sub_ids[ov_np]
     g_fine = gs[0]
     cell_offs, cell_data = _fold_levels_csr(level_runs, g_fine)
-    kcell = cell_offs[1:] - cell_offs[:-1]
     mark("level fold")
 
-    # ---- per-tile crossed cells + radius extents -----------------------
-    pos, s0 = _host_voxel_pos_s0(n)
-    cells = _dir_cells_host(pos, g_fine)
-    s0_3d = s0.reshape(n // tx, tx, n // ty, ty, n // tz, tz)
-    s0min = s0_3d.min(axis=(1, 3, 5)).reshape(-1)
-    s0max = s0_3d.max(axis=(1, 3, 5)).reshape(-1)
-    nc = 6 * g_fine * g_fine
-    pairkey = _tile_ids(n, tile) * nc + cells
-    upairs = np.unique(pairkey)
-    ub = (upairs // nc).astype(np.int64)
-    uc = (upairs % nc).astype(np.int64)
-    mark("tile cells")
+    # conservative radius bounds, f32 in BOTH pipelines so the native
+    # and numpy products are bit-identical (margins dwarf the casts)
+    maxr = _tri_maxr(verts_h, tris_h, pad).astype(np.float32)
+    tri_bounds = _tri_minr(verts_h, tris_h, pad, pad_dirs).astype(
+        np.float32
+    )
 
-    # ---- expand + near drop + dedup ------------------------------------
-    maxr = _tri_maxr(verts_h, tris_h, pad)
-    tri_bounds = _tri_minr(verts_h, tris_h, pad, pad_dirs)
-    reps = kcell[uc]
-    live_pair = reps > 0
-    ub_l, uc_l, reps_l = ub[live_pair], uc[live_pair], reps[live_pair]
-    tri_rep = _csr_gather(cell_data, cell_offs, uc_l)
-    bl_rep = np.repeat(ub_l, reps_l)
-    alive = maxr[tri_rep] >= s0min[bl_rep]
-    key = bl_rep[alive] * (1 << 24) + tri_rep[alive]
-    if sub_ids.size:
-        # near-origin overflow triangles (direction cone contains the
-        # origin — unbinnable) are candidates for EVERY ray: append to
-        # every tile, near-drop included; dedup below removes doubles
-        ov = sub_ids.astype(np.int64)
-        tiles_all = np.arange(nt, dtype=np.int64)
-        ov_alive = maxr[ov][None, :] >= s0min[:, None]
-        ovkey = (tiles_all[:, None] * (1 << 24) + ov[None, :])[ov_alive]
-        key = np.concatenate([key, ovkey])
-    key = np.unique(key)
-    tile_of = key >> 24
-    tri_of = (key & ((1 << 24) - 1)).astype(np.int64)
-    mark("union + near drop")
+    from dxrvoxelizer_tpu.utils import native
 
-    # ---- per-tile order by (min-R bound, id) for chunk skipping --------
-    order = np.lexsort((tri_of, tri_bounds[tri_of], tile_of))
-    tile_of = tile_of[order]
-    tri_of = tri_of[order]
-    sizes_all = np.bincount(tile_of, minlength=nt)
+    nat = native.tile_union_native(
+        n, g_fine, tile, cell_offs, cell_data.astype(np.int32), maxr,
+        tri_bounds, sub_ids if sub_ids.size else None,
+    )
+    if nat is not None:
+        tile_offs_all, tile_data, _s0min, s0max = nat
+        mark("tile unions (native)")
+    else:
+        # per-tile origin-radius extents: s0 = sqrt((x^2 + y^2) + z^2)
+        # per voxel — the same f32 expression as the native pass, so the
+        # near-drop decisions (and thus the tables) are bit-identical
+        t1 = ((np.arange(n, dtype=np.float32) + 0.5) / n * 2.0 - 1.0)
+        sq = (t1 * t1).astype(np.float32)
+        s0_3d = np.sqrt(
+            (sq[:, None, None] + sq[None, :, None]) + sq[None, None, :]
+        ).reshape(n // tx, tx, n // ty, ty, n // tz, tz)
+        s0min = np.ascontiguousarray(s0_3d.min(axis=(1, 3, 5))).reshape(-1)
+        s0max = np.ascontiguousarray(s0_3d.max(axis=(1, 3, 5))).reshape(-1)
+        del s0_3d
+        tile_offs_all, tile_data = _tile_union_py(
+            n, g_fine, tile, cell_offs, cell_data, maxr, tri_bounds,
+            sub_ids, s0min,
+        )
+        mark("tile unions (numpy)")
+    sizes_all = tile_offs_all[1:] - tile_offs_all[:-1]
     live = np.nonzero(sizes_all)[0]
     sizes = sizes_all[live]
-    offs = np.zeros(live.size + 1, np.int64)
-    np.cumsum(sizes, out=offs[1:])
-    mark("bound sort")
+    offs = tile_offs_all[live + 1] - sizes  # start of each live tile run
+    offs = np.concatenate([offs, tile_offs_all[-1:]])  # CSR-compatible
+    tri_of = tile_data.astype(np.int64)
 
     # ---- capacity classes ----------------------------------------------
     max_k = int(sizes.max()) if sizes.size else 0
@@ -359,6 +409,27 @@ def _tile_vox_ids(tids, n: int, tile: tuple):
     return jnp.where(tids[:, None] < 0, -1, vox).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("n", "tile", "lanes"))
+def _assemble_all_dev(verts_norm, tris, normals, tids_t: tuple,
+                      tabs_t: tuple, n: int, tile: tuple, lanes: tuple):
+    """ALL classes' device tables in ONE jit (one remote dispatch + one
+    cached compile, where per-class dispatch cost ~10 s of tunnel
+    round-trips at 256^3's 18 classes). Gathers are value-identical to
+    per-class _assemble_class_dev calls."""
+    from dxrvoxelizer_tpu.ops.raystab_fast import _ray_params
+
+    dirs_dev, s0_dev = _ray_params(n)
+    fused_dev = _fused_coef_matrix(verts_norm, tris, normals)
+    out = []
+    for tids, tab, lane in zip(tids_t, tabs_t, lanes):
+        rt128 = _tile_vox_ids(tids, n, tile)
+        rays_d, coefs_d, ntab_d, _sc = _assemble_class_dev(
+            fused_dev, dirs_dev, s0_dev, rt128, tab, lane_aligned=lane,
+        )
+        out.append((rays_d, coefs_d, ntab_d))
+    return tuple(out)
+
+
 def assemble_raystab_accel7(
     compact: RaystabCompact7, verts_norm, tris, normals
 ) -> RaystabAccel7:
@@ -369,27 +440,25 @@ def assemble_raystab_accel7(
     backend exactly)."""
     mark = _stage_timer()
     n = compact.n
-    from dxrvoxelizer_tpu.ops.raystab_fast import _ray_params
-
-    dirs_dev, s0_dev = _ray_params(n)
-    fused_dev = _fused_coef_matrix(
-        jnp.asarray(verts_norm), jnp.asarray(tris), jnp.asarray(normals)
+    tids_t = tuple(jnp.asarray(tids) for tids, _tab, _b in compact.classes)
+    tabs_t = tuple(jnp.asarray(tab) for _tids, tab, _b in compact.classes)
+    lanes = tuple(
+        bool(int(tab.shape[1]) >= LANE_MIN_K)
+        for _tids, tab, _b in compact.classes
     )
-    mark("asm: fused coef+normal matrix + ray params")
+    dev = _assemble_all_dev(
+        jnp.asarray(verts_norm), jnp.asarray(tris), jnp.asarray(normals),
+        tids_t, tabs_t, n, compact.tile, lanes,
+    )
     classes = []
-    for tids, tab, bounds_np in compact.classes:
-        k = int(tab.shape[1])
-        rt128 = _tile_vox_ids(jnp.asarray(tids), n, compact.tile)
-        rays_d, coefs_d, ntab_d, _sc = _assemble_class_dev(
-            fused_dev, dirs_dev, s0_dev, rt128, jnp.asarray(tab),
-            lane_aligned=bool(k >= LANE_MIN_K),
-        )
+    for (rays_d, coefs_d, ntab_d), (tids, _tab, bounds_np), tids_dev in zip(
+        dev, compact.classes, tids_t
+    ):
         bounds_dev = (
             jnp.asarray(bounds_np) if bounds_np is not None else None
         )
-        classes.append((rays_d, coefs_d, ntab_d, bounds_dev,
-                        jnp.asarray(tids)))
-    mark("asm: class gathers (dispatch)")
+        classes.append((rays_d, coefs_d, ntab_d, bounds_dev, tids_dev))
+    mark("asm: one-dispatch class gathers")
     return RaystabAccel7(n=n, tile=compact.tile, classes=tuple(classes),
                          stats=compact.stats)
 

@@ -98,10 +98,20 @@ class ShardedFramePipeline:
         if cfg.inside_mode == "raystab":
             if deforming:
                 # rest-pose padded AS + per-frame refit under the same
-                # strip sharding (ops/raystab_refit.py)
-                from dxrvoxelizer_tpu.ops.raystab_refit import (
-                    RaystabRefitter,
+                # row sharding (ops/raystab_refit.py gen-6 strips at
+                # 64^3, ops/raystab_tiled.py gen-7 tiles at >= 128^3)
+                from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                    use_tiled_raystab,
                 )
+
+                if use_tiled_raystab(cfg.grid_size):
+                    from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                        RaystabTiledRefitter as RaystabRefitter,
+                    )
+                else:
+                    from dxrvoxelizer_tpu.ops.raystab_refit import (
+                        RaystabRefitter,
+                    )
 
                 self.refitter = RaystabRefitter(
                     mesh_buffers.positions_norm, mesh_buffers.tris,

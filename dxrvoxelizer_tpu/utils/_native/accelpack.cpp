@@ -437,3 +437,146 @@ void accelpack_raytab_free(void* handle) {
 }
 
 }  // extern "C"
+
+// ---- gen-7 tile unions: per-voxel-tile candidate lists ----------------------
+//
+// The gen-7 (output-major) accel build's hot host stage: for every 8x4x4
+// voxel tile, union the candidate lists of the direction-cubemap cells its
+// 128 rays cross, DELETE candidates whose conservative max hit radius lies
+// below the tile's min ray-origin radius (behind every lane -> t < 0, an
+// arithmetic no-op), and order the survivors by (min-hit-radius bound, id)
+// for near-to-far chunk skipping. Behavioral reference: the vectorized
+// numpy pipeline in ops/raystab_tiled.build_raystab_compact7 (bit-identical
+// output, pinned by tests/test_raystab_tiled.py) — this pass replaces its
+// ~50 s of 164M-row expansion + np.unique at 256^3 with one tile-major
+// walk.
+
+namespace {
+
+struct TileUnionState {
+    int64_t nt = 0;
+    std::vector<int64_t> offs;   // [nt + 1]
+    std::vector<int32_t> data;   // concatenated per-tile candidate ids
+    std::vector<float> s0min;    // [nt] per-tile min ray-origin radius
+    std::vector<float> s0max;    // [nt] per-tile max ray-origin radius
+};
+
+}  // namespace
+
+extern "C" {
+
+void* accelpack_tileunion_run(
+    int64_t n, int64_t g, int64_t tx, int64_t ty, int64_t tz,
+    const int64_t* cell_offs, const int32_t* cell_data,
+    const float* maxr, const float* bounds,
+    const int32_t* ov_ids, int64_t n_ov) {
+    auto* st = new (std::nothrow) TileUnionState();
+    if (!st) return nullptr;
+    const int64_t txn = n / tx, tyn = n / ty, tzn = n / tz;
+    st->nt = txn * tyn * tzn;
+    st->offs.assign(static_cast<size_t>(st->nt) + 1, 0);
+    st->s0min.assign(static_cast<size_t>(st->nt), 0.0f);
+    st->s0max.assign(static_cast<size_t>(st->nt), 0.0f);
+    std::vector<float> t(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i) {
+        t[static_cast<size_t>(i)] =
+            (static_cast<float>(i) + 0.5f) / static_cast<float>(n) * 2.0f -
+            1.0f;
+    }
+    const float half_g = 0.5f * static_cast<float>(g);
+    const int64_t gg = g * g;
+    std::vector<uint32_t> cells;
+    cells.reserve(128);
+    std::vector<uint64_t> keys;
+    st->data.reserve(static_cast<size_t>(st->nt) * 64);
+    int64_t tid = 0;
+    for (int64_t bx = 0; bx < txn; ++bx) {
+        for (int64_t by = 0; by < tyn; ++by) {
+            for (int64_t bz = 0; bz < tzn; ++bz, ++tid) {
+                cells.clear();
+                float s0min = 1e30f, s0max = 0.0f;
+                for (int64_t lx = 0; lx < tx; ++lx) {
+                    const float x = t[static_cast<size_t>(bx * tx + lx)];
+                    for (int64_t ly = 0; ly < ty; ++ly) {
+                        const float y =
+                            -t[static_cast<size_t>(by * ty + ly)];
+                        for (int64_t lz = 0; lz < tz; ++lz) {
+                            const float z =
+                                t[static_cast<size_t>(bz * tz + lz)];
+                            cells.push_back(
+                                dir_cell_one(x, y, z, half_g, g, gg));
+                            const float s0 =
+                                std::sqrt((x * x + y * y) + z * z);
+                            s0min = s0 < s0min ? s0 : s0min;
+                            s0max = s0 > s0max ? s0 : s0max;
+                        }
+                    }
+                }
+                std::sort(cells.begin(), cells.end());
+                cells.erase(std::unique(cells.begin(), cells.end()),
+                            cells.end());
+                keys.clear();
+                for (uint32_t c : cells) {
+                    const int64_t b = cell_offs[c], e = cell_offs[c + 1];
+                    for (int64_t j = b; j < e; ++j) {
+                        const int32_t tri = cell_data[j];
+                        if (maxr[tri] >= s0min) {
+                            uint32_t bb;
+                            std::memcpy(&bb, &bounds[tri], sizeof(float));
+                            keys.push_back(
+                                (static_cast<uint64_t>(bb) << 32) |
+                                static_cast<uint32_t>(tri));
+                        }
+                    }
+                }
+                for (int64_t j = 0; j < n_ov; ++j) {
+                    const int32_t tri = ov_ids[j];
+                    if (tri >= 0 && maxr[tri] >= s0min) {
+                        uint32_t bb;
+                        std::memcpy(&bb, &bounds[tri], sizeof(float));
+                        keys.push_back(
+                            (static_cast<uint64_t>(bb) << 32) |
+                            static_cast<uint32_t>(tri));
+                    }
+                }
+                std::sort(keys.begin(), keys.end());
+                keys.erase(std::unique(keys.begin(), keys.end()),
+                           keys.end());
+                for (uint64_t k : keys) {
+                    st->data.push_back(
+                        static_cast<int32_t>(k & 0xFFFFFFFF));
+                }
+                st->offs[static_cast<size_t>(tid) + 1] =
+                    static_cast<int64_t>(st->data.size());
+                st->s0min[static_cast<size_t>(tid)] = s0min;
+                st->s0max[static_cast<size_t>(tid)] = s0max;
+            }
+        }
+    }
+    return st;
+}
+
+int64_t accelpack_tileunion_total(void* handle) {
+    return static_cast<int64_t>(
+        static_cast<TileUnionState*>(handle)->data.size());
+}
+
+void accelpack_tileunion_copy(void* handle, int64_t* tile_offs,
+                              int32_t* tile_data, float* s0min,
+                              float* s0max) {
+    auto* st = static_cast<TileUnionState*>(handle);
+    std::memcpy(tile_offs, st->offs.data(),
+                st->offs.size() * sizeof(int64_t));
+    if (!st->data.empty()) {
+        std::memcpy(tile_data, st->data.data(),
+                    st->data.size() * sizeof(int32_t));
+    }
+    std::memcpy(s0min, st->s0min.data(), st->s0min.size() * sizeof(float));
+    std::memcpy(s0max, st->s0max.data(), st->s0max.size() * sizeof(float));
+}
+
+void accelpack_tileunion_free(void* handle) {
+    delete static_cast<TileUnionState*>(handle);
+}
+
+}  // extern "C"

@@ -243,6 +243,22 @@ def get_pack_lib():
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
         ]
         lib.accelpack_raytab_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "accelpack_tileunion_run"):
+            lib.accelpack_tileunion_run.restype = ctypes.c_void_p
+            lib.accelpack_tileunion_run.argtypes = [
+                ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+                ctypes.c_longlong, ctypes.c_longlong,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_longlong,
+            ]
+            lib.accelpack_tileunion_total.restype = ctypes.c_longlong
+            lib.accelpack_tileunion_total.argtypes = [ctypes.c_void_p]
+            lib.accelpack_tileunion_copy.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.accelpack_tileunion_free.argtypes = [ctypes.c_void_p]
         _pack_lib = lib
         return _pack_lib
 
@@ -398,3 +414,50 @@ def dir_cells_native(n: int, g: int):
     out = np.empty((n * n * n,), np.int64)
     lib.accelpack_dir_cells(n, g, out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def tile_union_native(n: int, g: int, tile, cell_offs, cell_data,
+                      maxr_f32, bounds_f32, ov_ids):
+    """Gen-7 per-tile candidate unions in C++ (near-drop + (bound, id)
+    order; behavioral reference: the numpy pipeline in
+    ops/raystab_tiled.build_raystab_compact7, bit-identical — pinned by
+    tests/test_raystab_tiled.py). Returns (tile_offs i64 [NT+1],
+    tile_data i32) or None when the toolchain is missing."""
+    lib = get_pack_lib()
+    if lib is None or not hasattr(lib, "accelpack_tileunion_run"):
+        return None
+    tx, ty, tz = (int(x) for x in tile)
+    cell_offs = np.ascontiguousarray(cell_offs, np.int64)
+    cell_data = np.ascontiguousarray(cell_data, np.int32)
+    maxr_f32 = np.ascontiguousarray(maxr_f32, np.float32)
+    bounds_f32 = np.ascontiguousarray(bounds_f32, np.float32)
+    if ov_ids is None:
+        ov_ids = np.empty((0,), np.int32)
+    ov_ids = np.ascontiguousarray(ov_ids, np.int32)
+    h = lib.accelpack_tileunion_run(
+        n, g, tx, ty, tz,
+        cell_offs.ctypes.data_as(ctypes.c_void_p),
+        cell_data.ctypes.data_as(ctypes.c_void_p),
+        maxr_f32.ctypes.data_as(ctypes.c_void_p),
+        bounds_f32.ctypes.data_as(ctypes.c_void_p),
+        ov_ids.ctypes.data_as(ctypes.c_void_p),
+        int(ov_ids.size),
+    )
+    if not h:
+        return None
+    try:
+        nt = (n // tx) * (n // ty) * (n // tz)
+        total = lib.accelpack_tileunion_total(h)
+        tile_offs = np.empty((nt + 1,), np.int64)
+        tile_data = np.empty((max(total, 1),), np.int32)
+        s0min = np.empty((nt,), np.float32)
+        s0max = np.empty((nt,), np.float32)
+        lib.accelpack_tileunion_copy(
+            h, tile_offs.ctypes.data_as(ctypes.c_void_p),
+            tile_data.ctypes.data_as(ctypes.c_void_p),
+            s0min.ctypes.data_as(ctypes.c_void_p),
+            s0max.ctypes.data_as(ctypes.c_void_p),
+        )
+    finally:
+        lib.accelpack_tileunion_free(h)
+    return tile_offs, tile_data[:total], s0min, s0max

@@ -39,6 +39,9 @@ def main() -> int:
                     help="skip the on-disk accel cache: time the full "
                     "cold-per-geometry build (binning + packing + device "
                     "assembly) like a first-seen mesh pays it")
+    ap.add_argument("--gen", type=int, default=0, choices=(0, 6, 7),
+                    help="accel generation (0 = the product routing: "
+                    "gen-7 tiled at n >= 128, gen-6 cone strips at 64)")
     args = ap.parse_args()
 
     from dxrvoxelizer_tpu.utils.backend import enable_compile_cache
@@ -60,6 +63,9 @@ def main() -> int:
     from dxrvoxelizer_tpu.utils.config import VoxelizerConfig
 
     n = args.n
+    from dxrvoxelizer_tpu.ops.raystab_tiled import use_tiled_raystab
+
+    gen7 = args.gen == 7 or (args.gen == 0 and use_tiled_raystab(n))
     scene = Scene.load(VoxelizerConfig(mesh=args.mesh, grid_size=n))
     b = scene.buffers
     tc = int(b.tris.shape[0])
@@ -76,7 +82,26 @@ def main() -> int:
     _ = fence_scalar([jnp.zeros((1,), jnp.float32)])
 
     t0 = time.perf_counter()
-    if args.fresh_build:
+    if gen7:
+        from dxrvoxelizer_tpu.utils.accel_cache import (
+            cached_build_raystab_accel7,
+        )
+
+        if args.fresh_build:
+            from dxrvoxelizer_tpu.ops.raystab_tiled import (
+                build_raystab_accel7,
+            )
+
+            accel = build_raystab_accel7(
+                b.positions_norm, b.tris, b.normals, n
+            )
+            label = "gen-7 accel FRESH build"
+        else:
+            accel = cached_build_raystab_accel7(
+                b.positions_norm, b.tris, b.normals, n
+            )
+            label = "gen-7 accel build/load"
+    elif args.fresh_build:
         from dxrvoxelizer_tpu.ops.raystab_fast import build_raystab_accel2
 
         accel = build_raystab_accel2(b.positions_norm, b.tris, b.normals, n)
@@ -90,10 +115,17 @@ def main() -> int:
     # is a no-op over the tunnel; eager per-leaf slices each pay a
     # remote compile + dispatch): charge the device assembly execution
     # to the build in BOTH paths
-    _ = fence_scalar(jax.tree.leaves(accel.levels))
-    print(f"# {label}: {time.perf_counter() - t0:.1f} s "
-          f"levels={accel.stats.levels} near={accel.stats.near_origin}",
-          file=sys.stderr)
+    if gen7:
+        _ = fence_scalar(jax.tree.leaves(accel.classes))
+        print(f"# {label}: {time.perf_counter() - t0:.1f} s "
+              f"live={accel.stats.live_tiles} dead={accel.stats.dead_tiles}"
+              f" pairs={accel.stats.pairs} near={accel.stats.near_origin}",
+              file=sys.stderr)
+    else:
+        _ = fence_scalar(jax.tree.leaves(accel.levels))
+        print(f"# {label}: {time.perf_counter() - t0:.1f} s "
+              f"levels={accel.stats.levels} near={accel.stats.near_origin}",
+              file=sys.stderr)
 
     def phys_bytes(a):
         s = list(a.shape)
@@ -104,17 +136,30 @@ def main() -> int:
 
         return reduce(lambda x, y: x * y, s, 1) * a.dtype.itemsize
 
-    leaves = jax.tree.leaves((accel.levels, accel.ov_dense, accel.sort_keys))
+    leaves = jax.tree.leaves(
+        accel.classes if gen7
+        else (accel.levels, accel.ov_dense, accel.sort_keys)
+    )
     log_mb = sum(a.size * a.dtype.itemsize for a in leaves) / 2**20
     phys_mb = sum(phys_bytes(a) for a in leaves) / 2**20
-    ks = [table_k(c[1]) for lv in accel.levels for c in lv]
+    ks = (
+        [table_k(c[1]) for c in accel.classes] if gen7
+        else [table_k(c[1]) for lv in accel.levels for c in lv]
+    )
     print(f"# accel tables: {log_mb:.0f} MiB logical / {phys_mb:.0f} MiB "
           f"physical (lane-aligned); class Ks={ks}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    occ_f, rgba_f = raystab_query2(
-        b.positions_norm, b.normals, b.tris, accel
-    )
+    if gen7:
+        from dxrvoxelizer_tpu.ops.raystab_tiled import raystab_query7
+
+        occ_f, rgba_f = raystab_query7(
+            b.positions_norm, b.normals, b.tris, accel
+        )
+    else:
+        occ_f, rgba_f = raystab_query2(
+            b.positions_norm, b.normals, b.tris, accel
+        )
     occ_f.block_until_ready()
     print(f"# query cold (compile+run): {time.perf_counter() - t0:.1f} s",
           file=sys.stderr)
@@ -153,15 +198,42 @@ def main() -> int:
     # outputs, perturb every float input — see bench.py)
     from dxrvoxelizer_tpu.ops.raystab_fast import _raystab_query2
 
-    ks_t = tuple(
-        tuple(table_k(c[1]) for c in lv) for lv in accel.levels
-    )
-    ovk = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
+    if gen7:
+        from dxrvoxelizer_tpu.ops.raystab_tiled import _raystab_query7
+
+        ks7 = tuple(table_k(c[1]) for c in accel.classes)
+    else:
+        ks_t = tuple(
+            tuple(table_k(c[1]) for c in lv) for lv in accel.levels
+        )
+        ovk = table_k(accel.ov_dense[1]) if accel.ov_dense else 0
 
     # the accel rides as jit ARGUMENTS, not closed-over constants: at
     # 256^3 the tables are ~GBs and constant-embedding them in the HLO
     # breaks the remote-compile transport (and bloats the compile)
     def make(r):
+        if gen7:
+            @jax.jit
+            def run7(a):
+                classes = a
+
+                def stab_body(carry, _):
+                    eps = carry * 1e-38
+                    cls = tuple(
+                        (c[0] + eps,) + tuple(c[1:]) for c in classes
+                    )
+                    occ, rgba = _raystab_query7(
+                        cls, n, accel.tile, ks7, tc, 0.12, False,
+                    )
+                    return (jnp.sum(rgba * 1e-38)
+                            + jnp.sum(occ).astype(jnp.float32) * 1e-38), None
+
+                out, _ = jax.lax.scan(stab_body, jnp.float32(0.0), None,
+                                      length=r)
+                return out
+
+            return lambda: run7(accel.classes)
+
         @jax.jit
         def run(a):
             # single-tuple arg + identical body to bench.py's raystab
