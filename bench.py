@@ -225,7 +225,11 @@ def main() -> int:
         lvol = light_sweep(d2, jnp.asarray(light_np), rn, l_axis, l_flip)
         return lvol[0, 0, 0], None
 
-    slope(light_body, (r1, r2), "light sweep 64^3",
+    # ~40 us/iter: at (25, 100) the 3 ms scan-length delta sits inside
+    # tunnel jitter (round-4's "0.050 -> 0.343 regression" was exactly
+    # this noise; one r5 sample even measured negative). 8x the reps puts
+    # the delta at ~24 ms >> jitter.
+    slope(light_body, (200, 800), "light sweep 64^3",
           key="light_sweep_64_ms")
 
     # ---- -hq render (2x z-supersampling + reference-step light sweep) ------
@@ -400,17 +404,27 @@ def main() -> int:
             lv512 = light_sweep(density512, jnp.asarray(light_np), 512,
                                 l_axis, l_flip)
 
-            def render512_body(carry, _):
-                d2 = density512 + carry * 1e-38
-                img = _shearwarp_core(
-                    d2, lv512, s2l, eye, clear, 512, 128,
-                    cfg64.width, cfg64.height, axis, flip, swap, True,
-                )
-                return img[0, 0, 0], None
+            def make_render512_body(a):
+                # the two 512^3 volumes (537 MB each) MUST ride the jit
+                # as ARGUMENTS — closed over, they embed in the HLO as
+                # constants and blow the remote-compile transport
+                # (HTTP 413)
+                d512, l512 = a
 
-            rm512_s = slope(render512_body, (5, 20),
+                def render512_body(carry, _):
+                    d2 = d512 + carry * 1e-38
+                    img = _shearwarp_core(
+                        d2, l512, s2l, eye, clear, 512, 128,
+                        cfg64.width, cfg64.height, axis, flip, swap, True,
+                    )
+                    return img[0, 0, 0], None
+
+                return render512_body
+
+            rm512_s = slope(make_render512_body, (5, 20),
                             "shear-warp render 1080p (512^3 grid)",
-                            key="render_1080p_grid512_ms")
+                            key="render_1080p_grid512_ms",
+                            args=(density512, lv512))
             secondaries["render_1080p_grid512_fps"] = round(
                 1.0 / max(rm512_s, 1e-9), 1
             )
