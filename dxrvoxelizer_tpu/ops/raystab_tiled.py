@@ -409,22 +409,46 @@ def _tile_vox_ids(tids, n: int, tile: tuple):
     return jnp.where(tids[:, None] < 0, -1, vox).astype(jnp.int32)
 
 
+def _pack_ids24(tab: np.ndarray) -> np.ndarray:
+    """Candidate id table i32 [VC, K] -> little-endian 24-bit bytes
+    [VC, K, 3] for the wire (-1 padding -> 0xFFFFFF). Ids are < 2^24
+    (asserted at build entry); the tunnel moves ~3 MB/s, so every byte
+    of the per-geometry compact upload is ~0.35 us of fresh-build
+    latency — 3 bytes/id beats 4."""
+    u = np.asarray(tab).astype(np.int64) & 0xFFFFFF
+    out = np.empty(tab.shape + (3,), np.uint8)
+    out[..., 0] = u & 0xFF
+    out[..., 1] = (u >> 8) & 0xFF
+    out[..., 2] = (u >> 16) & 0xFF
+    return out
+
+
+def _unpack_ids24(packed) -> jnp.ndarray:
+    """Device half of :func:`_pack_ids24` (0xFFFFFF -> -1)."""
+    p = packed.astype(jnp.int32)
+    u = p[..., 0] | (p[..., 1] << 8) | (p[..., 2] << 16)
+    return jnp.where(u == 0xFFFFFF, jnp.int32(-1), u)
+
+
 @partial(jax.jit, static_argnames=("n", "tile", "lanes"))
 def _assemble_all_dev(verts_norm, tris, normals, tids_t: tuple,
                       tabs_t: tuple, n: int, tile: tuple, lanes: tuple):
     """ALL classes' device tables in ONE jit (one remote dispatch + one
     cached compile, where per-class dispatch cost ~10 s of tunnel
-    round-trips at 256^3's 18 classes). Gathers are value-identical to
-    per-class _assemble_class_dev calls."""
+    round-trips at 256^3's 18 classes). ``tabs_t`` arrive as packed
+    24-bit bytes (_pack_ids24 — the upload is the fresh build's largest
+    remaining term). Gathers are value-identical to per-class
+    _assemble_class_dev calls."""
     from dxrvoxelizer_tpu.ops.raystab_fast import _ray_params
 
     dirs_dev, s0_dev = _ray_params(n)
     fused_dev = _fused_coef_matrix(verts_norm, tris, normals)
     out = []
-    for tids, tab, lane in zip(tids_t, tabs_t, lanes):
+    for tids, tab_p, lane in zip(tids_t, tabs_t, lanes):
         rt128 = _tile_vox_ids(tids, n, tile)
         rays_d, coefs_d, ntab_d, _sc = _assemble_class_dev(
-            fused_dev, dirs_dev, s0_dev, rt128, tab, lane_aligned=lane,
+            fused_dev, dirs_dev, s0_dev, rt128, _unpack_ids24(tab_p),
+            lane_aligned=lane,
         )
         out.append((rays_d, coefs_d, ntab_d))
     return tuple(out)
@@ -441,7 +465,9 @@ def assemble_raystab_accel7(
     mark = _stage_timer()
     n = compact.n
     tids_t = tuple(jnp.asarray(tids) for tids, _tab, _b in compact.classes)
-    tabs_t = tuple(jnp.asarray(tab) for _tids, tab, _b in compact.classes)
+    tabs_t = tuple(
+        jnp.asarray(_pack_ids24(tab)) for _tids, tab, _b in compact.classes
+    )
     lanes = tuple(
         bool(int(tab.shape[1]) >= LANE_MIN_K)
         for _tids, tab, _b in compact.classes
