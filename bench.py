@@ -733,6 +733,24 @@ def main() -> int:
                 build256_s - host256_s, 2
             )
             del compact256
+            # STEADY rebuild: the same end-to-end build again in the warm
+            # process — the per-geometry incremental cost once the
+            # executables are live (the first build above also pays the
+            # one-time executable/cache loading a fresh process does,
+            # like the reference's driver DLL load)
+            t0 = time.perf_counter()
+            accel256b = build_raystab_accel7(
+                scene64.buffers.positions_norm, scene64.buffers.tris,
+                scene64.buffers.normals, 256,
+            )
+            _ = fence_scalar(jax.tree.leaves(accel256b.classes))
+            steady256_s = time.perf_counter() - t0
+            print(f"# ray-stab accel 256^3 STEADY rebuild: "
+                  f"{steady256_s:.1f} s", file=sys.stderr)
+            secondaries["raystab_accel_build256_steady_s"] = round(
+                steady256_s, 2
+            )
+            del accel256b
             ks256 = tuple(table_k(c[1]) for c in accel256.classes)
             slope(make_stab7_body(256, accel256, ks256), (2, 8),
                   "dragon ray-stab gen-7 query 256^3",

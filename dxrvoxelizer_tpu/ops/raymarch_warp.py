@@ -459,15 +459,22 @@ def _shearwarp_core(
     # trilinear, matching the reference's SampleLevel along the ray
     # (PSRayCast.hlsl:103-112) at 2x its 64-slab z-rate for ss=2.
     ks = n * ss
+    # the fused Pallas march (ops/march_pallas.py) streams the RAW slabs
+    # and z-mixes + warps + composites in VMEM — the XLA fallback below
+    # materializes each stage in HBM (kept for CPU and as the A/B)
+    use_march = use_pallas
+    wts = jnp.zeros((ks,), jnp.float32)
     if ss > 1:
         pos = (jnp.arange(ks, dtype=jnp.float32) + 0.5) / ss - 0.5
         i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
         i1 = jnp.clip(i0 + 1, 0, n - 1)
         w1 = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
-        slabs = (
-            slabs[:, i0] * (1.0 - w1)[None, :, None, None]
-            + slabs[:, i1] * w1[None, :, None, None]
-        )  # [2, KS, X, Y]
+        wts = w1
+        if not use_march:
+            slabs = (
+                slabs[:, i0] * (1.0 - w1)[None, :, None, None]
+                + slabs[:, i1] * w1[None, :, None, None]
+            )  # [2, KS, X, Y]
 
     e_t_full = _to_tex(eye_local)[jnp.asarray(perm)]
     if flip:
@@ -502,8 +509,9 @@ def _shearwarp_core(
     wx = interp_matrix(scale_offset_coords(m, scale_x, off_x), n)  # [K, M, N]
     wy = interp_matrix(scale_offset_coords(m, scale_y, off_y), n)
 
-    dens_w = warp2d(slabs[0], wx, wy)  # [K, M, M]
-    light_w = warp2d(slabs[1], wx, wy)
+    if not use_march:
+        dens_w = warp2d(slabs[0], wx, wy)  # [K, M, M]
+        light_w = warp2d(slabs[1], wx, wy)
 
     # per-intermediate-pixel step length (normalized-space units)
     gi = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
@@ -552,15 +560,23 @@ def _shearwarp_core(
             )
         return (transmit, scatter), None
 
-    init = (jnp.ones((m, m), jnp.float32), jnp.zeros((m, m), jnp.float32))
-    (transmit_i, scatter_i), _ = jax.lax.scan(
-        body, init,
-        (
-            dens_w.reshape(ks // cb, cb, m, m),
-            light_w.reshape(ks // cb, cb, m, m),
-            front.reshape(ks // cb, cb, 1, 1),
-        ),
-    )
+    if use_march:
+        from dxrvoxelizer_tpu.ops.march_pallas import march_pallas
+
+        transmit_i, scatter_i = march_pallas(
+            slabs, wts, front, wx, wy, delta, ss
+        )
+    else:
+        init = (jnp.ones((m, m), jnp.float32),
+                jnp.zeros((m, m), jnp.float32))
+        (transmit_i, scatter_i), _ = jax.lax.scan(
+            body, init,
+            (
+                dens_w.reshape(ks // cb, cb, m, m),
+                light_w.reshape(ks // cb, cb, m, m),
+                front.reshape(ks // cb, cb, 1, 1),
+            ),
+        )
 
     # ---- screen resolve ----------------------------------------------------
     # y_off: first screen row of this band (traced; multi-chip row sharding)

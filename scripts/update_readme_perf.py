@@ -91,7 +91,10 @@ def render(src_name: str, sec: dict) -> str:
         f"{q('deforming_raystab_fullrefit_64_ms')}) |",
         f"| Ray-stab AS fresh build (per new geometry; then disk-cached) | "
         f"driver BVH (ms) | {q('raystab_accel_build64_s', '{:.2f} s')} @64³"
-        f" / {q('raystab_accel_build256_s', '{:.1f} s')} @256³ |",
+        f" / {q('raystab_accel_build256_s', '{:.1f} s')} @256³ "
+        f"(warm-process rebuild "
+        f"{q('raystab_accel_build256_steady_s', '{:.1f} s')}; host half "
+        f"{q('raystab_accel_build256_host_s', '{:.1f} s')}) |",
     ]
     return (
         f"{BEGIN}\n"

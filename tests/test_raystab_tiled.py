@@ -227,3 +227,19 @@ def test_fused_kernel_cps_batching_bitexact_interpret(cps):
                                   interpret=True, cps_override=cps)
         for a, b in zip(base3, got3):
             assert bool((np.asarray(a) == np.asarray(b)).all())
+
+
+def test_pack_ids24_roundtrip():
+    """24-bit wire packing of candidate id tables: exact roundtrip for
+    every id value and the -1 padding sentinel."""
+    from dxrvoxelizer_tpu.ops.raystab_tiled import (
+        _pack_ids24,
+        _unpack_ids24,
+    )
+
+    tab = np.array([[-1, 0, 1, 255, 256, 65535, 65536, (1 << 24) - 2]],
+                   np.int32)
+    packed = _pack_ids24(tab)
+    assert packed.dtype == np.uint8 and packed.shape == tab.shape + (3,)
+    out = np.asarray(_unpack_ids24(jnp.asarray(packed)))
+    assert (out == tab).all()
