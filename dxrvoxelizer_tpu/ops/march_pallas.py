@@ -41,8 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 from dxrvoxelizer_tpu.ops.raymarch_ref import ABSORPTION, ZERO_THRESHOLD
 
 
-def _march_kernel(w_ref, f_ref, s0_ref, s1_ref, wx_ref, wy_ref, delta_ref,
-                  t_out, s_out, acc_t, acc_s, *, ss: int):
+def _march_kernel(*refs, ss: int):
+    if ss == 1:
+        (w_ref, f_ref, s0_ref, wx_ref, wy_ref, delta_ref,
+         t_out, s_out, acc_t, acc_s) = refs
+        s1_ref = None
+    else:
+        (w_ref, f_ref, s0_ref, s1_ref, wx_ref, wy_ref, delta_ref,
+         t_out, s_out, acc_t, acc_s) = refs
     k = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
@@ -142,8 +148,13 @@ def march_pallas(
                      memory_space=pltpu.SMEM),  # front
         pl.BlockSpec((2, 1, n, n), lambda s: (0, i0(s), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1, n, n), lambda s: (0, i1(s), 0, 0),
-                     memory_space=pltpu.VMEM),
+    ]
+    if ss > 1:  # ss=1 reads each slab once — no second window operand
+        in_specs.append(
+            pl.BlockSpec((2, 1, n, n), lambda s: (0, i1(s), 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs += [
         pl.BlockSpec((1, m, n), lambda s: (s, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, m, n), lambda s: (s, 0, 0),
@@ -168,6 +179,6 @@ def march_pallas(
             pltpu.VMEM((m, m), jnp.float32),
         ],
         interpret=interpret,
-    )(wts.reshape(ks, 1), front.reshape(ks, 1), slabs, slabs, wx, wy,
-      delta)
+    )(wts.reshape(ks, 1), front.reshape(ks, 1),
+      *((slabs,) if ss == 1 else (slabs, slabs)), wx, wy, delta)
     return t_i, s_i

@@ -100,6 +100,7 @@ def precompute_light_volume(
     PSRayCast.hlsl:151-154) instead of the shared directional step.
     """
     n = density.shape[0]
+    v = n * n * n
     vol_flat = density.reshape(-1)
     light_step_scale = MAX_DIST / n_light
 
@@ -107,35 +108,48 @@ def precompute_light_volume(
     px, py, pz = jnp.meshgrid(t, -t, t, indexing="ij")
     pos0 = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)  # [V,3] voxel centers
 
-    if point_light:
-        ld = light_local[None, :] - pos0  # [V,3]
-        light_step = (
-            ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
-        ) * light_step_scale  # [V,3]
-        light_step = light_step[None]  # [1,V,3]
-    else:
+    if not point_light:
         light_dir = light_local / jnp.linalg.norm(light_local)
-        light_step = (light_dir * light_step_scale)[None, None, :]  # [1,1,3]
+        dir_step = (light_dir * light_step_scale)[None, None, :]  # [1,1,3]
 
-    # positions j = pos0 + (j+1) * light_step  (first sample is one step off,
-    # PSRayCast.hlsl:157)
-    j = jnp.arange(n_light, dtype=jnp.float32)[:, None, None]
-    pos = pos0[None] + light_step * (j + 1.0)  # [J,V,3]
-    in_box = jnp.all(jnp.abs(pos) <= 1.0, axis=-1)  # [J,V]
-    # the loop breaks at the first out-of-box step; monotone prefix AND
-    in_box = jnp.cumprod(in_box.astype(jnp.float32), axis=0) > 0
+    def chunk_lt(pos0_c):
+        # per-voxel-chunk light march: positions j = pos0 + (j+1) * step
+        # (first sample is one step off, PSRayCast.hlsl:157)
+        if point_light:
+            ld = light_local[None, :] - pos0_c  # [C,3]
+            step = (
+                ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
+            )[None] * light_step_scale  # [1,C,3]
+        else:
+            step = dir_step
+        j = jnp.arange(n_light, dtype=jnp.float32)[:, None, None]
+        pos = pos0_c[None] + step * (j + 1.0)  # [J,C,3]
+        in_box = jnp.all(jnp.abs(pos) <= 1.0, axis=-1)  # [J,C]
+        # the loop breaks at the first out-of-box step; monotone prefix AND
+        in_box = jnp.cumprod(in_box.astype(jnp.float32), axis=0) > 0
 
-    tex = TEX_SCALE * pos + 0.5
-    dens = _get_sample(vol_flat, n, tex)  # [J,V]
-    att = jnp.clip(1.0 - ABSORPTION * light_step_scale * dens, 0.0, 1.0)
-    att = jnp.where(in_box, att, 1.0)
+        tex = TEX_SCALE * pos + 0.5
+        dens = _get_sample(vol_flat, n, tex)  # [J,C]
+        att = jnp.clip(1.0 - ABSORPTION * light_step_scale * dens, 0.0, 1.0)
+        att = jnp.where(in_box, att, 1.0)
 
-    cp = jnp.cumprod(att, axis=0)  # transmittance after each step
-    # break when trans < 0.01 *after* the multiply: the final value is the
-    # first element below threshold (cp is non-increasing), else the last.
-    below = cp < ZERO_THRESHOLD
-    first_below = jnp.max(jnp.where(below, cp, -1.0), axis=0)
-    lt = jnp.where(below.any(axis=0), first_below, cp[-1])
+        cp = jnp.cumprod(att, axis=0)  # transmittance after each step
+        # break when trans < 0.01 *after* the multiply: the final value is
+        # the first element below threshold (cp non-increasing), else last.
+        below = cp < ZERO_THRESHOLD
+        first_below = jnp.max(jnp.where(below, cp, -1.0), axis=0)
+        return jnp.where(below.any(axis=0), first_below, cp[-1])
+
+    # chunk the voxel axis: the march's [n_light, V, 3] intermediates are
+    # 6 GB at 256^3 in one piece (OOM on a 16 GB chip — caught by the
+    # -ab 256^3 image A/B); per-voxel results are independent, so
+    # lax.map over fixed chunks is value-identical
+    chunk = min(v, 1 << 19)
+    assert v % chunk == 0, (v, chunk)
+    if v == chunk:
+        lt = chunk_lt(pos0)
+    else:
+        lt = jax.lax.map(chunk_lt, pos0.reshape(-1, chunk, 3)).reshape(-1)
     return lt.reshape(n, n, n)
 
 
