@@ -121,14 +121,27 @@ def light_sweep(density: jnp.ndarray, light_local: jnp.ndarray,
     g = jnp.minimum(dens * 8.0, 16.0)
     att = jnp.clip(1.0 - ABSORPTION * delta_l * g, 0.0, 1.0)  # [K, X, Y]
 
-    def body(carry, att_k):
-        # carry = L[k+1] * att[k+1] field; produce L[k]
-        l_k = wx @ carry @ wy.T + (1.0 - wsum)
-        return l_k * att_k, l_k
+    # blocked scan: CB sequential sub-steps unrolled per lax.scan step —
+    # same expressions in the same order (bit-identical), 16x fewer
+    # scan-step dispatches (each costs ~us against a tiny [N, N] matmul)
+    cb = 16
+    while n % cb:
+        cb //= 2
+
+    def body(carry, att_b):
+        outs = []
+        for j in range(cb):
+            # carry = L[k+1] * att[k+1] field; produce L[k]
+            l_k = wx @ carry @ wy.T + (1.0 - wsum)
+            outs.append(l_k)
+            carry = l_k * att_b[j]
+        return carry, jnp.stack(outs)
 
     init = jnp.ones((n, n), dtype=jnp.float32)  # beyond the last slab: 1
-    _, ls = jax.lax.scan(body, init, att[::-1])
-    lvol = ls[::-1]  # [K, X, Y]
+    _, ls = jax.lax.scan(
+        body, init, att[::-1].reshape(n // cb, cb, n, n)
+    )
+    lvol = ls.reshape(n, n, n)[::-1]  # [K, X, Y]
 
     lvol = jnp.moveaxis(lvol, 0, -1)
     if flip:
