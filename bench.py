@@ -552,7 +552,10 @@ def main() -> int:
             return with_args
 
         with guarded("raystab_query2_64"):
-            slope(make_stab_body(64, ks, ovk), (2, 8),
+            # (4, 16): the ~3 ms op at (2, 8) left only an 18 ms scan
+            # delta — inside tunnel jitter (r5 samples ranged 2.0-3.2 ms
+            # run to run); 64^3 graphs compile fast enough to afford it
+            slope(make_stab_body(64, ks, ovk), (4, 16),
                   "dragon ray-stab gen-6 query 64^3",
                   key="raystab_query2_64_ms",
                   args=(accel.levels, accel.sort_keys, accel.ov_dense))

@@ -243,3 +243,18 @@ def test_pack_ids24_roundtrip():
     assert packed.dtype == np.uint8 and packed.shape == tab.shape + (3,)
     out = np.asarray(_unpack_ids24(jnp.asarray(packed)))
     assert (out == tab).all()
+
+
+def test_gen_routing_contract(monkeypatch):
+    """Product routing: gen-7 tiled at n >= 128, gen-6 cone strips at the
+    reference 64^3; DXRV_RAYSTAB_GEN forces either engine."""
+    from dxrvoxelizer_tpu.ops.raystab_tiled import use_tiled_raystab
+
+    monkeypatch.delenv("DXRV_RAYSTAB_GEN", raising=False)
+    assert not use_tiled_raystab(64)
+    assert use_tiled_raystab(128)
+    assert use_tiled_raystab(256)
+    monkeypatch.setenv("DXRV_RAYSTAB_GEN", "7")
+    assert use_tiled_raystab(64)
+    monkeypatch.setenv("DXRV_RAYSTAB_GEN", "6")
+    assert not use_tiled_raystab(256)
