@@ -474,8 +474,17 @@ def _shearwarp_core(
     ks = n * ss
     # the fused Pallas march (ops/march_pallas.py) streams the RAW slabs
     # and z-mixes + warps + composites in VMEM — the XLA fallback below
-    # materializes each stage in HBM (kept for CPU and as the A/B)
-    use_march = use_pallas
+    # materializes each stage in HBM (kept for CPU and as the A/B).
+    # VMEM guard: per-step residents = the [2, N, N] slab window(s) (x2
+    # at ss > 1), wx/wy [M, N], delta + outputs + scratch [M, M] x5,
+    # double-buffered — a 1024^3 grid's 8 MB slab windows blow the
+    # ~16 MB budget, so grids that big keep the XLA path
+    vmem_est = (
+        2 * n * n * 4 * (2 if ss > 1 else 1) * 2  # slab windows, 2x buf
+        + 2 * m * n * 4 * 2                       # wx, wy, 2x buffered
+        + 5 * m * m * 4
+    )
+    use_march = use_pallas and vmem_est < 13 * 2**20
     wts = jnp.zeros((ks,), jnp.float32)
     if ss > 1:
         pos = (jnp.arange(ks, dtype=jnp.float32) + 0.5) / ss - 0.5
